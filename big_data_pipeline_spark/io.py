@@ -1,0 +1,93 @@
+"""IO layer: table readers/writers and the latest-snapshot reader.
+
+Covers the reference's source/sink inventory (SURVEY.md §2.1, S5-S13):
+JSON scan, Parquet scan/sink, bucket truncate (= overwrite mode), and
+the latest-file-per-key selection (``transform.py:11-24``,
+``stock_predictor.py:21-28``) re-expressed as a window over Spark's
+``_metadata`` hidden file columns — no driver-side object listing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test-corpus table: ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_json_records(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    """JSON scan (S5). The reference stores whole JSON arrays per object
+    (``stock_ingestor.py:37-43``) — ``multiLine=True`` reads those; flip it
+    off for JSONL, the layout this engine writes at scale."""
+    return spark.read.option("multiLine", "true" if multiline else "false").json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON sink (S4), JSONL layout. ``overwrite`` = the reference's
+    clear-bucket-then-put freshness semantics (``minio_utils.py:29-40``)."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """Parquet sink (S7/S9/S10). Partitioned directories replace the
+    reference's ``{symbol}_processed_{ts}.parquet`` filename convention —
+    partition pruning then comes free on read."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def with_file_metadata(df: DataFrame) -> DataFrame:
+    """Expose source file path + modification time as columns.
+
+    Spark-native replacement for the reference's ``list_objects_v2``
+    metadata scan (S6, ``transform.py:13``).
+    """
+    return df.withColumns(
+        {
+            "_file_path": F.col("_metadata.file_path"),
+            "_file_mtime": F.col("_metadata.file_modification_time"),
+        }
+    )
+
+
+def latest_snapshot(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keep only rows from the newest file per key (A7, greatest-n-per-group).
+
+    Re-expresses ``transform.py:11-24`` (``get_latest_files``): instead of
+    a driver-side loop over object listings, rank files by modification
+    time within each key partition and keep rank 1. Runs as a single
+    window over the scan; scales to any number of files.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_file_mtime"), F.desc("_file_path"))
+    return (
+        with_file_metadata(df)
+        .withColumn("_file_rank", F.dense_rank().over(w))
+        .filter(F.col("_file_rank") == 1)
+        .drop("_file_rank", "_file_path", "_file_mtime")
+    )

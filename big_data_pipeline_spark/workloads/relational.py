@@ -1,0 +1,348 @@
+"""Relational core workload: scan/filter/project/join/agg/set-op/sort/limit.
+
+Covers SURVEY.md §2.2 (P8/P9/P12), §2.3 (joins — capability proof the
+reference lacks), §2.4 (A1 union), §2.5 (A2 distinct, A4 count), §2.7
+(O2 top-k), §2.8 (scalar functions). Every query here is paired with an
+ANSI-SQL oracle; double sums go through ``oracle.exact_sum`` so hashes
+are order-insensitive (SURVEY.md §7.4).
+
+Scale notes (100 TB):
+- q3/q5 join dimension tables that are orders of magnitude smaller than
+  lineitem — Spark's broadcast threshold (session.py) turns all of them
+  into broadcast hash joins; only fact-fact joins shuffle.
+- Aggregations are partial-aggregate friendly (sum/count/min/max over
+  low-cardinality group keys) — map-side combine collapses most data
+  before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.oracle import (
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+)
+
+# --- q1_pricing_summary: TPC-H Q1-style grouped aggregate ------------------
+# scan -> pushed filter -> partial agg -> final agg. The heaviest scan
+# pattern at 100 TB; everything reduces map-side.
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sum_qty = exact_sum("l_quantity", "sum_qty")
+    sum_base = exact_sum("l_extendedprice", "sum_base_price")
+    sum_disc = exact_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")
+    sum_charge = exact_sum(
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"
+    )
+    avg_qty = exact_avg("l_quantity", "avg_qty")
+    avg_price = exact_avg("l_extendedprice", "avg_price")
+    avg_disc = exact_avg("l_discount", "avg_disc")
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty,
+            sum_base,
+            sum_disc,
+            sum_charge,
+            avg_qty,
+            avg_price,
+            avg_disc,
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {exact_sum_sql("l_quantity", "sum_qty")},
+  {exact_sum_sql("l_extendedprice", "sum_base_price")},
+  {exact_sum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {exact_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {exact_avg_sql("l_quantity", "avg_qty")},
+  {exact_avg_sql("l_extendedprice", "avg_price")},
+  {exact_avg_sql("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- filter_project: pushed-down predicate + column pruning (P8/P9) --------
+
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 45) & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 45 AND l_discount > 0.05
+"""
+
+
+# --- distinct_flag_status (A2) ---------------------------------------------
+
+
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# --- union_orders_split (A1): union-all of two disjoint slices -------------
+
+
+def union_orders_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") >= 250000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    low = orders.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return high.unionByName(low)
+
+
+_UNION_SQL = """
+SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice >= 250000
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 50000
+"""
+
+
+# --- topk_orders (O2): global top-k with deterministic tiebreak ------------
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver — no global sort shuffle.
+    return (
+        read_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- q3_shipping_priority: 3-way join + grouped revenue + top-k ------------
+
+_Q3_REVENUE_SQL_EXPR = "l_extendedprice * (1 - l_discount)"
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    revenue = exact_sum(_Q3_REVENUE_SQL_EXPR, "revenue")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  {exact_sum_sql(_Q3_REVENUE_SQL_EXPR, "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- q5_local_supplier_volume: 6-way star join ------------------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    revenue = exact_sum(_Q3_REVENUE_SQL_EXPR, "revenue")
+    # Fact-fact join (lineitem x orders) shuffles on orderkey; every
+    # dimension is broadcast. "Local supplier": supplier nation must
+    # equal customer nation (TPC-H Q5 semantics).
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(revenue)
+    )
+
+
+_Q5_SQL = f"""
+SELECT
+  r_name,
+  n_name,
+  {exact_sum_sql(_Q3_REVENUE_SQL_EXPR, "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
+# --- scalar_functions (P12, §2.8): string/date/math projections ------------
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("priority_lower"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.round("o_totalprice", 1).alias("price_round"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+    )
+
+
+_SCALAR_SQL = """
+SELECT
+  o_orderkey,
+  lower(o_orderpriority) AS priority_lower,
+  upper(o_orderstatus) AS status_upper,
+  round(o_totalprice, 1) AS price_round,
+  strftime(o_orderdate, '%Y-%m') AS order_month,
+  o_orderstatus || '-' || o_orderpriority AS status_priority,
+  length(o_orderpriority) AS priority_len,
+  substring(o_orderpriority, 1, 1) AS priority_code
+FROM orders
+"""
+
+
+# --- grouped_agg_stats (A4 + min/max/avg over a dimension) ------------------
+
+
+def grouped_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avg_bal = exact_avg("c_acctbal", "avg_acctbal")
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            avg_bal,
+        )
+    )
+
+
+_GROUPED_AGG_SQL = f"""
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_customers,
+  MIN(c_acctbal) AS min_acctbal,
+  MAX(c_acctbal) AS max_acctbal,
+  {exact_avg_sql("c_acctbal", "avg_acctbal")}
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# --- having_count_filter (P11: small-group guard as HAVING) -----------------
+
+
+def having_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+_HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 3
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_project": filter_project,
+    "distinct_flag_status": distinct_flag_status,
+    "union_orders_split": union_orders_split,
+    "topk_orders": topk_orders,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "scalar_functions": scalar_functions,
+    "grouped_agg_stats": grouped_agg_stats,
+    "having_count_filter": having_count_filter,
+}
+
+ORACLE = {
+    "q1_pricing_summary": _Q1_SQL,
+    "filter_project": _FILTER_PROJECT_SQL,
+    "distinct_flag_status": _DISTINCT_SQL,
+    "union_orders_split": _UNION_SQL,
+    "topk_orders": _TOPK_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_local_supplier_volume": _Q5_SQL,
+    "scalar_functions": _SCALAR_SQL,
+    "grouped_agg_stats": _GROUPED_AGG_SQL,
+    "having_count_filter": _HAVING_SQL,
+}
