@@ -21,10 +21,9 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from big_data_pipeline_spark.workloads import merge_workloads  # noqa: E402
-from big_data_pipeline_spark.workloads import relational  # noqa: E402
+from big_data_pipeline_spark.workloads import events, merge_workloads, relational  # noqa: E402
 
-_MODULES = (relational,)
+_MODULES = (relational, events)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -28,9 +28,20 @@ TABLES = (
 )
 
 
+# Columns stored as TIMESTAMP(NANOS) in parquet. Spark has no ns
+# timestamp; with spark.sql.legacy.parquet.nanosAsLong (session.py) they
+# surface as int64 nanos and are truncated to µs here — the same value
+# DuckDB produces, so oracle comparisons stay exact (FIXTURES.md).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-corpus table: ``{sf_dir}/{name}.parquet``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def read_json_records(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:

@@ -33,6 +33,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # Timestamps in test parquet are ns; Spark stores µs — truncate, don't error.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Spark 4 refuses TIMESTAMP(NANOS) parquet outright; read the raw
+    # int64 instead and let io.read_table truncate to µs (matching how
+    # DuckDB/pyarrow downcast ns — see FIXTURES.md events.ts note).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -1,0 +1,413 @@
+"""Event-table workload: windows, sessionization, time buckets, grouped ML.
+
+Covers SURVEY.md §2.5 (A2/A3/A5/A6/A7), §2.6 (W1 lead, W2 last-per-group),
+§2.7 (O1/O2), §2.8 json, and the batch twins of the streaming surface
+(§2.9 extension: tumbling/sliding/session windows). The flagship
+``linreg_next_value`` re-expresses the reference's per-symbol
+next-close LinearRegression (reference ``scripts/stock_predictor.py:38-102``:
+sort by time within key, shift(-1) target, fit OLS, predict from the
+last row, report MSE) as pure closed-form aggregates over exact decimal
+sums — one shuffle, no Python, hash-exact against the oracle.
+
+Scale notes (100 TB):
+- All window specs partition by a key (user_id) — Spark distributes
+  partitions across executors; no global ordering is ever required.
+- Sessionization is lag + running-sum inside one partitioned window:
+  a single shuffle on user_id, linear work per partition.
+- The OLS trainer is an aggregation, not applyInPandas: at 1000
+  executors it's map-side partial sums + one tiny reduce, the cheapest
+  possible plan for grouped regression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.oracle import DEC, exact_sum, exact_sum_sql
+
+# --- window_lead_next_value (W1): shift(-1) within key ----------------------
+
+
+def window_lead_next_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+_LEAD_SQL = """
+SELECT event_id, user_id, ts, value,
+       LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+FROM events
+"""
+
+
+# --- latest_event_per_user (A7/W2): greatest-1-per-group --------------------
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+_LATEST_PER_USER_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# --- global_argmax_latest (A6): top-1 by timestamp --------------------------
+
+
+def global_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+_GLOBAL_ARGMAX_SQL = """
+SELECT event_id, user_id, ts, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+"""
+
+
+# --- grouped_mse (A5): mean squared deviation from the group mean -----------
+
+
+def grouped_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id")
+    mean = (
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("m", mean)
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.expr("pow(value - m, 2)").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mse"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_GROUPED_MSE_SQL = """
+WITH t AS (
+  SELECT user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id) AS m
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CAST(pow(value - m, 2) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mse,
+       COUNT(*) AS n_events
+FROM t GROUP BY user_id
+"""
+
+
+# --- json_props_extract (§2.8 json): typed field out of a JSON string -------
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("long")
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),  # integer sum: exact, order-free
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(k) AS sum_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+FROM (
+  SELECT event_type, CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+# --- event_type_pivot: wide counts per user ---------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return df.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+_PIVOT_SQL = "SELECT user_id, " + ", ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+# --- tumbling_window_counts: 1-hour event-time buckets ----------------------
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+    )
+    return df.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+_TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {exact_sum_sql("value", "sum_value")}
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --- sliding_window_counts: 1-hour windows sliding every 30 minutes --------
+# Each event lands in exactly two windows; the oracle materializes both
+# starts explicitly (floor-to-30min and 30min earlier).
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", "sum_value"))
+    )
+    return df.select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+
+
+_SLIDING_SQL = f"""
+WITH bucketed AS (
+  SELECT date_trunc('hour', ts)
+           + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                  THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b30,
+         value
+  FROM events
+),
+expanded AS (
+  SELECT b30 AS window_start, value FROM bucketed
+  UNION ALL
+  SELECT b30 - INTERVAL 30 MINUTE AS window_start, value FROM bucketed
+)
+SELECT window_start, COUNT(*) AS n_events, {exact_sum_sql("value", "sum_value")}
+FROM expanded GROUP BY window_start
+"""
+
+
+# --- session_windows: gap-based sessionization (30-min inactivity) ---------
+# The batch formulation of a session window: flag gap-starts with LAG,
+# running-sum the flags into session ids, aggregate. One shuffle on
+# user_id; this is also exactly what Structured Streaming's
+# session_window computes incrementally (see streaming/).
+
+_SESSION_GAP_MIN = 30
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = _SESSION_GAP_MIN * 60
+    new_sess = F.when(
+        F.lag("ts").over(w_ord).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord))
+            > gap_s
+        ),
+        1,
+    ).otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('second', LAG(ts) OVER w, ts) > {_SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --- linreg_next_value: grouped OLS via closed-form exact aggregates -------
+# Reference parity: stock_predictor.py trains y = a + b*x per key where
+# x = current close, y = next close (shift(-1)), predicts from the last
+# row and reports MSE. Slope/intercept/MSE come from the sufficient
+# statistics (n, Sx, Sy, Sxx, Sxy, Syy) — each an exact decimal sum, so
+# both engines derive bit-identical doubles. No Python in the plan.
+
+_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_INTERCEPT = f"(sy - ({_SLOPE}) * sx) / n"
+_MSE = (
+    f"(syy - 2 * ({_INTERCEPT}) * sy - 2 * ({_SLOPE}) * sxy"
+    f" + n * ({_INTERCEPT}) * ({_INTERCEPT})"
+    f" + ({_SLOPE}) * ({_SLOPE}) * sxx"
+    f" + 2 * ({_INTERCEPT}) * ({_SLOPE}) * sx) / n"
+)
+_PRED = f"({_INTERCEPT}) + ({_SLOPE}) * x_last"
+
+
+def linreg_next_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ordered = events.select(
+        "user_id",
+        "ts",
+        F.col("value").alias("x"),
+        F.lead("value", 1).over(w).alias("y"),
+        F.row_number().over(w_desc).alias("rn"),
+    )
+    pairs = ordered.filter(F.col("y").isNotNull())
+    stats = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.expr("x * x").cast(DEC)).cast("double").alias("sxx"),
+        F.sum(F.expr("x * y").cast(DEC)).cast("double").alias("sxy"),
+        F.sum(F.expr("y * y").cast(DEC)).cast("double").alias("syy"),
+    )
+    last_row = ordered.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("x").alias("x_last"),
+        F.col("ts").cast("string").alias("last_date"),
+    )
+    return (
+        stats.join(last_row, "user_id")
+        .filter(F.expr("n * sxx - sx * sx <> 0"))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_train"),
+            F.expr(_SLOPE).alias("slope"),
+            F.expr(_INTERCEPT).alias("intercept"),
+            F.expr(_PRED).alias("predicted_next"),
+            F.expr(_MSE).alias("mse"),
+            "last_date",
+        )
+    )
+
+
+_LINREG_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value AS x,
+         LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM ordered WHERE y IS NOT NULL GROUP BY user_id
+),
+last_row AS (
+  SELECT user_id, x AS x_last, CAST(ts AS VARCHAR) AS last_date
+  FROM ordered WHERE rn = 1
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_train,
+       {_SLOPE} AS slope,
+       {_INTERCEPT} AS intercept,
+       {_PRED} AS predicted_next,
+       {_MSE} AS mse,
+       last_date
+FROM stats JOIN last_row USING (user_id)
+WHERE n * sxx - sx * sx <> 0
+"""
+
+
+QUERIES = {
+    "window_lead_next_value": window_lead_next_value,
+    "latest_event_per_user": latest_event_per_user,
+    "global_argmax_latest": global_argmax_latest,
+    "grouped_mse": grouped_mse,
+    "json_props_extract": json_props_extract,
+    "event_type_pivot": event_type_pivot,
+    "tumbling_window_counts": tumbling_window_counts,
+    "sliding_window_counts": sliding_window_counts,
+    "session_windows": session_windows,
+    "linreg_next_value": linreg_next_value,
+}
+
+ORACLE = {
+    "window_lead_next_value": _LEAD_SQL,
+    "latest_event_per_user": _LATEST_PER_USER_SQL,
+    "global_argmax_latest": _GLOBAL_ARGMAX_SQL,
+    "grouped_mse": _GROUPED_MSE_SQL,
+    "json_props_extract": _JSON_PROPS_SQL,
+    "event_type_pivot": _PIVOT_SQL,
+    "tumbling_window_counts": _TUMBLING_SQL,
+    "sliding_window_counts": _SLIDING_SQL,
+    "session_windows": _SESSION_SQL,
+    "linreg_next_value": _LINREG_SQL,
+}
