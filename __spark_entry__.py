@@ -21,9 +21,16 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from big_data_pipeline_spark.workloads import events, merge_workloads, relational  # noqa: E402
+from big_data_pipeline_spark.workloads import (  # noqa: E402
+    dedup,
+    events,
+    merge_workloads,
+    relational,
+    similarity,
+    text,
+)
 
-_MODULES = (relational, events)
+_MODULES = (relational, events, text, similarity, dedup)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,146 @@
+"""MinHash + LSH near-duplicate detection (shingle → minhash → band → join).
+
+The standard large-corpus near-dedup pipeline (Broder's MinHash + the
+banding construction from Leskovec/Rajaraman/Ullman, "Mining of Massive
+Datasets" ch. 3):
+
+1. 3-word shingles per document (distinct).
+2. ``num_perm`` min-hashes per doc: h_i(s) = xxhash64(s || '#' || i);
+   the signature column is an array built in ONE aggregation.
+3. Band the signature (``bands`` x ``rows_per_band``), hash each band,
+   explode → (band_id, band_hash) keys.
+4. Self-join on the band key → candidate pairs (docs agreeing on any
+   full band).
+5. Verify candidates with EXACT shingle Jaccard — output only true
+   near-dups, so precision is 1.0 and recall is the LSH knob:
+   P(candidate) = 1 - (1 - j^rows)^bands.
+
+Scale notes (100 TB):
+- Everything is hash/groupBy/join — no Python, no driver state.
+- The band join is an equi-join on a high-cardinality key; hot buckets
+  (boilerplate shingles) are the classic skew source — AQE skew-join
+  splits them. Bucket size can also be capped with a count filter
+  (drop pathological buckets) without hurting recall on real pairs.
+- The exact-verify join ships only candidate docs' shingle sets, not
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.functions.text import shingles, tokenize
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, signature array<long>, n_shingles) per document."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(tokenize(text_col), 3)).alias("shingle"),
+    ).distinct()
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(
+        *mins, F.count(F.lit(1)).alias("n_shingles")
+    )
+    return sig.select(
+        id_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("signature"),
+        "n_shingles",
+    )
+
+
+def candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs sharing any full band become a candidate pair."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id1"),
+            F.col(f"b.{id_col}").alias("doc_id2"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full pipeline: LSH candidates verified with exact shingle Jaccard.
+
+    Returns (doc_id1, doc_id2, n_common, jaccard) for true near-dups the
+    LSH surfaced — same schema as the exact ``shingle_jaccard_pairs``
+    query, so recall is directly measurable (tests do exactly that).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokenize(text_col), 3)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    sigs = minhash_signatures(docs, num_perm, id_col, text_col)
+    cands = candidate_pairs(sigs, bands, rows_per_band, "doc_id")
+
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        cands.join(a, F.col("doc_id1") == F.col("sa.doc_id"))
+        .join(
+            b,
+            (F.col("doc_id2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), F.col("doc_id1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id2") == F.col("s2.doc_id"))
+        .filter(jacc >= threshold)
+        .select("doc_id1", "doc_id2", "n_common", jacc.alias("jaccard"))
+    )

@@ -1,0 +1,84 @@
+"""Text-analysis column builders: tokenize, shingle, quality, lang-id.
+
+Extension surface for the LLM-data-pipeline north star (SURVEY.md §0):
+language ID (stopword-hit heuristic), quality scoring (length/stopword
+ratios), token counting, and document fingerprinting. Everything here is
+built from ``pyspark.sql.functions`` — no Python UDFs — so it runs inside
+whole-stage codegen and vectorized scans at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization: trim + split on runs of whitespace. Mirrors the DuckDB
+# oracle's regexp_split_to_array(trim(x), '\s+') exactly.
+_WS = r"\s+"
+
+
+def tokenize(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-word shingles of a token array (standard MinHash input unit)."""
+    # slice() is 1-based; sequence(1, n-k+1) enumerates start positions.
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )
+
+
+# Stopword lists for the language-ID heuristic. Tiny on purpose: the
+# point is the operator shape (per-language hit counting + argmax), not
+# linguistic accuracy. Order fixes argmax tie-breaking.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有"),
+}
+
+
+def stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(tokens, ws) for lang, ws in LANG_STOPWORDS.items()}
+
+
+def quality_score(n_chars: Column, n_tokens: Column, stop_ratio: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards mid-length docs and
+    a natural-language-like stopword ratio. Same closed form as the SQL
+    oracle in workloads/text.py."""
+    len_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    tok_score = F.least(n_tokens / F.lit(60.0), F.lit(1.0))
+    stop_score = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))
+    return F.round((len_score + tok_score + stop_score) / F.lit(3.0), 6)
+
+
+def md5_fingerprint(col: str | Column) -> Column:
+    """Exact-dedup content fingerprint (hex md5, engine-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def rolling_fingerprint(tokens: Column, base: int = 1_000_003) -> Column:
+    """Order-sensitive polynomial rolling hash over token hashes.
+
+    ``fp = fold(tokens, 0, (acc, t) -> acc * base + xxhash64(t))`` in
+    64-bit wraparound arithmetic. Distinguishes documents with the same
+    token multiset in different order (md5 of raw text can't survive
+    whitespace normalization; this does). Spark-only (xxhash64), so it
+    gets a rows-only driver check + pytest determinism tests.
+    """
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc * F.lit(base).cast("long") + F.xxhash64(t),
+    )

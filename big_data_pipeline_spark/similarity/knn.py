@@ -1,0 +1,152 @@
+"""Approximate & exact nearest-neighbor search over array<float> embeddings.
+
+Extension surface (SURVEY.md §0 north star): brute-force cosine top-k as
+the exact baseline, and an LSH-bucketed variant (random hyperplane
+signatures) as the scale path.
+
+Scale analysis (100 TB / billions of vectors):
+- Brute force is a broadcast nested loop: broadcast the (small) query
+  set, stream the candidate corpus once, keep a per-partition top-k
+  (TakeOrderedAndProject after the window rank — no full sort). Cost is
+  O(|Q| * |C| * d) FLOPs but only ONE pass over the corpus and zero
+  shuffle of the corpus itself. Right answer for |Q| up to ~10^3.
+- The LSH variant buckets both sides by an r-bit signature of signs of
+  random-hyperplane projections: candidates shrink by ~2^r with recall
+  controlled by the number of independent tables. Join becomes an
+  equi-join on (table, signature) — shuffle keyed, skew-safe via AQE.
+- Hyperplanes are generated driver-side from a fixed seed (tiny:
+  n_tables * r * d floats) and embedded as literal arrays — broadcast
+  by construction, deterministic across runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.functions.vectors import cosine
+
+EMB_DIMS = 64
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score: Column | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x stream candidates."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            score if score is not None else cosine(F.col("q_vec"), F.col("c_vec")),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def _hyperplanes(n_tables: int, bits: int, dims: int, seed: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random unit-free hyperplanes (Box-Muller over
+    a splitmix-style integer stream — no numpy on the hot path, and the
+    stream is reproducible everywhere)."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def next_u64() -> int:
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    def gauss() -> float:
+        u1 = (next_u64() >> 11) / float(1 << 53) or 5e-324
+        u2 = (next_u64() >> 11) / float(1 << 53)
+        return math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+
+    return [
+        [[gauss() for _ in range(dims)] for _ in range(bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    """r-bit sign signature of projections onto the given hyperplanes."""
+    bits = []
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH bucketing.
+
+    Both sides get per-table signatures; candidate pairs must collide in
+    at least one table. Collisions then get exact cosine + top-k rank.
+    """
+    planes = _hyperplanes(n_tables, bits, EMB_DIMS, seed)
+
+    def signed(df: DataFrame, role: str) -> DataFrame:
+        sigs = F.array(
+            *[_signature(F.col(vec_col), planes[t]) for t in range(n_tables)]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.posexplode(sigs).alias("table_id", "sig"),
+        )
+
+    q = signed(queries, "query")
+    c = signed(candidates, "neighbor")
+    pairs = (
+        c.join(F.broadcast(q), ["table_id", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .distinct()
+        .withColumn("cos_sim", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+    )
+    return _rank_topk(pairs, k)

@@ -1,0 +1,281 @@
+"""Text-analysis workload over the documents table.
+
+LLM-pipeline extension surface (SURVEY.md §0 north star): token
+counting, quality scoring, language stats, content fingerprinting,
+exact dedup, and exact n-gram-shingle Jaccard near-dup pairs. All six
+queries are oracle-checked — the heuristics are deliberately written in
+closed form expressible in both engines.
+
+Scale notes (100 TB):
+- Per-document metrics are narrow projections over a single scan; no
+  shuffle at all (the groupBys here key on low-cardinality lang/hash).
+- exact_dedup is the canonical hash-groupBy dedup: shuffle on md5(text),
+  combine map-side, one pass.
+- shingle_jaccard_pairs joins on 3-word shingles whose cardinality grows
+  with corpus size, so the join stays sparse: only genuine near-dups
+  (plus rare chance collisions) meet more than a handful of times. At
+  100 TB you'd add the MinHash-LSH prefilter (dedup/minhash.py) in
+  front; the exact-jaccard verify stage is this same query over the
+  candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_scores,
+    md5_fingerprint,
+    quality_score,
+    shingles,
+    stopword_hits,
+    tokenize,
+)
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.oracle import exact_avg, exact_avg_sql
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+# --- doc_token_stats: tokenize + count (token counting op) ------------------
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize("text")
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.length(F.trim("text")).cast("double") / F.size(toks)).alias(
+            "avg_token_span"
+        ),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len({_TOKS_SQL}) AS n_tokens,
+       len(list_distinct({_TOKS_SQL})) AS n_unique_tokens,
+       CAST(length(trim(text)) AS DOUBLE) / len({_TOKS_SQL}) AS avg_token_span
+FROM documents
+"""
+
+
+# --- doc_quality_score: closed-form quality heuristic -----------------------
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    en_hits = stopword_hits(toks, LANG_STOPWORDS["en"])
+    df = df.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars_d"),
+        F.size(toks).cast("double").alias("n_tokens_d"),
+        (en_hits.cast("double") / F.size(toks)).alias("stop_ratio"),
+    )
+    return df.select(
+        "doc_id",
+        F.col("stop_ratio"),
+        quality_score(
+            F.col("n_chars_d"), F.col("n_tokens_d"), F.col("stop_ratio")
+        ).alias("quality"),
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars_d,
+         CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tokens_d,
+         CAST(len(list_filter({_TOKS_SQL}, t -> t IN ({_EN_LIST}))) AS DOUBLE)
+           / len({_TOKS_SQL}) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, stop_ratio,
+       round((least(n_chars_d / 400.0, 1.0)
+            + least(n_tokens_d / 60.0, 1.0)
+            + (1.0 - abs(stop_ratio - 0.4))) / 3.0, 6) AS quality
+FROM t
+"""
+
+
+# --- lang_id_stopwords: per-language hit counts + argmax --------------------
+# Tie-break: first language in de<en<es<fr<zh order wins (>= chain).
+
+
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    scores = lang_scores(toks)
+    df = df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"c_{lang}") for lang in sorted(scores)],
+    )
+    langs = sorted(LANG_STOPWORDS)
+    expr = None
+    for lang in langs:
+        others = [F.col(f"c_{o}") for o in langs if o != lang]
+        cond = F.col(f"c_{lang}") >= F.greatest(*others)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return df.withColumn("predicted_lang", expr)
+
+
+def _lang_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = ",\n         ".join(
+        f"len(list_filter({_TOKS_SQL}, t -> t IN "
+        f"({', '.join(repr(w) for w in LANG_STOPWORDS[lang])}))) AS c_{lang}"
+        for lang in langs
+    )
+    cases = "\n            ".join(
+        f"WHEN c_{lang} >= greatest("
+        + ", ".join(f"c_{o}" for o in langs if o != lang)
+        + f") THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {score_cols}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, c_de, c_en, c_es, c_fr, c_zh,
+       CASE {cases} END AS predicted_lang
+FROM t
+"""
+
+
+# --- lang_stats: per-language aggregates ------------------------------------
+
+
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            exact_avg("CAST(n_chars AS DOUBLE)", "avg_chars"),
+        )
+    )
+
+
+_LANG_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       {exact_avg_sql("CAST(n_chars AS DOUBLE)", "avg_chars")}
+FROM documents GROUP BY lang
+"""
+
+
+# --- exact_dedup: hash-groupBy deduplication --------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", md5_fingerprint("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- shingle_jaccard_pairs: exact n-gram near-dup detection -----------------
+
+_JACCARD_THRESHOLD = 0.5
+
+
+def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), F.col("doc_id1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id2") == F.col("s2.doc_id"))
+        .filter(jacc >= _JACCARD_THRESHOLD)
+        .select("doc_id1", "doc_id2", "n_common", jacc.alias("jaccard"))
+    )
+
+
+_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id1, doc_id2, n_common,
+       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_id1
+JOIN sizes s2 ON s2.doc_id = doc_id2
+WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_score": doc_quality_score,
+    "lang_id_stopwords": lang_id_stopwords,
+    "lang_stats": lang_stats,
+    "exact_dedup": exact_dedup,
+    "shingle_jaccard_pairs": shingle_jaccard_pairs,
+}
+
+ORACLE = {
+    "doc_token_stats": _TOKEN_STATS_SQL,
+    "doc_quality_score": _QUALITY_SQL,
+    "lang_id_stopwords": _lang_sql(),
+    "lang_stats": _LANG_STATS_SQL,
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "shingle_jaccard_pairs": _JACCARD_SQL,
+}
