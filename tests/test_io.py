@@ -1,0 +1,53 @@
+"""IO layer: parquet roundtrip, partitioned layout, latest-snapshot reader."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from big_data_pipeline_spark.io import (
+    TABLES,
+    latest_snapshot,
+    read_table,
+    write_parquet,
+)
+
+
+def test_read_all_tables(spark, sf_dir):
+    for t in TABLES:
+        df = read_table(spark, sf_dir, t)
+        assert df.count() > 0, t
+
+
+def test_events_ts_is_timestamp_not_long(spark, sf_dir):
+    # nanosAsLong surfaces int64; read_table must convert to µs timestamp.
+    df = read_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0)], ["symbol", "close"]
+    )
+    path = str(tmp_path / "out")
+    write_parquet(df, path, partition_by="symbol")
+    assert os.path.isdir(os.path.join(path, "symbol=A"))
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    # overwrite = truncate-then-load semantics (S12)
+    write_parquet(df.filter("symbol = 'B'"), path, partition_by="symbol")
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_latest_snapshot_keeps_newest_file_per_key(spark, tmp_path):
+    p1 = str(tmp_path / "f1")
+    p2 = str(tmp_path / "f2")
+    spark.createDataFrame([("A", 1), ("B", 10)], ["symbol", "v"]).coalesce(
+        1
+    ).write.parquet(p1)
+    time.sleep(1.1)  # mtime granularity
+    spark.createDataFrame([("A", 2)], ["symbol", "v"]).coalesce(1).write.parquet(p2)
+    df = spark.read.parquet(p1, p2)
+    out = latest_snapshot(df, ["symbol"]).toPandas().set_index("symbol")["v"]
+    assert out["A"] == 2  # newest file wins for A
+    assert out["B"] == 10  # B only ever in the old file — kept

@@ -1,0 +1,43 @@
+"""Driver-contract invariants: entry(), queries(), oracle_sql()."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from big_data_pipeline_spark.io import TABLES
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_registry_consistency():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 31
+    assert set(o) <= set(q)
+    # only the approximate (LSH/simhash) ops may lack an oracle
+    for name in set(q) - set(o):
+        assert any(k in name for k in ("lsh", "simhash")), name
+
+
+def test_queries_run_at_smallest_sf(spark, sf_dir):
+    """Every registered query must at least execute at sf0.001."""
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        df.limit(1).collect()  # forces plan execution
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_oracle_sql_parses_in_duckdb(name, sf_dir):
+    """Each oracle statement must be valid DuckDB SQL over the views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    con.execute(entrymod.oracle_sql()[name]).fetchmany(1)
