@@ -25,12 +25,22 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     dedup,
     events,
     merge_workloads,
+    pipeline_flagship,
     relational,
     similarity,
+    streaming_surface,
     text,
 )
 
-_MODULES = (relational, events, text, similarity, dedup)
+_MODULES = (
+    relational,
+    events,
+    text,
+    similarity,
+    dedup,
+    streaming_surface,
+    pipeline_flagship,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

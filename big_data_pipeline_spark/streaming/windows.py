@@ -1,0 +1,130 @@
+"""Structured Streaming surface over the events table.
+
+The reference is strictly batch (SURVEY.md §2.9): freshness is faked by
+truncate-and-reload on a daily schedule. This module is the incremental
+re-expression — the same windowed aggregations the batch workload
+computes (``workloads/events.py``), but as continuous queries with
+event-time watermarks, runnable incrementally with
+``trigger(availableNow=True)`` + checkpointing.
+
+Batch equivalence is the correctness story (SURVEY.md §7.4: streaming
+state has no DuckDB twin): ``run_available_now`` drains the source and
+the result must equal the batch query over the same files — asserted in
+``tests/test_streaming.py``.
+
+Scale notes:
+- Watermarks bound state: a 1-hour watermark on a 5-minute tumbling
+  window keeps at most ~13 open windows per key regardless of input
+  volume.
+- ``dropDuplicatesWithinWatermark`` is the streaming face of exact
+  dedup — state is one key hash per event inside the watermark horizon,
+  not the full history.
+- Session windows use the native ``session_window`` function —
+  state-store backed merge of overlapping sessions, no Python.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) → int64 ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events parquet (S5's streaming twin).
+
+    Streaming scans require an explicit schema; ``ts`` arrives as int64
+    nanos (see session.py nanosAsLong) and is truncated to µs exactly
+    like the batch reader, so batch/stream results are comparable.
+    """
+    # FileStreamSource requires a directory or glob (it derives basePath
+    # from the non-glob prefix); the table is a single file, so glob it.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """5-minute tumbling counts per event_type (batch twin:
+    ``tumbling_window_counts``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """10-minute windows sliding every 5 (batch twin:
+    ``sliding_window_counts``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows_stream(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id, state bounded by the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink; return the
+    materialized batch result. Incremental semantics, batch latency —
+    the Spark-native version of the reference's daily reprocess."""
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

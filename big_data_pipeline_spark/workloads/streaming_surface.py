@@ -1,0 +1,126 @@
+"""Streaming surface as oracle-checked queries.
+
+Each entry builds a Structured Streaming query over the events table,
+drains it with ``trigger(availableNow=True)`` into a memory sink, and
+returns the materialized result. Because the drain consumes exactly the
+batch's input files, the result is deterministic and hash-checkable
+against the same DuckDB SQL the batch twins use — a stronger guarantee
+than the usual rows-only streaming check (SURVEY.md §7.4).
+
+Scale notes:
+- These plans are the incremental replacements for the reference's
+  daily truncate-and-reload (§2.9): on a cluster the same code runs
+  continuously with a real trigger; watermarks bound state.
+- Complete-mode memory sinks are for the verification harness only —
+  production sinks are parquet/Kafka in append mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.oracle import exact_sum, exact_sum_sql
+from big_data_pipeline_spark.streaming.windows import (
+    dedup_within_watermark,
+    run_available_now,
+    stream_events,
+)
+
+
+def stream_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, "mem_stream_tumbling", output_mode="complete")
+
+
+_STREAM_TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {exact_sum_sql("value", "sum_value")}
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (state-store merge of overlapping
+    sessions). Its window end is last-event-ts + gap; the oracle's
+    lag/running-sum formulation reproduces that closed form."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "mem_stream_sessions", output_mode="complete")
+
+
+_STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` over event_id. The fixture's
+    event_ids are unique, so the checked semantic is pass-through — the
+    state machinery is what's being exercised."""
+    events = stream_events(spark, sf_dir)
+    out = dedup_within_watermark(events, watermark="1 hour").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return run_available_now(out, "mem_stream_dedup", output_mode="append")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+QUERIES = {
+    "stream_tumbling_window_counts": stream_tumbling_window_counts,
+    "stream_session_windows": stream_session_windows,
+    "stream_dedup_exact": stream_dedup_exact,
+}
+
+ORACLE = {
+    "stream_tumbling_window_counts": _STREAM_TUMBLING_SQL,
+    "stream_session_windows": _STREAM_SESSION_SQL,
+    "stream_dedup_exact": _STREAM_DEDUP_SQL,
+}

@@ -20,9 +20,10 @@ def test_registry_consistency():
     o = entrymod.oracle_sql()
     assert len(q) >= 31
     assert set(o) <= set(q)
-    # only the approximate (LSH/simhash) ops may lack an oracle
+    # only approximate ops (LSH/simhash) and the non-SQL-expressible
+    # applyInPandas pipeline may lack an oracle
     for name in set(q) - set(o):
-        assert any(k in name for k in ("lsh", "simhash")), name
+        assert any(k in name for k in ("lsh", "simhash", "pipeline")), name
 
 
 def test_queries_run_at_smallest_sf(spark, sf_dir):
