@@ -22,9 +22,11 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from big_data_pipeline_spark.workloads import (  # noqa: E402
+    advanced,
     dedup,
     events,
     merge_workloads,
+    multimodal,
     pipeline_flagship,
     relational,
     similarity,
@@ -34,10 +36,12 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
 
 _MODULES = (
     relational,
+    advanced,
     events,
     text,
     similarity,
     dedup,
+    multimodal,
     streaming_surface,
     pipeline_flagship,
 )

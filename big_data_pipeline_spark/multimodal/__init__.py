@@ -1,0 +1,8 @@
+from big_data_pipeline_spark.multimodal.columns import (  # noqa: F401
+    MEDIA_META_SCHEMA,
+    attach_fake_media,
+    byte_histogram_features,
+    decode_image,
+    frame_sample,
+    resize_image,
+)

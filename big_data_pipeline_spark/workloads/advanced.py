@@ -1,0 +1,492 @@
+"""Advanced relational workload: the operator surface a reference user
+would expect from a full engine (SURVEY.md §2.3 capability proof plus
+§2.5-§2.8 extensions): outer/semi/anti joins, rollup/cube, set ops,
+correlated aggregates, ranking windows, sliding frames, exact
+percentiles, conditional aggregation, date arithmetic, regexp, argmax,
+and ordered string aggregation.
+
+Scale notes (100 TB):
+- Semi/anti joins broadcast the filtered orders side when small; at
+  scale Catalyst picks shuffled hash — either way no data explosion, a
+  semi join never duplicates rows.
+- rollup/cube expand each input row into (levels) grouping combinations
+  *after* partial aggregation — map-side combine still collapses first.
+- All window queries partition by a key; no global-order windows exist
+  here (a rank over an unpartitioned window would single-task at scale).
+- Percentiles use the exact ``percentile`` aggregate; at 100 TB swap to
+  ``approx_percentile(…, accuracy)`` — same plan shape, bounded memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.oracle import (
+    DEC,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+)
+
+# --- anti join: customers that never ordered --------------------------------
+
+
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- semi join: customers with at least one open order ----------------------
+
+
+def semi_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    open_orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+# --- left outer join + null-safe aggregation --------------------------------
+
+
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            # COUNT(col) skips nulls → 0 for order-less customers
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), F.lit(0.0)
+            ).alias("total_spend"),
+        )
+    )
+
+
+_LEFT_JOIN_SQL = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0)
+         AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+# --- rollup: subtotals + grand total ----------------------------------------
+
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {exact_sum_sql("o_totalprice", "revenue")}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- cube over status x order-year ------------------------------------------
+
+
+def cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .cube("o_orderstatus", "order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, year(o_orderdate) AS order_year, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+"""
+
+
+# --- set ops: INTERSECT / EXCEPT (distinct semantics) -----------------------
+
+
+def intersect_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.intersect(o_cust)
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def except_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    # subtract = EXCEPT DISTINCT (exceptAll keeps surplus multiplicity)
+    return f_cust.subtract(o_cust)
+
+
+_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# --- correlated aggregate: orders above their customer's average ------------
+
+
+def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "cust_avg"
+        )
+    )
+    return (
+        orders.join(cust_avg, orders.o_custkey == cust_avg.k)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+_ABOVE_AVG_SQL = f"""
+WITH ca AS (
+  SELECT o_custkey AS k, {exact_avg_sql("o_totalprice", "cust_avg")}
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM orders JOIN ca ON o_custkey = k
+WHERE o_totalprice > cust_avg
+"""
+
+
+# --- ranking windows: row_number / rank / dense_rank / ntile ----------------
+
+
+def customer_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_RANK_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# --- sliding frame: moving sum of the last 4 events per user ----------------
+
+
+def moving_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("moving_sum"),
+    )
+
+
+_MOVING_SUM_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+FROM events
+"""
+
+
+# --- conditional aggregation + CASE bucketing --------------------------------
+
+
+def price_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_finished"
+            ),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").startswith("1"), 1
+                ).otherwise(0)
+            ).alias("n_urgent"),
+        )
+    )
+
+
+_BUCKET_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent
+FROM orders
+GROUP BY 1
+"""
+
+
+# --- exact percentiles per group --------------------------------------------
+
+
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50"),
+            F.percentile("l_quantity", 0.9).alias("p90"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+        )
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90,
+       MIN(l_quantity) AS qmin,
+       MAX(l_quantity) AS qmax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- date arithmetic ---------------------------------------------------------
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        # cast: DuckDB date_trunc('month') yields DATE, Spark TIMESTAMP
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_eoy"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        F.add_months(F.col("o_orderdate").cast("date"), 2).alias("plus_2m"),
+    )
+
+
+_DATE_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS d,
+       date_trunc('month', o_orderdate) AS month_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m
+FROM orders
+"""
+
+
+# --- regexp extract / replace ------------------------------------------------
+
+
+def regexp_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("text", r"[aeiou]", "_").alias("devoweled_prefix"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace"),
+    )
+
+
+_REGEXP_SQL = r"""
+SELECT doc_id,
+       regexp_extract(text, '^(\w+)', 1) AS first_word,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_prefix,
+       length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+FROM documents
+"""
+
+
+# --- global token frequency (split + explode) --------------------------------
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(25)
+    )
+
+
+_VOCAB_SQL = """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 25
+"""
+
+
+# --- argmax per group (max_by) ----------------------------------------------
+
+
+def argmax_customer_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_custkey", "c_acctbal").alias("richest_custkey"),
+            F.max("c_acctbal").alias("top_acctbal"),
+        )
+    )
+
+
+_ARGMAX_SQL = """
+SELECT c_mktsegment,
+       arg_max(c_custkey, c_acctbal) AS richest_custkey,
+       MAX(c_acctbal) AS top_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# --- ordered string aggregation ---------------------------------------------
+
+
+def nations_per_region_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+QUERIES = {
+    "anti_join_no_orders": anti_join_no_orders,
+    "semi_join_open_orders": semi_join_open_orders,
+    "left_join_order_counts": left_join_order_counts,
+    "rollup_order_revenue": rollup_order_revenue,
+    "cube_status_year": cube_status_year,
+    "intersect_customer_keys": intersect_customer_keys,
+    "except_customer_keys": except_customer_keys,
+    "above_customer_avg_orders": above_customer_avg_orders,
+    "customer_rank_in_segment": customer_rank_in_segment,
+    "moving_sum_per_user": moving_sum_per_user,
+    "price_bucket_profile": price_bucket_profile,
+    "quantity_percentiles": quantity_percentiles,
+    "date_arithmetic": date_arithmetic,
+    "regexp_text_ops": regexp_text_ops,
+    "vocab_top_tokens": vocab_top_tokens,
+    "argmax_customer_by_segment": argmax_customer_by_segment,
+    "nations_per_region_list": nations_per_region_list,
+}
+
+ORACLE = {
+    "anti_join_no_orders": _ANTI_SQL,
+    "semi_join_open_orders": _SEMI_SQL,
+    "left_join_order_counts": _LEFT_JOIN_SQL,
+    "rollup_order_revenue": _ROLLUP_SQL,
+    "cube_status_year": _CUBE_SQL,
+    "intersect_customer_keys": _INTERSECT_SQL,
+    "except_customer_keys": _EXCEPT_SQL,
+    "above_customer_avg_orders": _ABOVE_AVG_SQL,
+    "customer_rank_in_segment": _RANK_SQL,
+    "moving_sum_per_user": _MOVING_SUM_SQL,
+    "price_bucket_profile": _BUCKET_SQL,
+    "quantity_percentiles": _PERCENTILE_SQL,
+    "date_arithmetic": _DATE_SQL,
+    "regexp_text_ops": _REGEXP_SQL,
+    "vocab_top_tokens": _VOCAB_SQL,
+    "argmax_customer_by_segment": _ARGMAX_SQL,
+    "nations_per_region_list": _STRING_AGG_SQL,
+}

@@ -1,0 +1,128 @@
+"""Multimodal-column workload over the documents table.
+
+``multimodal_binary_meta`` is fully oracle-checked: the binary payload
+transformations that are pure SQL (encode → length / md5 digest) run on
+both engines. ``multimodal_feature_extract`` and
+``multimodal_frame_sample`` exercise the Arrow-batched mapInPandas
+plumbing (rows-only driver check; value-level tests live in
+``tests/test_multimodal.py``).
+
+Also here: ``embedding_near_dups`` — embedding-cosine near-duplicate
+detection (the dedup family's vector member), exact and oracle-checked
+via the unrolled cosine expression (functions/vectors.py). The fixture
+has no true duplicates (max pairwise cosine ~0.46), so the threshold is
+set where the semantics produce a non-trivial pair set.
+
+Scale notes:
+- The near-dup pair join is O(n²) brute force, restricted to a query
+  slice here; the scale path is LSH bucketing (dedup/minhash.py,
+  similarity/knn.py) which turns it into a per-bucket join.
+- Feature extraction is one narrow mapInPandas pass — no shuffle; the
+  payload column is pruned away immediately after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.functions.vectors import EMB_DIMS_DEFAULT, cosine_sql
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.multimodal import (
+    attach_fake_media,
+    byte_histogram_features,
+    frame_sample,
+)
+
+# --- binary metadata projection (oracle-checked) ----------------------------
+
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_media(read_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.media_type").alias("media_type"),
+        F.md5("media").alias("digest"),
+        F.base64(F.substring("media", 1, 12)).alias("head_b64"),
+    )
+
+
+_BINARY_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'image' AS media_type,
+       md5(text) AS digest,
+       to_base64(encode(substring(text, 1, 12))) AS head_b64
+FROM documents
+"""
+
+
+# --- Arrow-batched feature extraction (rows-only) ---------------------------
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_media(read_table(spark, sf_dir, "documents"))
+    feats = byte_histogram_features(docs.select("doc_id", "media"))
+    return feats.select(
+        "doc_id",
+        F.col("features").getItem(0).alias("f0"),
+        F.aggregate(
+            "features", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("feature_mass"),
+        F.size("features").alias("n_bins"),
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_media(read_table(spark, sf_dir, "documents"))
+    frames = frame_sample(docs.select("doc_id", "media"), frame_bytes=64, stride=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
+    )
+
+
+# --- embedding-cosine near-duplicate pairs (oracle-checked) -----------------
+
+_NEARDUP_SLICE = 300
+_NEARDUP_THRESHOLD = 0.35
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _NEARDUP_SLICE
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    cos = F.expr(cosine_sql("vec_a", "vec_b", EMB_DIMS_DEFAULT, offset=0))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_NEARDUP_SLICE}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cosine_sql("a.embedding", "b.embedding", EMB_DIMS_DEFAULT, offset=1)}
+           AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_NEARDUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_feature_extract": multimodal_feature_extract,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "embedding_near_dups": embedding_near_dups,
+}
+
+ORACLE = {
+    "multimodal_binary_meta": _BINARY_META_SQL,
+    "embedding_near_dups": _NEARDUP_SQL,
+}

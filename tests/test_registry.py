@@ -21,9 +21,12 @@ def test_registry_consistency():
     assert len(q) >= 31
     assert set(o) <= set(q)
     # only approximate ops (LSH/simhash) and the non-SQL-expressible
-    # applyInPandas pipeline may lack an oracle
+    # Python-UDF paths (pipeline OLS, multimodal mapInPandas) may lack
+    # an oracle
     for name in set(q) - set(o):
-        assert any(k in name for k in ("lsh", "simhash", "pipeline")), name
+        assert any(
+            k in name for k in ("lsh", "simhash", "pipeline", "multimodal")
+        ), name
 
 
 def test_queries_run_at_smallest_sf(spark, sf_dir):
