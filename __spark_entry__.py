@@ -25,6 +25,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     advanced,
     dedup,
     events,
+    fingerprints,
     merge_workloads,
     multimodal,
     pipeline_flagship,
@@ -32,13 +33,16 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     similarity,
     streaming_surface,
     text,
+    timeseries,
 )
 
 _MODULES = (
     relational,
     advanced,
     events,
+    timeseries,
     text,
+    fingerprints,
     similarity,
     dedup,
     multimodal,

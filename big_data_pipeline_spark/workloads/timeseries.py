@@ -1,0 +1,90 @@
+"""Time-series join workload: as-of join and band (range) join.
+
+These are the classic time-series operators Spark lacks natively;
+the engine composes them from shuffle-bounded primitives
+(operators/asof.py, operators/ranges.py). DuckDB *does* have native
+ASOF JOIN and IEJoin, which makes the oracles short and genuinely
+independent implementations — a strong cross-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.operators import asof_join, range_join_binned
+
+# --- as-of join: last purchase value at or before each event ----------------
+
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    left = events.select("event_id", "user_id", "ts", "event_type")
+    return asof_join(
+        left,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase_value"],
+    )
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type, p.value AS last_purchase_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+# --- band join: purchases within 5 minutes after each error -----------------
+
+
+def range_error_purchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    joined = range_join_binned(
+        errors,
+        purchases,
+        left_ts="error_ts",
+        right_ts="purchase_ts",
+        lower_sec=0,
+        upper_sec=300,
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_5min")
+    )
+
+
+_RANGE_SQL = """
+SELECT e.event_id AS error_id, COUNT(*) AS n_purchases_5min
+FROM events e
+JOIN events p
+  ON p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(e.ts)
+ AND epoch_us(p.ts) < epoch_us(e.ts) + 300 * 1000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
+QUERIES = {
+    "asof_last_purchase": asof_last_purchase,
+    "range_error_purchase_counts": range_error_purchase_counts,
+}
+
+ORACLE = {
+    "asof_last_purchase": _ASOF_SQL,
+    "range_error_purchase_counts": _RANGE_SQL,
+}

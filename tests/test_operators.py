@@ -1,0 +1,110 @@
+"""Semantics tests for the custom time-series operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.operators import asof_join, range_join_binned
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, 0)
+
+
+def test_asof_join_backward_inclusive(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts(0), 10.0), ("A", _ts(10), 11.0), ("B", _ts(5), 20.0)],
+        ["sym", "qts", "price"],
+    ).select("sym", "qts", F.col("price").alias("quote_price"))
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts(0), 1),   # equal ts → inclusive match (10.0)
+            ("A", _ts(9), 2),   # between quotes → 10.0
+            ("A", _ts(15), 3),  # after second quote → 11.0
+            ("B", _ts(4), 4),   # before any B quote → null
+            ("C", _ts(1), 5),   # key with no quotes → null
+        ],
+        ["sym", "tts", "trade_id"],
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        left_ts="tts",
+        right_ts="qts",
+        value_cols=["quote_price"],
+    ).toPandas().set_index("trade_id")["quote_price"]
+    assert out[1] == 10.0
+    assert out[2] == 10.0
+    assert out[3] == 11.0
+    assert out[4] != out[4] or out[4] is None  # NaN/None
+    assert out[5] != out[5] or out[5] is None
+    assert len(out) == 5  # left join: every trade kept
+
+
+def test_asof_join_tolerance_expires_old_matches(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts(0), 10.0)], ["sym", "qts", "price"]
+    ).select("sym", "qts", F.col("price").alias("quote_price"))
+    trades = spark.createDataFrame(
+        [("A", _ts(2), 1), ("A", _ts(30), 2)], ["sym", "tts", "trade_id"]
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on=["sym"],
+        left_ts="tts",
+        right_ts="qts",
+        value_cols=["quote_price"],
+        tolerance=F.expr("INTERVAL 5 MINUTES"),
+    ).toPandas().set_index("trade_id")["quote_price"]
+    assert out[1] == 10.0
+    assert out[2] != out[2]  # match older than tolerance → NaN
+
+
+def test_range_join_binned_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, _ts(0) + dt.timedelta(seconds=rng.randrange(0, 3600))) for i in range(80)],
+        ["lid", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(j, _ts(0) + dt.timedelta(seconds=rng.randrange(0, 3600))) for j in range(80)],
+        ["rid", "rts"],
+    )
+    got = (
+        range_join_binned(left, right, "lts", "rts", lower_sec=60, upper_sec=300)
+        .select("lid", "rid")
+        .toPandas()
+    )
+    naive = (
+        left.crossJoin(right)
+        .filter(
+            (F.unix_micros("rts") >= F.unix_micros("lts") + 60 * 1_000_000)
+            & (F.unix_micros("rts") < F.unix_micros("lts") + 300 * 1_000_000)
+        )
+        .select("lid", "rid")
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))  # noqa: E731
+    assert key(got) == key(naive)
+    assert len(got) > 0
+
+
+def test_range_join_no_duplicate_pairs_across_bins(spark):
+    # band wider than bin: left explodes to several bins — each
+    # qualifying pair must still appear exactly once
+    left = spark.createDataFrame([(1, _ts(0))], ["lid", "lts"])
+    right = spark.createDataFrame(
+        [(j, _ts(0) + dt.timedelta(seconds=30 * j)) for j in range(20)],
+        ["rid", "rts"],
+    )
+    got = range_join_binned(
+        left, right, "lts", "rts", lower_sec=0, upper_sec=600, bin_sec=60
+    ).toPandas()
+    assert len(got) == len(got.drop_duplicates(["lid", "rid"]))
+    assert len(got) == 20  # 0..570s all inside [0, 600)

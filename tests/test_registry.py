@@ -18,7 +18,7 @@ def test_entry_returns_rows(spark):
 def test_registry_consistency():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert len(q) >= 31
+    assert len(q) >= 59
     assert set(o) <= set(q)
     # only approximate ops (LSH/simhash) and the non-SQL-expressible
     # Python-UDF paths (pipeline OLS, multimodal mapInPandas) may lack
