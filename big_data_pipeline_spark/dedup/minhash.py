@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from big_data_pipeline_spark.functions.text import shingles, tokenize
+from big_data_pipeline_spark.functions.text import exploded_shingles
 
 
 def minhash_signatures(
@@ -40,12 +40,14 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, signature array<long>, n_shingles) per document."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(shingles(tokenize(text_col), 3)).alias("shingle"),
-    ).distinct()
+    sh = exploded_shingles(docs, id_col, text_col, 3).withColumn(
+        # hash the string once; permutations re-hash the 8-byte value
+        # (64 fixed-width hashes beat 64 string concat+hash by ~2x)
+        "h0",
+        F.xxhash64("shingle"),
+    )
     mins = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     sig = sh.groupBy(id_col).agg(
@@ -113,10 +115,9 @@ def minhash_dedup_pairs(
     LSH surfaced — same schema as the exact ``shingle_jaccard_pairs``
     query, so recall is directly measurable (tests do exactly that).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(tokenize(text_col), 3)).alias("shingle"),
-    ).distinct()
+    sh = exploded_shingles(
+        docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id", text_col, 3
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     sigs = minhash_signatures(docs, num_perm, id_col, text_col)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from big_data_pipeline_spark.functions.text import shingles, tokenize
+from big_data_pipeline_spark.functions.text import exploded_shingles
 
 BITS = 64
 
@@ -36,10 +36,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     One explode + one groupBy; the 64 conditional sums are a single
     wide aggregate (map-side combinable).
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokenize(text_col), 3))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    toks = exploded_shingles(docs, id_col, text_col, 3).withColumn(
+        "h", F.xxhash64("shingle")
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

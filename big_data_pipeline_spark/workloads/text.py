@@ -26,10 +26,10 @@ from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.functions.text import (
     LANG_STOPWORDS,
+    exploded_shingles,
     lang_scores,
     md5_fingerprint,
     quality_score,
-    shingles,
     stopword_hits,
     tokenize,
 )
@@ -206,12 +206,7 @@ _JACCARD_THRESHOLD = 0.5
 
 def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "doc_id", F.explode(shingles(tokenize("text"), 3)).alias("shingle")
-        )
-        .distinct()
-    )
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
