@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY.md §2.9); the built-in
+windowed aggregations in streaming/windows.py cover the declarative
+surface. This module covers the *imperative* stateful surface — the
+Spark-native escape hatch for operators the SQL engine can't express
+(per-key state machines, custom eviction, exponential averages).
+
+Implemented operator: per-user running statistics (event count, value
+sum, exponentially weighted moving average of ``value``) maintained in
+a GroupState, emitting one row per key per micro-batch.
+
+Timeout note: a continuously running deployment should pass
+``GroupStateTimeout.ProcessingTimeTimeout`` and call
+``state.setTimeoutDuration`` so quiet keys stop consuming state-store
+memory. This module defaults to ``NoTimeout`` because pending
+processing-time timeouts keep scheduling extra micro-batches after an
+``availableNow`` drain has consumed all data — the query then never
+terminates (observed: hundreds of empty batches) — and the drain is
+this engine's verification path.
+
+The EWMA recurrence is order-sensitive; events are sorted by (ts,
+event_id) inside each batch, and correctness is asserted against a
+batch pandas recomputation in tests (availableNow = single batch, so
+the recurrence sees every event exactly once, in order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_ALPHA = 0.2
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total, ewma = state.get if state.exists else (0, 0.0, None)
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in pdf["value"]:
+            n += 1
+            total += float(v)
+            ewma = (
+                float(v)
+                if ewma is None
+                else _ALPHA * float(v) + (1 - _ALPHA) * ewma
+            )
+    state.update((n, total, ewma))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_sum": [total],
+            "ewma": [ewma],
+        }
+    )
+
+
+def running_user_stats(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Stateful per-user running stats over a streaming events frame.
+
+    Pass ``GroupStateTimeout.ProcessingTimeTimeout`` for continuous
+    deployments (see module docstring on why drains must use NoTimeout).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.oracle import exact_sum, exact_sum_sql
+from big_data_pipeline_spark.streaming.stateful import running_user_stats
 from big_data_pipeline_spark.streaming.windows import (
     dedup_within_watermark,
     run_available_now,
@@ -113,10 +114,20 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count/sum/EWMA. The EWMA recurrence is not SQL-expressible
+    → rows-only driver check; the numeric golden check against a pandas
+    recomputation lives in tests/test_stateful_streaming.py."""
+    out = running_user_stats(stream_events(spark, sf_dir))
+    return run_available_now(out, "mem_stream_stateful", output_mode="update")
+
+
 QUERIES = {
     "stream_tumbling_window_counts": stream_tumbling_window_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_exact": stream_dedup_exact,
+    "stream_stateful_user_stats": stream_stateful_user_stats,
 }
 
 ORACLE = {
