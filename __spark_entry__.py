@@ -31,6 +31,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     pipeline_flagship,
     relational,
     similarity,
+    skew,
     streaming_surface,
     text,
     timeseries,
@@ -46,6 +47,7 @@ _MODULES = (
     similarity,
     dedup,
     multimodal,
+    skew,
     streaming_surface,
     pipeline_flagship,
 )

@@ -73,6 +73,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    n_buckets: int = 16,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with NO exchange on either side (verified in tests via plan
+    inspection) — at 100 TB this converts every repeated fact-fact join
+    on the bucket key from a full shuffle into a local zip of bucket
+    files. ``sort_cols`` additionally pre-sorts within buckets, enabling
+    shuffle-free *and* sort-free sort-merge joins.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def with_file_metadata(df: DataFrame) -> DataFrame:
     """Expose source file path + modification time as columns.
 

@@ -38,6 +38,11 @@ _DEFAULTS: dict[str, str] = {
     # DuckDB/pyarrow downcast ns — see FIXTURES.md events.ts note).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Managed-table location for bucketed tables (io.write_bucketed);
+    # keep out of the repo working directory.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+    ),
 }
 
 
