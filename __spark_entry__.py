@@ -26,6 +26,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     dedup,
     events,
     fingerprints,
+    llm_pipeline,
     merge_workloads,
     multimodal,
     pipeline_flagship,
@@ -35,10 +36,12 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     streaming_surface,
     text,
     timeseries,
+    tpch_like,
 )
 
 _MODULES = (
     relational,
+    tpch_like,
     advanced,
     events,
     timeseries,
@@ -48,6 +51,7 @@ _MODULES = (
     dedup,
     multimodal,
     skew,
+    llm_pipeline,
     streaming_surface,
     pipeline_flagship,
 )

@@ -1,0 +1,111 @@
+"""Composite LLM training-data pipeline + sampling/approx aggregates.
+
+``llm_clean_corpus_stats`` chains the cleaning stages a training-data
+pipeline runs end-to-end — exact dedup → quality gate → language gate →
+join to the embedding store — in ONE declarative plan, fully
+oracle-checked. This is the flagship demonstration that the individual
+operators compose without materialization barriers: Catalyst sees the
+whole lineage and prunes/pushes across stage boundaries.
+
+Sampling and approximate aggregates are the remaining first-class
+training-data ops: at 100 TB nobody counts distincts exactly or
+samples with ORDER BY rand() LIMIT n. Both are engine-specific by
+nature (different RNG / sketch implementations than DuckDB), so they
+get rows-only driver checks plus pytest accuracy bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.functions.text import tokenize
+from big_data_pipeline_spark.io import read_table
+
+# --- flagship composite: dedup -> quality -> lang -> join embeddings --------
+
+_MIN_TOKENS = 30
+
+
+def llm_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    # 1. exact near-dup removal: keep the lowest doc_id per text hash
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # 2. quality gate: minimum token count
+    gated = deduped.withColumn("n_tokens", F.size(tokenize("text"))).filter(
+        F.col("n_tokens") >= _MIN_TOKENS
+    )
+    # 3. language gate: drop unlabeled/empty languages
+    gated = gated.filter(F.col("lang").isin("en", "de", "es", "fr", "zh"))
+    # 4. join the embedding store (doc_id = vec_id) and report per-lang
+    joined = gated.join(emb, gated.doc_id == emb.vec_id)
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_LLM_CLEAN_SQL = rf"""
+WITH deduped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM deduped
+  WHERE rn = 1
+    AND len(regexp_split_to_array(trim(text), '\s+')) >= {_MIN_TOKENS}
+    AND lang IN ('en','de','es','fr','zh')
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM gated JOIN embeddings ON doc_id = vec_id
+GROUP BY lang
+"""
+
+
+# --- stratified sampling (rows-only: RNG is engine-specific) -----------------
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample — ``sampleBy`` with a fixed seed
+    (deterministic within Spark, not across engines)."""
+    docs = read_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "es": 0.2, "fr": 0.2, "zh": 0.2}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# --- approximate aggregates (rows-only: sketch internals differ) -------------
+
+
+def approx_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + quantile sketches — the 100 TB formulations of
+    COUNT(DISTINCT) and percentile_cont. Accuracy bounds are asserted
+    against exact values in tests/test_llm_pipeline.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("approx_p99"),
+    )
+
+
+QUERIES = {
+    "llm_clean_corpus_stats": llm_clean_corpus_stats,
+    "stratified_sample_docs": stratified_sample_docs,
+    "approx_corpus_stats": approx_corpus_stats,
+}
+
+ORACLE = {
+    "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
+}

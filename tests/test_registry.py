@@ -25,7 +25,16 @@ def test_registry_consistency():
     # an oracle
     for name in set(q) - set(o):
         assert any(
-            k in name for k in ("lsh", "simhash", "pipeline", "multimodal", "stateful")
+            k in name
+            for k in (
+                "lsh",
+                "simhash",
+                "pipeline",
+                "multimodal",
+                "stateful",
+                "sample",
+                "approx",
+            )
         ), name
 
 
