@@ -1,0 +1,66 @@
+"""Plan-shape regression tests: the properties that keep queries fast
+at 100 TB must survive refactors — filters reach the parquet scan,
+projections prune columns, dimensions broadcast, top-k never does a
+global sort.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]  # pruned
+    assert "HashAggregate" in plan  # partial+final agg, no sort-agg
+
+
+def test_q3_filters_pushed_and_customer_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k without global sort
+
+
+def test_q5_all_dimensions_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "In(r_name, [ASIA,EUROPE])" in plan
+    # nation+region+customer+supplier must all broadcast (no SMJ on dims)
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_project_reads_only_needed_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_project")
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_returnflag" not in schema and "l_shipdate" not in schema
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["asof_last_purchase", "moving_sum_per_user", "latest_event_per_user"]
+)
+def test_window_queries_shuffle_on_key_only(spark, sf_dir, name):
+    """Window queries must partition by key — a missing partitionBy
+    shows up as a single-partition Exchange (global window), the classic
+    scale killer."""
+    plan = _plan(spark, sf_dir, name)
+    assert "SinglePartition" not in plan
