@@ -25,6 +25,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     advanced,
     dedup,
     events,
+    features,
     fingerprints,
     llm_pipeline,
     merge_workloads,
@@ -45,6 +46,7 @@ _MODULES = (
     advanced,
     events,
     timeseries,
+    features,
     text,
     fingerprints,
     similarity,

@@ -73,6 +73,27 @@ def write_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: str | list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leave the rest of the table untouched.
+
+    The incremental-load upsert the reference fakes with
+    truncate-and-reload (S12): a daily run writes just the partitions it
+    recomputed. Retry-safe (rewriting the same partitions is
+    idempotent) and at 100 TB the write cost scales with the delta, not
+    the table.
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else partition_by
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*cols)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

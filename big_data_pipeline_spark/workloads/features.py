@@ -1,0 +1,120 @@
+"""Time-series feature engineering over the events table.
+
+The feature set a forecasting pipeline derives from raw bars
+(reference intent: the predictor trains on raw OHLCV; a production
+version would train on these): per-key lag returns, rolling mean, and
+rolling sample variance — all exact-decimal so the oracle hash-matches.
+
+Variance parity trick: stddev/var aggregates are order-sensitive in
+both engines; instead the rolling variance is computed from the
+*closed form* (n·Σx² − (Σx)²) / (n·(n−1)) where both Σ go through
+DECIMAL(38,6) accumulation — deterministic and identical across
+engines, one window pass, no UDF.
+
+Also here: ``time_rollup_multigrain`` — the hypertable-style continuous
+aggregate: one pass producing hourly AND daily rollups via grouping
+sets (map-side partial agg feeds both grains; cheaper than two scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.oracle import DEC
+
+# --- per-user lag returns + rolling stats -----------------------------------
+
+_WIN = 8  # rolling window (rows)
+
+
+def user_value_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-(_WIN - 1), Window.currentRow)
+
+    prev = F.lag("value", 1).over(order)
+    ret = F.when(prev != 0, F.col("value") / prev - 1.0)
+
+    s1 = F.sum(F.col("value").cast(DEC)).over(frame).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast(DEC)).over(frame).cast(
+        "double"
+    )
+    n = F.count(F.lit(1)).over(frame).cast("double")
+    mean = s1 / n
+    var = F.when(n > 1, (n * s2 - s1 * s1) / (n * (n - 1)))
+
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        ret.alias("lag_return"),
+        mean.alias("rolling_mean"),
+        var.alias("rolling_var"),
+    )
+
+
+_FEATURES_SQL = f"""
+SELECT event_id, user_id, ts, value,
+       CASE WHEN LAG(value, 1) OVER w <> 0
+            THEN value / LAG(value, 1) OVER w - 1.0 END AS lag_return,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE)
+         / CAST(COUNT(*) OVER f AS DOUBLE) AS rolling_mean,
+       CASE WHEN COUNT(*) OVER f > 1 THEN
+         (CAST(COUNT(*) OVER f AS DOUBLE)
+            * CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER f AS DOUBLE)
+          - CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE)
+            * CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE))
+         / (CAST(COUNT(*) OVER f AS DOUBLE)
+            * (CAST(COUNT(*) OVER f AS DOUBLE) - 1))
+       END AS rolling_var
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       f AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_WIN - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- multi-grain time rollup (hour + day in one pass) -----------------------
+
+
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    binned = events.select(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        # cast: DuckDB date_trunc('day') yields DATE, Spark TIMESTAMP
+        F.date_trunc("day", "ts").cast("date").alias("day_start"),
+        "value",
+    )
+    return binned.groupingSets(
+        [["hour_start"], ["day_start"]], "hour_start", "day_start"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+
+
+_ROLLUP_MULTI_SQL = """
+SELECT hour_start, day_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         date_trunc('day', ts) AS day_start,
+         value
+  FROM events
+)
+GROUP BY GROUPING SETS ((hour_start), (day_start))
+"""
+
+
+QUERIES = {
+    "user_value_features": user_value_features,
+    "time_rollup_multigrain": time_rollup_multigrain,
+}
+
+ORACLE = {
+    "user_value_features": _FEATURES_SQL,
+    "time_rollup_multigrain": _ROLLUP_MULTI_SQL,
+}

@@ -51,3 +51,19 @@ def test_latest_snapshot_keeps_newest_file_per_key(spark, tmp_path):
     out = latest_snapshot(df, ["symbol"]).toPandas().set_index("symbol")["v"]
     assert out["A"] == 2  # newest file wins for A
     assert out["B"] == 10  # B only ever in the old file — kept
+
+
+def test_overwrite_partitions_touches_only_delta(spark, tmp_path):
+    from big_data_pipeline_spark.io import overwrite_partitions
+
+    path = str(tmp_path / "incr")
+    full = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 10), ("C", 100)], ["symbol", "v"]
+    )
+    overwrite_partitions(full, path, "symbol")
+    delta = spark.createDataFrame([("B", 99)], ["symbol", "v"])
+    overwrite_partitions(delta, path, "symbol")
+    out = spark.read.parquet(path).toPandas()
+    got = out.groupby("symbol")["v"].apply(lambda s: sorted(s)).to_dict()
+    # B replaced wholesale, A and C untouched
+    assert got == {"A": [1, 2], "B": [99], "C": [100]}
