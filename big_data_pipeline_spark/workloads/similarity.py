@@ -81,10 +81,16 @@ FROM t GROUP BY label
 
 
 def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k (rows-only check; recall asserted in tests)."""
+    """Approximate top-k (rows-only check; recall asserted in tests).
+
+    Bandwidth tuned for this corpus's weak-similarity regime (true
+    neighbors only reach cosine ~0.45, so collision probabilities are
+    low): 24 tables x 6 bits measures recall@5 ~0.7 vs the exact
+    baseline. Corpora with real near-duplicates (cosine >0.9) would use
+    fewer, wider tables."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_topk(queries, emb, k=_K, n_tables=8, bits=8)
+    return lsh_topk(queries, emb, k=_K, n_tables=24, bits=6)
 
 
 QUERIES = {

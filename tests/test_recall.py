@@ -1,0 +1,61 @@
+"""Recall/precision bounds for the approximate dedup & ANN operators,
+measured against their exact counterparts on the same corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from big_data_pipeline_spark.functions.vectors import EMB_DIMS_DEFAULT, cosine_sql
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.similarity.knn import brute_force_topk, lsh_topk
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    score = F.expr(cosine_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, 0))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, emb, k=5, score=score).collect()
+    }
+    appr = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(q, emb, k=5, n_tables=24, bits=6).collect()
+    }
+    recall = len(exact & appr) / len(exact)
+    # measured 0.71 on this corpus (weak-similarity regime); generous
+    # floor so seed-stable refactors don't flap
+    assert recall >= 0.55, recall
+
+
+def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
+    qs = entrymod.queries()
+    exact = {
+        (r.doc_id1, r.doc_id2): r.jaccard
+        for r in qs["shingle_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_id1, r.doc_id2): r.jaccard
+        for r in qs["minhash_lsh_dedup"](spark, sf_dir).collect()
+    }
+    # precision 1.0: every LSH pair is a true pair with the same jaccard
+    for pair, j in lsh.items():
+        assert pair in exact
+        assert abs(j - exact[pair]) < 1e-12
+    # recall: banding (16 bands x 4 rows) finds essentially all pairs
+    # at this corpus's similarity levels
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash_pairs_are_true_near_dups(spark, sf_dir):
+    qs = entrymod.queries()
+    sim = qs["simhash_near_dups"](spark, sf_dir).collect()
+    assert len(sim) > 0
+    exact = {
+        (r.doc_id1, r.doc_id2)
+        for r in qs["shingle_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    hits = sum(1 for r in sim if (r.doc_id1, r.doc_id2) in exact)
+    # hamming<=3 on shingle-simhash should overwhelmingly be true dups
+    assert hits / len(sim) >= 0.9
