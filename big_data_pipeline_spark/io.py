@@ -44,11 +44,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def read_json_records(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+def read_json_records(
+    spark: SparkSession,
+    path: str,
+    multiline: bool = True,
+    keep_corrupt: bool = False,
+) -> DataFrame:
     """JSON scan (S5). The reference stores whole JSON arrays per object
     (``stock_ingestor.py:37-43``) — ``multiLine=True`` reads those; flip it
-    off for JSONL, the layout this engine writes at scale."""
-    return spark.read.option("multiLine", "true" if multiline else "false").json(path)
+    off for JSONL, the layout this engine writes at scale.
+
+    ``keep_corrupt=True`` surfaces malformed records in a
+    ``_corrupt_record`` column (PERMISSIVE mode) instead of silently
+    nulling them — at 100 TB a quarantine column beats a failed job or
+    silent data loss; route it to a dead-letter sink downstream.
+    """
+    reader = spark.read.option("multiLine", "true" if multiline else "false")
+    if keep_corrupt:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    return reader.json(path)
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:

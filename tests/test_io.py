@@ -67,3 +67,19 @@ def test_overwrite_partitions_touches_only_delta(spark, tmp_path):
     got = out.groupby("symbol")["v"].apply(lambda s: sorted(s)).to_dict()
     # B replaced wholesale, A and C untouched
     assert got == {"A": [1, 2], "B": [99], "C": [100]}
+
+
+def test_read_json_quarantines_corrupt_records(spark, tmp_path):
+    from big_data_pipeline_spark.io import read_json_records
+
+    p = tmp_path / "raw.jsonl"
+    p.write_text('{"a": 1}\n{not json at all\n{"a": 3}\n')
+    df = read_json_records(spark, str(p), multiline=False, keep_corrupt=True)
+    # Spark disallows querying only _corrupt_record on an uncached scan
+    df = df.cache()
+    # corrupt rows survive with the raw line in _corrupt_record
+    assert "_corrupt_record" in df.columns
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert bad.count() == 1
+    assert "{not json" in bad.first()["_corrupt_record"]
+    assert df.filter("a IS NOT NULL").count() == 2
