@@ -30,6 +30,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     llm_pipeline,
     merge_workloads,
     multimodal,
+    nested_types,
     pipeline_flagship,
     relational,
     similarity,
@@ -52,6 +53,7 @@ _MODULES = (
     similarity,
     dedup,
     multimodal,
+    nested_types,
     skew,
     llm_pipeline,
     streaming_surface,
