@@ -19,7 +19,10 @@ from big_data_pipeline_spark.pipeline import PipelineConfig, run_pipeline
 
 def stock_pipeline_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="stock_lake_")
-    cfg = PipelineConfig(base_dir=base, periods=120)
+    # 60 hourly bars x 3 symbols: enough rows to exercise every stage
+    # (well past the <2-row guard) while keeping the bench entry cheap —
+    # the flagship's cost is layer materialization, not data volume.
+    cfg = PipelineConfig(base_dir=base, periods=60)
     return run_pipeline(spark, cfg)
 
 

@@ -10,38 +10,72 @@ against the exact baseline is asserted in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.functions.vectors import (
     EMB_DIMS_DEFAULT,
-    cosine_sql,
+    dot_sql,
     sq_norm_sql,
 )
 from big_data_pipeline_spark.io import read_table
 from big_data_pipeline_spark.oracle import exact_avg, exact_avg_sql
-from big_data_pipeline_spark.similarity.knn import brute_force_topk, lsh_topk
+from big_data_pipeline_spark.similarity.knn import lsh_topk
 
 _N_QUERIES = 100
 _K = 5
 
 
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    score = F.expr(cosine_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, offset=0))
-    return brute_force_topk(queries, emb, k=_K, score=score)
+    # Norms are precomputed once per vector (and shared by both sides),
+    # so each of the |Q|x|C| pairs evaluates only the 64-term dot — a
+    # ~3x FLOP cut vs recomputing both norms per pair. The division
+    # keeps the identical association (dot / (sqrt(n1)*sqrt(n2))), so
+    # scores stay bit-identical to the oracle, which mirrors the same
+    # precomputation in CTEs.
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sqn").alias("q_sqn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("sqn").alias("c_sqn"),
+    )
+    dot = F.expr(dot_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, offset=0))
+    score = dot / (F.sqrt("q_sqn") * F.sqrt("c_sqn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
 
 
 _KNN_SQL = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+WITH e AS (
+  SELECT vec_id, embedding,
+         {sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=1)} AS sqn
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, sqn AS q_sqn FROM e
   WHERE vec_id < {_N_QUERIES}
 ),
-c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, sqn AS c_sqn FROM e),
 scored AS (
   SELECT query_id, neighbor_id,
-         {cosine_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, offset=1)} AS cos_sim
+         ({dot_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, offset=1)})
+           / (sqrt(q_sqn) * sqrt(c_sqn)) AS cos_sim
   FROM q, c WHERE query_id <> neighbor_id
 ),
 ranked AS (
