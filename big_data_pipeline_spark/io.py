@@ -78,15 +78,63 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: str | list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """Parquet sink (S7/S9/S10). Partitioned directories replace the
     reference's ``{symbol}_processed_{ts}.parquet`` filename convention —
-    partition pruning then comes free on read."""
+    partition pruning then comes free on read. ``compression`` picks the
+    codec (snappy default; zstd trades ~10% CPU for ~30% smaller files —
+    usually right at 100 TB where scans are IO-bound)."""
     writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else partition_by
         writer = writer.partitionBy(*cols)
     writer.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    """CSV scan. Explicit schema preferred (inference scans twice)."""
+    reader = spark.read.option("header", "true" if header else "false")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — interchange with Hive-era warehouses."""
+    df.write.mode(mode).orc(path)
+
+
+def read_merged_schema(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet scan across files with EVOLVED schemas: mergeSchema
+    unions all columns (absent ones read as null). The lake's answer to
+    a pipeline adding columns over time without rewriting history."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def compact(
+    spark: SparkSession, path: str, target_files: int, partition_by: str | list[str] | None = None
+) -> None:
+    """Small-file compaction: rewrite a directory into ``target_files``
+    files (per partition if partitioned). Streaming/incremental appends
+    accumulate small files whose per-file open cost eventually dominates
+    scans; periodic compaction restores scan efficiency. Rewrites
+    through a staging read so the operation is a single atomic
+    overwrite."""
+    df = spark.read.parquet(path).repartition(target_files).cache()
+    df.count()  # materialize before overwriting the source
+    write_parquet(df, path, partition_by=partition_by)
+    df.unpersist()
 
 
 def overwrite_partitions(

@@ -83,3 +83,53 @@ def test_read_json_quarantines_corrupt_records(spark, tmp_path):
     assert bad.count() == 1
     assert "{not json" in bad.first()["_corrupt_record"]
     assert df.filter("a IS NOT NULL").count() == 2
+
+
+def test_csv_orc_roundtrip(spark, tmp_path):
+    from big_data_pipeline_spark.io import read_csv, write_csv, write_orc
+
+    df = spark.createDataFrame([("A", 1.5), ("B", 2.5)], ["sym", "px"])
+    write_csv(df, str(tmp_path / "csv"))
+    back = read_csv(spark, str(tmp_path / "csv"))
+    assert sorted(map(tuple, back.collect())) == [("A", 1.5), ("B", 2.5)]
+    write_orc(df, str(tmp_path / "orc"))
+    assert spark.read.orc(str(tmp_path / "orc")).count() == 2
+
+
+def test_parquet_zstd_compression(spark, tmp_path):
+    import glob
+
+    from big_data_pipeline_spark.io import write_parquet
+
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    write_parquet(df, str(tmp_path / "z"), compression="zstd")
+    files = glob.glob(str(tmp_path / "z" / "*.zstd.parquet"))
+    assert files  # codec encoded in the file name
+
+
+def test_read_merged_schema_unions_columns(spark, tmp_path):
+    from big_data_pipeline_spark.io import read_merged_schema
+
+    spark.createDataFrame([(1, "x")], ["a", "b"]).write.parquet(
+        str(tmp_path / "v1")
+    )
+    spark.createDataFrame([(2, 9.5)], ["a", "c"]).write.parquet(
+        str(tmp_path / "v2")
+    )
+    df = read_merged_schema(spark, str(tmp_path / "v1"), str(tmp_path / "v2"))
+    assert set(df.columns) == {"a", "b", "c"}
+    assert df.count() == 2
+    assert df.filter("b IS NULL").count() == 1  # evolved column back-filled
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from big_data_pipeline_spark.io import compact
+
+    path = str(tmp_path / "many")
+    spark.range(100).repartition(16).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*")) == 16
+    compact(spark, path, target_files=2)
+    assert len(glob.glob(f"{path}/part-*")) == 2
+    assert spark.read.parquet(path).count() == 100
