@@ -23,6 +23,7 @@ if str(_REPO) not in sys.path:
 
 from big_data_pipeline_spark.workloads import (  # noqa: E402
     advanced,
+    clusters,
     dedup,
     events,
     features,
@@ -52,6 +53,7 @@ _MODULES = (
     fingerprints,
     similarity,
     dedup,
+    clusters,
     multimodal,
     nested_types,
     skew,
