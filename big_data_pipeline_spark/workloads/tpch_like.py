@@ -49,6 +49,169 @@ GROUP BY o_orderpriority
 """
 
 
+# --- q7-like: bilateral trade volume between two nations by ship year -------
+# Plan shape: the two nation dims and supplier/customer broadcast; the only
+# shuffle is lineitem⋈orders on orderkey, then one partial-agg'd groupBy.
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(exact_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )
+
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {exact_sum_sql("volume", "revenue")}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+     OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- q8-like: one nation's market share of a region's demand by year ---------
+
+_Q8_NATION, _Q8_REGION = "NATION_2", "ASIA"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    # customer-side nations restricted to the region (broadcast pre-filter)
+    cust_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.expr("l_extendedprice * (1 - l_discount)").cast("decimal(38,6)")
+    national = F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(national).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q8_SQL = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = '{_Q8_REGION}'
+)
+GROUP BY o_year
+"""
+
+
+# --- q10-like: top returned-revenue customers in a quarter window -----------
+
+_Q10_LO, _Q10_HI = "1998-01-01", "1998-07-01"
+
+
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp"))
+    )
+    returned = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {exact_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{_Q10_LO} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{_Q10_HI} 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # --- q12-like: two-bucket conditional count by urgency -----------------------
 
 
@@ -226,6 +389,9 @@ GROUP BY c_mktsegment
 
 QUERIES = {
     "q4_priority_with_late_items": q4_priority_with_late_items,
+    "q7_nation_trade_volume": q7_nation_trade_volume,
+    "q8_market_share": q8_market_share,
+    "q10_returned_item_customers": q10_returned_item_customers,
     "q12_urgency_shipping_buckets": q12_urgency_shipping_buckets,
     "q14_brand_revenue_ratio": q14_brand_revenue_ratio,
     "q18_large_volume_orders": q18_large_volume_orders,
@@ -235,6 +401,9 @@ QUERIES = {
 
 ORACLE = {
     "q4_priority_with_late_items": _Q4_SQL,
+    "q7_nation_trade_volume": _Q7_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q10_returned_item_customers": _Q10_SQL,
     "q12_urgency_shipping_buckets": _Q12_SQL,
     "q14_brand_revenue_ratio": _Q14_SQL,
     "q18_large_volume_orders": _Q18_SQL,

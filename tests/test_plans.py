@@ -43,6 +43,18 @@ def test_q5_all_dimensions_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_q7_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q7_nation_trade_volume")
+    # supplier/customer/nation×2 broadcast; lineitem⋈orders is the one SMJ-able pair
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_item_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # window pushed to scan
+
+
 def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_orders")
     assert "TakeOrderedAndProject" in plan
