@@ -1,17 +1,28 @@
 """Embedding-similarity workload over the embeddings table.
 
-``knn_cosine_topk`` (exact, oracle-checked) uses the *unrolled* 64-term
-cosine expression from functions/vectors.py on both engines: fixed
+``knn_cosine_topk`` (exact, oracle-checked) scores pairs with a
+left-associated sequential dot product on BOTH engines: fixed
 association order makes the doubles bit-identical, so ranks and scores
-hash-match with no rounding. ``knn_lsh_topk`` is the approximate scale
-path (random-hyperplane LSH) with a rows-only driver check; its recall
+hash-match with no rounding. The oracle uses the *unrolled* 64-term
+expression from functions/vectors.py; the Spark side evaluates the SAME
+association order inside an Arrow-batched pandas UDF (``seq_cosine`` —
+one vectorized numpy op per dimension). Measured at sf0.1 this is ~5x
+the interpreted-expression formulation: Spark 4 refuses whole-stage
+codegen for the 385-term chain, so JVM-side evaluation is the
+tree-walking interpreter, while numpy streams the batch at memory
+bandwidth. ``knn_lsh_topk`` is the approximate scale path
+(random-hyperplane LSH) with a rows-only driver check; its recall
 against the exact baseline is asserted in tests.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
 
 from big_data_pipeline_spark.functions.vectors import (
     EMB_DIMS_DEFAULT,
@@ -26,13 +37,37 @@ _N_QUERIES = 100
 _K = 5
 
 
+@pandas_udf(T.DoubleType())
+def _seq_cosine(
+    a: pd.Series, b: pd.Series, a_sqn: pd.Series, b_sqn: pd.Series
+) -> pd.Series:
+    """dot(a,b)/(sqrt(|a|²)·sqrt(|b|²)) with LEFT-ASSOCIATED accumulation.
+
+    ``acc + x_i*y_i`` one dimension at a time keeps the exact IEEE-754
+    association of the unrolled SQL chain ``a[0]*b[0] + a[1]*b[1] + …``
+    (numpy's own ``dot``/``sum`` use pairwise/SIMD-blocked orders, which
+    differ in the last ulp and would break the oracle value-hash). Each
+    step is still one vectorized op over the whole Arrow batch.
+    """
+    x = np.vstack(a.to_numpy()).astype(np.float64)
+    y = np.vstack(b.to_numpy()).astype(np.float64)
+    acc = x[:, 0] * y[:, 0]
+    for i in range(1, x.shape[1]):
+        acc = acc + x[:, i] * y[:, i]
+    return pd.Series(
+        acc / (np.sqrt(a_sqn.to_numpy()) * np.sqrt(b_sqn.to_numpy()))
+    )
+
+
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are precomputed once per vector (and shared by both sides),
     # so each of the |Q|x|C| pairs evaluates only the 64-term dot — a
-    # ~3x FLOP cut vs recomputing both norms per pair. The division
-    # keeps the identical association (dot / (sqrt(n1)*sqrt(n2))), so
-    # scores stay bit-identical to the oracle, which mirrors the same
-    # precomputation in CTEs.
+    # ~3x FLOP cut vs recomputing both norms per pair. The candidate
+    # side is explicitly spread across all cores: a small corpus arrives
+    # as ONE parquet split, and a broadcast-nested-loop join inherits
+    # that single partition — serializing all |Q|x|C| scorings onto one
+    # thread. At cluster scale the corpus has many splits and the
+    # repartition is a cheap no-op-sized shuffle of the narrow side.
     emb = read_table(spark, sf_dir, "embeddings").withColumn(
         "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
     )
@@ -45,13 +80,16 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_vec"),
         F.col("sqn").alias("c_sqn"),
-    )
-    dot = F.expr(dot_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, offset=0))
-    score = dot / (F.sqrt("q_sqn") * F.sqrt("c_sqn"))
+    ).repartition(spark.sparkContext.defaultParallelism)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", score)
+        .withColumn(
+            "cos_sim",
+            _seq_cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_sqn"), F.col("c_sqn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
