@@ -169,19 +169,34 @@ def lsh_topk(
     sig_fn = _signatures_udf(planes)
 
     def signed(df: DataFrame, role: str) -> DataFrame:
+        # IDs + signature only: the 64-float vectors stay out of the
+        # collision join and the pair-dedup shuffle entirely. With
+        # n_tables-way explode, carrying vectors here multiplies the
+        # shuffled bytes by ~n_tables x vector-width; dropping them makes
+        # both shuffles a few ints wide, and each side's vectors are
+        # joined back exactly once per UNIQUE surviving pair below.
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
             F.posexplode(sig_fn(F.col(vec_col))).alias("table_id", "sig"),
         )
 
     q = signed(queries, "query")
     c = signed(candidates, "neighbor")
-    pairs = (
+    pair_ids = (
         c.join(F.broadcast(q), ["table_id", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    pairs = (
+        pair_ids.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .withColumn("cos_sim", _cosine_udf(F.col("query_vec"), F.col("neighbor_vec")))
     )
     return _rank_topk(pairs, k)
