@@ -40,11 +40,13 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     text,
     timeseries,
     tpch_like,
+    tpch_subqueries,
 )
 
 _MODULES = (
     relational,
     tpch_like,
+    tpch_subqueries,
     advanced,
     events,
     timeseries,

@@ -76,3 +76,29 @@ def test_window_queries_shuffle_on_key_only(spark, sf_dir, name):
     scale killer."""
     plan = _plan(spark, sf_dir, name)
     assert "SinglePartition" not in plan
+
+
+def test_q9_all_dims_broadcast_single_fact_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q9_nation_profit")
+    # part+supplier+nation all broadcast: lineitem is scanned once and
+    # never shuffled before the grouped rollup's exchange
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "widget" in plan  # p_name filter pushed into the part scan
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue_change")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q21_single_grouped_pass_no_self_join(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair must stay folded into one aggregation
+    over each order's lines — a lineitem self-join would double the
+    fact-table scans."""
+    plan = _plan(spark, sf_dir, "q21_sole_late_supplier")
+    # formatted plans print every node twice (tree + detail), so three
+    # scans (lineitem + orders + supplier) appear six times
+    assert plan.count("Scan parquet") <= 6
+    assert "TakeOrderedAndProject" in plan
