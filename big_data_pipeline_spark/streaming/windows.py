@@ -128,3 +128,38 @@ def run_available_now(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "2 hours",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "3 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-range condition.
+
+    Matches right rows that precede the left row on the same key by at
+    most ``max_lag``. Both sides carry watermarks, so the join state is
+    bounded: the right side buffers ``max_lag + right_watermark`` of
+    events per key, the left side only its own watermark horizon — this
+    is what makes the join runnable continuously at cluster scale (an
+    unwatermarked stream-stream join buffers forever).
+
+    The right watermark should cover ``max_lag`` plus the left
+    watermark, or late-but-admitted left rows could find their right
+    match already evicted (Spark drops state strictly by watermark).
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark).withColumnRenamed(
+        key, f"_r_{key}"
+    )
+    cond = (
+        (F.col(key) == F.col(f"_r_{key}"))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return lw.join(rw, cond).drop(f"_r_{key}")

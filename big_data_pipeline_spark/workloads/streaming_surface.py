@@ -26,6 +26,7 @@ from big_data_pipeline_spark.streaming.windows import (
     dedup_within_watermark,
     run_available_now,
     stream_events,
+    stream_stream_interval_join,
 )
 
 
@@ -123,15 +124,60 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, "mem_stream_stateful", output_mode="update")
 
 
+def stream_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matched to
+    the clicks that preceded it by ≤2h for the same user (the classic
+    attribution join). Inner join + append mode → the availableNow drain
+    is a deterministic batch join, so it hash-checks against plain SQL.
+
+    State bounds at scale: clicks buffer 2h (lag) + 3h (watermark) per
+    key partition, purchases 1h — constant in stream length."""
+    events = stream_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        "user_id",
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+        "user_id",
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks, key="user_id", left_ts="p_ts", right_ts="c_ts",
+        max_lag="2 hours",
+    ).select(
+        "user_id",
+        "p_event_id",
+        "c_event_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    return run_available_now(joined, "mem_stream_attrib", output_mode="append")
+
+
+_STREAM_ATTRIB_SQL = """
+SELECT p.user_id,
+       p.event_id AS p_event_id,
+       c.event_id AS c_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QUERIES = {
     "stream_tumbling_window_counts": stream_tumbling_window_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_stateful_user_stats": stream_stateful_user_stats,
+    "stream_click_purchase_attribution": stream_click_purchase_attribution,
 }
 
 ORACLE = {
     "stream_tumbling_window_counts": _STREAM_TUMBLING_SQL,
     "stream_session_windows": _STREAM_SESSION_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,
+    "stream_click_purchase_attribution": _STREAM_ATTRIB_SQL,
 }

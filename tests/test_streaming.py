@@ -38,3 +38,43 @@ def test_streaming_dedup_keeps_distinct_ids(spark, sf_dir):
     got = run_available_now(dedup_within_watermark(events), "t_dedup")
     n_distinct = read_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert got.count() == n_distinct
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must reproduce the
+    plain batch join over the same files (inner join + full drain)."""
+    from big_data_pipeline_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    def sides(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+            "user_id",
+        )
+        return p, c
+
+    sp, sc = sides(stream_events(spark, sf_dir))
+    got = run_available_now(
+        stream_stream_interval_join(
+            sp, sc, key="user_id", left_ts="p_ts", right_ts="c_ts"
+        ),
+        "t_interval_join",
+    ).select("p_event_id", "c_event_id")
+
+    bp, bc = sides(read_table(spark, sf_dir, "events"))
+    want = bp.join(
+        bc.withColumnRenamed("user_id", "cu"),
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("p_event_id", "c_event_id")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
