@@ -28,6 +28,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     events,
     features,
     fingerprints,
+    graph_rank,
     llm_pipeline,
     merge_workloads,
     multimodal,
@@ -56,6 +57,7 @@ _MODULES = (
     similarity,
     dedup,
     clusters,
+    graph_rank,
     multimodal,
     nested_types,
     skew,

@@ -1,0 +1,114 @@
+"""Iterative graph algorithms as driver loops over DataFrames.
+
+Complements dedup/clusters.py (connected components) with weighted
+PageRank — the canonical "iterate a join + aggregate to fixpoint" shape
+that a reference user would reach for when ranking entities in a
+relationship graph (suppliers by trade flow, documents by citation,
+users by interaction).
+
+Scale notes (edges can be billions of rows; ranks is node-sized):
+- Each iteration is exactly one shuffle pair: edges ⋈ ranks on src
+  (ranks is the small side — broadcast when it fits, else both sides
+  hash-partitioned on src, and the edges side's partitioning is reused
+  across iterations because the loop re-joins the SAME cached frame on
+  the SAME key), then groupBy dst with partial aggregation.
+- ``localCheckpoint`` every few rounds truncates lineage — without it
+  the plan doubles per round and the driver dies on plan compilation
+  long before the cluster runs out of capacity (the classic
+  iterative-Spark trap; same device as dedup/clusters.py).
+- Dangling mass (nodes with no out-edges) is collected as ONE scalar
+  per iteration via a 1-row aggregate — not a per-node broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 15,
+    checkpoint_interval: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """(id, rank) for every node; ranks sum to 1.
+
+    ``weight`` names an edge-weight column (contributions proportional
+    to weight / total out-weight); None means uniform 1/out_degree.
+    Teleport and dangling mass are distributed uniformly, matching the
+    standard power-iteration formulation.
+
+    ``checkpoint_interval`` trades plan depth for materialization jobs:
+    lineage is cut every k rounds (plans stay depth-k — fine for the
+    optimizer) instead of paying a checkpoint job per round. Graphs with
+    dangling nodes force k=1 effectively, since the per-round scalar is
+    an action anyway.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("w")
+    )
+    out_w = e.groupBy("e_src").agg(F.sum("w").alias("out_w"))
+    # normalized transition edges, cached: reused every iteration
+    trans = (
+        e.join(out_w, "e_src")
+        .select("e_src", "e_dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint()
+    )
+    # nodes derive from the CHECKPOINTED trans (it holds every edge), so
+    # the upstream edge-build plan runs exactly once, not once per
+    # derived frame
+    nodes_raw = (
+        trans.select(F.col("e_src").alias("id"))
+        .unionByName(trans.select(F.col("e_dst").alias("id")))
+        .distinct()
+    )
+    n = nodes_raw.count()
+    # Size the iteration's shuffle width to the NODE frame, not the
+    # session default: ranks is node-sized, and iterating a 25-node
+    # graph through 32-partition exchanges spends everything on empty
+    # tasks. ~1M nodes per partition; huge graphs still fan out.
+    parts = max(1, min(int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")), n // 1_000_000 + 1))
+    nodes = nodes_raw.repartition(parts, "id").localCheckpoint()
+    trans = trans.repartition(parts, "e_src").localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    has_out = trans.select(F.col("e_src").alias("id")).distinct()
+    dangling_nodes = nodes.join(has_out, "id", "left_anti").localCheckpoint()
+    any_dangling = dangling_nodes.limit(1).count() > 0  # hoisted: one job, not one per round
+    for i in range(max_iter):
+        # dangling nodes contribute their whole rank to the uniform pool
+        dangling = (
+            ranks.join(dangling_nodes, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .collect()[0]["d"]
+            if any_dangling
+            else 0.0
+        )
+        # node-small graphs: broadcast the rank vector both ways so each
+        # iteration is map-side only (no exchange); huge graphs fall back
+        # to the co-partitioned shuffle join set up above
+        small = n <= 1_000_000
+        contribs = (
+            trans.join(F.broadcast(ranks) if small else ranks, trans.e_src == ranks.id)
+            .groupBy(F.col("e_dst").alias("id"))
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(F.broadcast(contribs) if small else contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        last = i == max_iter - 1
+        if any_dangling or last or (i + 1) % checkpoint_interval == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

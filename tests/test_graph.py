@@ -1,0 +1,53 @@
+"""PageRank golden: the distributed power iteration must match a dense
+numpy recomputation on the same (small) graph."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.operators.graph import pagerank
+from big_data_pipeline_spark.workloads.graph_rank import trade_edges
+
+
+def _numpy_pagerank(edges, damping=0.85, iters=15):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    m = np.zeros((n, n))
+    for s, d, w in edges:
+        m[idx[d], idx[s]] += w
+    out = m.sum(axis=0)
+    has_out = out > 0
+    m[:, has_out] /= out[has_out]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[~has_out].sum()
+        r = (1 - damping) / n + damping * (m @ r + dangling / n)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_golden(spark, sf_dir):
+    edges_df = trade_edges(spark, sf_dir)
+    edges = [(r.src, r.dst, r.revenue) for r in edges_df.collect()]
+    want = _numpy_pagerank(edges, iters=10)
+    got = {
+        r.id: r.rank
+        for r in pagerank(edges_df, weight="revenue", max_iter=10).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_dangling_and_uniform_weight(spark):
+    # chain a->b->c: c is dangling; uniform weights
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    got = {r.id: r.rank for r in pagerank(edges, max_iter=30).collect()}
+    want = _numpy_pagerank([("a", "b", 1.0), ("b", "c", 1.0)], iters=30)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    assert got["c"] > got["b"] > got["a"]

@@ -32,6 +32,7 @@ def test_registry_consistency():
                 "pipeline",
                 "multimodal",
                 "stateful",
+                "pagerank",
                 "sample",
                 "approx",
             )
