@@ -97,3 +97,91 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf python package for
+    its driver-side worker protocol; this container ships without it, so
+    the TWS surface is gated (import-try per the environment rules)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class RunningUserStatsProcessor:
+    """Spark 4 ``StatefulProcessor`` with the same semantics as
+    ``_update_user_stats`` (count / sum / EWMA per user).
+
+    transformWithStateInPandas is the successor API to
+    applyInPandasWithState: typed state handles (value/list/map state),
+    timers, and TTL live on a ``StatefulProcessorHandle`` instead of one
+    opaque GroupState tuple. Requires the RocksDB state store provider.
+    The equivalence test (tests/test_stateful_streaming.py) asserts both
+    APIs produce identical rows when the runtime supports TWS.
+    """
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        n, total, ewma = self._state.get() if self._state.exists() else (0, 0.0, None)
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for v in pdf["value"]:
+                n += 1
+                total += float(v)
+                ewma = (
+                    float(v)
+                    if ewma is None
+                    else _ALPHA * float(v) + (1 - _ALPHA) * ewma
+                )
+        self._state.update((n, total, ewma))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [total],
+                "ewma": [ewma],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` twin of ``running_user_stats``.
+
+    Raises RuntimeError when the runtime lacks protobuf (see
+    ``tws_available``) — callers gate on that instead of crashing deep
+    inside the streaming worker.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package, "
+            "which this runtime does not provide"
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    # subclass assembled here so importing this module never needs the
+    # streaming extras; isinstance checks in Spark accept duck-typed
+    # processors only via the real base class
+    proc = type(
+        "RunningUserStatsTWS", (StatefulProcessor,), dict(RunningUserStatsProcessor.__dict__)
+    )()
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
