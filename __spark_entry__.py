@@ -42,6 +42,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     timeseries,
     tpch_like,
     tpch_subqueries,
+    udxf_surface,
 )
 
 _MODULES = (
@@ -63,6 +64,7 @@ _MODULES = (
     skew,
     llm_pipeline,
     streaming_surface,
+    udxf_surface,
     pipeline_flagship,
 )
 
