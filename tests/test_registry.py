@@ -28,6 +28,7 @@ def test_registry_consistency():
             k in name
             for k in (
                 "lsh",
+                "ivf",
                 "simhash",
                 "pipeline",
                 "multimodal",
