@@ -77,12 +77,50 @@ FROM t
 """
 
 
+# --- variant (Spark 4 semi-structured type): parse once, extract typed ------
+
+
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured JSON: ``parse_json``
+    builds the binary variant encoding once, ``variant_get`` extracts
+    typed fields with JSONPath. At scale this beats re-parsing the JSON
+    string per extraction (variant decode is a binary-offset lookup,
+    not a text parse), which is why it's the engine's recommended form
+    for wide props objects; the single-key props here just pin the
+    semantics against DuckDB's JSON extraction."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "variant_props_stats": variant_props_stats,
     "map_props_stats": map_props_stats,
     "array_ops_tokens": array_ops_tokens,
 }
 
 ORACLE = {
+    "variant_props_stats": _VARIANT_SQL,
     "map_props_stats": _MAP_SQL,
     "array_ops_tokens": _ARRAY_SQL,
 }
