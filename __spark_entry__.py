@@ -24,6 +24,7 @@ if str(_REPO) not in sys.path:
 from big_data_pipeline_spark.workloads import (  # noqa: E402
     advanced,
     clusters,
+    data_quality,
     dedup,
     events,
     features,
@@ -65,6 +66,7 @@ _MODULES = (
     llm_pipeline,
     streaming_surface,
     udxf_surface,
+    data_quality,
     pipeline_flagship,
 )
 

@@ -1,0 +1,56 @@
+"""Expectation-suite semantics + single-job plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.quality import (
+    expect_accepted_values,
+    expect_between,
+    expect_not_null,
+    expect_unique,
+    run_expectations,
+)
+
+
+def _report(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", -5.0), (2, "X", 20.0), (None, "O", 1e9)],
+        "k long, status string, price double",
+    )
+    return run_expectations(
+        df,
+        [
+            expect_not_null("k"),
+            expect_unique("k"),
+            expect_between("price", 0.0, 100.0),
+            expect_accepted_values("status", ["O", "F"]),
+        ],
+    )
+
+
+def test_expectations_count_violations(spark):
+    got = {r.check: (r.violations, r.passed) for r in _report(spark).collect()}
+    assert got["not_null_k"] == (1, False)
+    assert got["unique_k"] == (1, False)  # one duplicate beyond the first
+    assert got["between_price"] == (2, False)  # -5 and 1e9
+    assert got["accepted_status"] == (1, False)  # X
+    assert all(r.n_rows == 4 for r in _report(spark).collect())
+
+
+def test_suite_runs_as_single_aggregation(spark):
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _report(spark).explain("formatted")
+    plan = buf.getvalue()
+    # one scan feeding one aggregate chain — not one job per check
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 2
+
+
+def test_all_pass_on_clean_table(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)], "k long, v double")
+    rep = run_expectations(df, [expect_not_null("k"), expect_unique("k"),
+                                expect_between("v", 0.0, 10.0)])
+    assert all(r.passed for r in rep.collect())
