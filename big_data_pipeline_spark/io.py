@@ -212,3 +212,44 @@ def latest_snapshot(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .filter(F.col("_file_rank") == 1)
         .drop("_file_rank", "_file_path", "_file_mtime")
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: str | list[str],
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """Row-level MERGE (SCD-1 upsert) into a parquet table without a
+    table format: new keys insert, existing keys take the update's row.
+
+    Implementation is anti-join + union + rewrite: keep every target
+    row whose key is NOT in the updates (left_anti on the key — semi
+    shuffle of keys only), union the updates, write back. With
+    ``partition_by`` the rewrite uses dynamic partition overwrite, so
+    only partitions TOUCHED BY THE UPDATES are rewritten — the honest
+    parquet-level equivalent of Delta/Iceberg MERGE INTO, with write
+    cost scaling in the delta's partitions, not the table. Without a
+    partitioning the whole table rewrites (documented cost of
+    format-less merge).
+
+    The union is checkpointed before the overwrite because the plan
+    READS the same files the write replaces — lazy evaluation would
+    otherwise delete its own input mid-scan.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    target = spark.read.parquet(target_path)
+    if partition_by is not None:
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        touched = updates.select(*parts).distinct()
+        target = target.join(F.broadcast(touched), parts, "left_semi")
+    merged = (
+        target.join(updates.select(*keys), keys, "left_anti")
+        .unionByName(updates)
+        .localCheckpoint()
+    )
+    if partition_by is not None:
+        overwrite_partitions(merged, target_path, partition_by)
+    else:
+        merged.write.mode("overwrite").parquet(target_path)

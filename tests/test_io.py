@@ -133,3 +133,46 @@ def test_compact_reduces_file_count(spark, tmp_path):
     compact(spark, path, target_files=2)
     assert len(glob.glob(f"{path}/part-*")) == 2
     assert spark.read.parquet(path).count() == 100
+
+
+def test_merge_upsert_partitioned(spark, tmp_path):
+    """New keys insert, existing keys update, untouched partitions keep
+    their files (dynamic overwrite rewrites only touched partitions)."""
+    import os
+
+    from big_data_pipeline_spark.io import merge_upsert
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, part string, v double",
+    )
+    base.write.partitionBy("part").parquet(path)
+    before_b = set(os.listdir(os.path.join(path, "part=b")))
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (4, "a", 40.0)], "id long, part string, v double"
+    )
+    merge_upsert(spark, path, updates, key_cols="id", partition_by="part")
+
+    got = {
+        (r.id, r.part): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a"): 10.0, (2, "a"): 99.0, (3, "b"): 30.0, (4, "a"): 40.0}
+    # partition b untouched on disk
+    assert set(os.listdir(os.path.join(path, "part=b"))) == before_b
+
+
+def test_merge_upsert_unpartitioned_full_rewrite(spark, tmp_path):
+    from big_data_pipeline_spark.io import merge_upsert
+
+    path = str(tmp_path / "merge_flat")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double").write.parquet(path)
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, 9.0), (3, 3.0)], "id long, v double"),
+        key_cols="id",
+    )
+    got = {(r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 3.0}
