@@ -167,12 +167,60 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each streamed event enriched with a batch
+    profile of its user (per-user lifetime count/sum computed from the
+    static table). The static side needs no watermark — it's planned as
+    an ordinary (here broadcast) join against each micro-batch, the
+    standard pattern for dimension enrichment of a live stream. Inner
+    join + append drains deterministically → oracle-checked.
+
+    Scale: the static side re-reads per micro-batch (fresh dimension
+    data is picked up automatically); a slowly-changing dim at 100 TB
+    would snapshot to a compact profile table first, exactly as the
+    aggregate here does."""
+    from big_data_pipeline_spark.io import read_table as _read
+
+    profile = (
+        _read(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("lifetime_events"),
+            exact_sum("value", "lifetime_value"),
+        )
+    )
+    stream = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream.join(F.broadcast(profile), "user_id").select(
+        "user_id",
+        "event_id",
+        "value",
+        "lifetime_events",
+        "lifetime_value",
+    )
+    return run_available_now(joined, "mem_stream_enrich", output_mode="append")
+
+
+_STREAM_ENRICH_SQL = f"""
+WITH profile AS (
+  SELECT user_id, COUNT(*) AS lifetime_events,
+         {exact_sum_sql("value", "lifetime_value")}
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.value, p.lifetime_events, p.lifetime_value
+FROM events e JOIN profile p ON e.user_id = p.user_id
+WHERE e.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_tumbling_window_counts": stream_tumbling_window_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "stream_click_purchase_attribution": stream_click_purchase_attribution,
+    "stream_static_enrich": stream_static_enrich,
 }
 
 ORACLE = {
@@ -180,4 +228,5 @@ ORACLE = {
     "stream_session_windows": _STREAM_SESSION_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,
     "stream_click_purchase_attribution": _STREAM_ATTRIB_SQL,
+    "stream_static_enrich": _STREAM_ENRICH_SQL,
 }
