@@ -451,6 +451,54 @@ GROUP BY r_name
 """
 
 
+# --- time-range frame + distribution ranks ----------------------------------
+
+
+def time_range_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (trailing 1 hour per user) plus the
+    distribution ranks (percent_rank / cume_dist) the ranking query
+    doesn't cover. Both engines order by integer epoch-micros so the
+    frame boundary arithmetic and peer groups are identical; the frame
+    sum goes through decimal so intra-frame accumulation order can't
+    show. Scale: one shuffle on user_id, frames evaluated in a single
+    sorted pass per partition."""
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    hour_us = 3_600_000_000
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us, Window.currentRow)
+    )
+    wd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(wr).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(wr)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+        F.percent_rank().over(wd).alias("pr"),
+        F.cume_dist().over(wd).alias("cd"),
+    )
+
+
+_TIME_RANGE_SQL = """
+SELECT user_id, event_id,
+       COUNT(*) OVER wr AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wr AS DOUBLE)
+         AS sum_trailing_1h,
+       PERCENT_RANK() OVER wd AS pr,
+       CUME_DIST() OVER wd AS cd
+FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)
+WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+       wd AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
 QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
     "semi_join_open_orders": semi_join_open_orders,
@@ -469,6 +517,7 @@ QUERIES = {
     "vocab_top_tokens": vocab_top_tokens,
     "argmax_customer_by_segment": argmax_customer_by_segment,
     "nations_per_region_list": nations_per_region_list,
+    "time_range_window_stats": time_range_window_stats,
 }
 
 ORACLE = {
@@ -489,4 +538,5 @@ ORACLE = {
     "vocab_top_tokens": _VOCAB_SQL,
     "argmax_customer_by_segment": _ARGMAX_SQL,
     "nations_per_region_list": _STRING_AGG_SQL,
+    "time_range_window_stats": _TIME_RANGE_SQL,
 }
