@@ -499,6 +499,40 @@ WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+# --- unpivot / melt ----------------------------------------------------------
+
+
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via DataFrame.unpivot (the inverse of the pivot
+    query): the three price components become (component, value) rows,
+    then a tiny aggregate per component. Unpivot is a row-local
+    generator — no shuffle until the aggregate."""
+    melted = read_table(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "component",
+        "val",
+    )
+    return melted.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("val", "total"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH melted AS (
+  SELECT 'l_extendedprice' AS component, l_extendedprice AS val FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT component, COUNT(*) AS n, {exact_sum_sql("val", "total")},
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM melted GROUP BY component
+"""
+
+
 QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
     "semi_join_open_orders": semi_join_open_orders,
@@ -518,6 +552,7 @@ QUERIES = {
     "argmax_customer_by_segment": argmax_customer_by_segment,
     "nations_per_region_list": nations_per_region_list,
     "time_range_window_stats": time_range_window_stats,
+    "unpivot_price_components": unpivot_price_components,
 }
 
 ORACLE = {
@@ -539,4 +574,5 @@ ORACLE = {
     "argmax_customer_by_segment": _ARGMAX_SQL,
     "nations_per_region_list": _STRING_AGG_SQL,
     "time_range_window_stats": _TIME_RANGE_SQL,
+    "unpivot_price_components": _UNPIVOT_SQL,
 }

@@ -9,7 +9,7 @@ independent implementations — a strong cross-check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.io import read_table
@@ -79,12 +79,81 @@ GROUP BY e.event_id
 """
 
 
+_GAP_USERS = 20
+
+
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly spine + forward fill: the canonical time-series
+    regularization (missing hours materialized, last observation
+    carried forward). Spine = distinct keys x sequence(min_hour,
+    max_hour) — generated, not scanned; the global bounds are a 1-row
+    broadcast. Fill is last(ignorenulls) over an unbounded-preceding
+    frame: one shuffle on the key, one sorted pass per partition.
+    DuckDB twin uses generate_series + last_value IGNORE NULLS."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < _GAP_USERS
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        events.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["user_id", "hour_ts"], "left").select(
+        "user_id",
+        "hour_ts",
+        "n",
+        F.last("n", ignorenulls=True).over(w).alias("n_ffill"),
+    )
+
+
+_GAP_FILL_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE user_id < {_GAP_USERS}),
+spine AS (
+  SELECT user_id, unnest(generate_series(
+      (SELECT date_trunc('hour', min(ts)) FROM ev),
+      (SELECT date_trunc('hour', max(ts)) FROM ev),
+      INTERVAL 1 HOUR)) AS hour_ts
+  FROM (SELECT DISTINCT user_id FROM ev)
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+)
+SELECT s.user_id, s.hour_ts, h.n,
+       last_value(h.n IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ffill
+FROM spine s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour_ts = h.hour_ts
+"""
+
+
 QUERIES = {
+    "gap_fill_forward": gap_fill_forward,
     "asof_last_purchase": asof_last_purchase,
     "range_error_purchase_counts": range_error_purchase_counts,
 }
 
 ORACLE = {
+    "gap_fill_forward": _GAP_FILL_SQL,
     "asof_last_purchase": _ASOF_SQL,
     "range_error_purchase_counts": _RANGE_SQL,
 }
