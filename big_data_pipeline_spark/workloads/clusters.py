@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_pipeline_spark.dedup.clusters import connected_components
+from big_data_pipeline_spark.dedup.clusters import (
+    connected_components,
+    connected_components_star,
+)
 from big_data_pipeline_spark.workloads.text import (
     _JACCARD_THRESHOLD,
     _TOKS_SQL,
@@ -22,6 +25,18 @@ from big_data_pipeline_spark.workloads.text import (
 def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shingle_jaccard_pairs(spark, sf_dir).select("doc_id1", "doc_id2")
     return connected_components(pairs, "doc_id1", "doc_id2").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering, large-star/small-star algorithm (the O(log d)
+    round-complexity scale path) — hash-checked against the SAME
+    recursive-CTE oracle as the propagation variant, so three genuinely
+    different algorithms (propagation, star, recursive SQL) must agree
+    cell-exact."""
+    pairs = shingle_jaccard_pairs(spark, sf_dir).select("doc_id1", "doc_id2")
+    return connected_components_star(pairs, "doc_id1", "doc_id2").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
 
@@ -63,5 +78,11 @@ FROM reach GROUP BY id
 """
 
 
-QUERIES = {"dedup_cluster_assignments": dedup_cluster_assignments}
-ORACLE = {"dedup_cluster_assignments": _CLUSTERS_SQL}
+QUERIES = {
+    "dedup_cluster_assignments": dedup_cluster_assignments,
+    "dedup_cluster_star": dedup_cluster_star,
+}
+ORACLE = {
+    "dedup_cluster_assignments": _CLUSTERS_SQL,
+    "dedup_cluster_star": _CLUSTERS_SQL,
+}

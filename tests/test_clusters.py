@@ -38,3 +38,38 @@ def test_dedup_representatives_keeps_min_and_untouched(spark):
     )
     # cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4 untouched
     assert kept == [1, 4, 5]
+
+
+def test_star_cc_equals_propagation_on_chain(spark):
+    """64-node chain: diameter is the propagation loop's worst case
+    (O(d) rounds); the star algorithm converges in O(log d) and must
+    produce identical components."""
+    from big_data_pipeline_spark.dedup.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    a = {(r.id, r.cluster_id) for r in connected_components(chain, max_iter=200).collect()}
+    b = {(r.id, r.cluster_id) for r in connected_components_star(chain).collect()}
+    assert a == b
+    assert b == {(i, 0) for i in range(65)}
+
+
+def test_star_cc_random_graph_and_degenerates(spark):
+    import random
+
+    from big_data_pipeline_spark.dedup.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges += [(7, 7), (58, 59), (59, 58)]  # self-loop + reciprocal pair
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {(r.id, r.cluster_id) for r in connected_components(df, max_iter=200).collect()}
+    b = {(r.id, r.cluster_id) for r in connected_components_star(df).collect()}
+    assert a == b
