@@ -100,8 +100,37 @@ def approx_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build
+    per-day user sketches, then union-merge them into per-type distinct
+    estimates WITHOUT touching raw data again. This is the incremental
+    pattern approx_count_distinct can't do — its estimate isn't
+    re-aggregatable, but a persisted daily sketch table lets a 100 TB
+    pipeline answer "distinct users any period" by merging kilobyte
+    sketches. Estimates are engine-specific (rows-only check); accuracy
+    vs exact distinct is asserted in tests/test_llm_pipeline.py."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("user_sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+                "approx_users"
+            ),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
+    "approx_sketch_rollup": approx_sketch_rollup,
     "stratified_sample_docs": stratified_sample_docs,
     "approx_corpus_stats": approx_corpus_stats,
 }

@@ -44,3 +44,21 @@ def test_llm_clean_pipeline_single_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().toString()
     assert "documents.parquet" in plan and "embeddings.parquet" in plan
     assert df.count() > 0
+
+
+def test_sketch_rollup_matches_exact_distinct(spark, sf_dir):
+    """Merged daily sketches must estimate per-type distinct users
+    within HLL error (lgConfigK=12 default → ~1.6% rse; generous 5%)."""
+    from big_data_pipeline_spark.workloads.llm_pipeline import approx_sketch_rollup
+
+    got = {r.event_type: r.approx_users for r in approx_sketch_rollup(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= max(1, 0.05 * e), (k, got[k], e)
