@@ -253,3 +253,55 @@ def merge_upsert(
         overwrite_partitions(merged, target_path, partition_by)
     else:
         merged.write.mode("overwrite").parquet(target_path)
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> Column:
+    """Z-order (Morton) key over numeric columns: each value is ranked
+    into a ``bits``-wide bucket index via percent_rank, then the bit
+    planes are interleaved. Rows close in the key are close in EVERY
+    dimension, so sorting by it gives parquet row-groups tight min/max
+    ranges on all participating columns at once — multi-column data
+    skipping from one sort, where a lexicographic sort only prunes the
+    leading column.
+    """
+    ranked = [
+        F.percent_rank().over(Window.orderBy(F.col(c))) for c in cols
+    ]
+    idxs = [
+        F.least(
+            F.floor(r * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+        )
+        for r in ranked
+    ]
+    key = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for i in idxs:
+            key = F.shiftleft(key, 1) + F.shiftright(i, b).bitwiseAND(1)
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols``.
+
+    ``repartitionByRange`` on the key splits the curve into contiguous
+    segments (one per output file) and sorts within each — every file
+    covers a compact hyper-rectangle of the column space. NOTE the
+    global percent_rank in zorder_key is a single-partition window —
+    fine for bounded batches; at 100 TB replace the rank with fixed
+    quantile boundaries from approx_percentile (same key shape, no
+    global window) — the layout and skipping behavior are identical.
+    """
+    keyed = df.withColumn("_zkey", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -176,3 +176,33 @@ def test_merge_upsert_unpartitioned_full_rewrite(spark, tmp_path):
     )
     got = {(r.id): r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 1.0, 2: 9.0, 3: 3.0}
+
+
+def test_zorder_write_tightens_rowgroup_stats(spark, tmp_path, sf_dir):
+    """Z-ordered files must cover tighter min/max ranges on BOTH
+    clustering columns than the natural layout — the property parquet
+    data skipping prunes on (verified from real row-group footers)."""
+    import duckdb
+
+    from big_data_pipeline_spark.io import read_table, zorder_write
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    li.repartition(8).write.parquet(plain)
+    zorder_write(li, zord, ["l_quantity", "l_extendedprice"], n_files=8)
+
+    def avg_range(path, col):
+        rows = duckdb.sql(
+            f"""SELECT stats_min_value, stats_max_value
+                FROM parquet_metadata('{path}/*.parquet')
+                WHERE path_in_schema = '{col}'"""
+        ).fetchall()
+        spans = [float(hi) - float(lo) for lo, hi in rows]
+        return sum(spans) / len(spans)
+
+    for col in ("l_quantity", "l_extendedprice"):
+        assert avg_range(zord, col) < 0.7 * avg_range(plain, col), col
+    # same rows survive the layout change
+    assert spark.read.parquet(zord).count() == li.count()
