@@ -160,6 +160,7 @@ def connected_components_star(
         return tuple(row)
 
     fp = fingerprint(cur)
+    converged = False
     for _ in range(max_iter):
         after_large = large_star(symmetrize(cur))
         after_small = small_star(after_large).localCheckpoint()
@@ -170,7 +171,17 @@ def connected_components_star(
             after_small.exceptAll(prev).limit(1).count() == 0
             and prev.exceptAll(after_small).limit(1).count() == 0
         ):
+            converged = True
             break
+    if not converged:
+        # an unconverged edge set is NOT a star: nodes can still hold
+        # several parents, and the join below would emit conflicting
+        # cluster rows per node — fail loudly rather than dedup wrongly
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter (rounds needed ~ log2 of the largest "
+            "component's diameter)"
+        )
     # at convergence every non-root node points at its component root
     roots = cur.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
     return (

@@ -49,8 +49,11 @@ def exact_p90(v: pd.Series) -> float:
     IEEE rounding in the last ulp, which an order-insensitive value
     HASH still catches; the formula is pinned so both engines emit
     identical bits.)"""
-    x = np.sort(v.to_numpy(dtype=float))  # np.sort copies: Arrow buffers are read-only
+    x = v.to_numpy(dtype=float)
+    x = np.sort(x[~np.isnan(x)])  # NULLs ignored, matching quantile_cont; sort copies
     n = len(x)
+    if n == 0:
+        return None
     h = (n - 1) * 0.9
     k = int(h)
     frac = h - k

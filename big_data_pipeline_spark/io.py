@@ -242,7 +242,17 @@ def merge_upsert(
     target = spark.read.parquet(target_path)
     if partition_by is not None:
         parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-        touched = updates.select(*parts).distinct()
+        # touched partitions = those the updates land in PLUS those the
+        # updated keys currently live in — a key whose partition value
+        # changes must have its OLD partition rewritten too, or the
+        # stale copy survives the dynamic overwrite as a duplicate
+        old_parts = (
+            target.join(updates.select(*keys).distinct(), keys, "left_semi")
+            .select(*parts)
+            .distinct()
+        )
+        touched = updates.select(*parts).distinct().unionByName(old_parts).distinct()
+        touched = touched.localCheckpoint()
         target = target.join(F.broadcast(touched), parts, "left_semi")
     merged = (
         target.join(updates.select(*keys), keys, "left_anti")
@@ -264,6 +274,13 @@ def zorder_key(cols: list[str], bits: int = 16) -> Column:
     skipping from one sort, where a lexicographic sort only prunes the
     leading column.
     """
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"z-order key needs {len(cols) * bits} bits but a signed long "
+            "holds 63 — lower `bits` (e.g. bits=15 supports 4 columns) so "
+            "the interleaved key cannot overflow into the sign bit and "
+            "tear the curve"
+        )
     ranked = [
         F.percent_rank().over(Window.orderBy(F.col(c))) for c in cols
     ]

@@ -68,6 +68,9 @@ def pagerank(
         .distinct()
     )
     n = nodes_raw.count()
+    if n == 0:
+        # empty edge frame -> empty ranks, not a ZeroDivisionError
+        return nodes_raw.withColumn("rank", F.lit(0.0))
     # Size the iteration's shuffle width to the NODE frame, not the
     # session default: ranks is node-sized, and iterating a 25-node
     # graph through 32-partition exchanges spends everything on empty

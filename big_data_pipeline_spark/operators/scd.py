@@ -61,13 +61,17 @@ def scd2_apply(
     cur_k = current.select(
         *key_cols,
         *[F.col(c).alias(f"_cur_{c}") for c in tracked_cols],
+        F.lit(True).alias("_cur_exists"),
     )
     joined = up.join(cur_k, key_cols, "left")
-    # new key (no current row → <=> against NULL is false) or any
-    # tracked attribute differs; null-safe equality makes NULL→value
-    # and value→NULL count as changes
+    # a key is "changed" when it has no current row at all, or any
+    # tracked attribute differs (null-safe, so NULL→value and
+    # value→NULL count). The explicit existence flag matters: an
+    # all-NULL update for a NEW key would otherwise satisfy
+    # NULL <=> NULL against the unmatched join and be dropped silently.
     same = F.expr(" AND ".join(f"({c} <=> _cur_{c})" for c in tracked_cols))
-    changed = joined.filter(~same).select(up["*"])
+    is_new = F.col("_cur_exists").isNull()
+    changed = joined.filter(is_new | ~same).select(up["*"])
 
     ch_keys = changed.select(*key_cols, F.col(effective).alias("_eff"))
     closed = (

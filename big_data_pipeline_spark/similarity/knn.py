@@ -211,9 +211,10 @@ def _kmeans_centroids(
     that ships to executors inside the UDF closure)."""
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    # sample normalization is loop-invariant — hoist; centroids move
+    # every round, so their normalization stays inside
+    s = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     for _ in range(iters):
-        # cosine assignment: normalize both sides, argmax dot
-        s = sample / np.linalg.norm(sample, axis=1, keepdims=True)
         c = cent / np.linalg.norm(cent, axis=1, keepdims=True)
         assign = (s @ c.T).argmax(axis=1)
         for j in range(n_clusters):
@@ -268,6 +269,9 @@ def ivf_topk(
             for r in candidates.select(vec_col).limit(train_cap).collect()
         ]
     ).astype(np.float64)
+    # tiny corpora: can't have more clusters than training vectors
+    n_clusters = min(n_clusters, len(train))
+    n_probe = min(n_probe, n_clusters)
     cent = _kmeans_centroids(train, n_clusters, seed=seed)
     assign1 = _nearest_clusters_udf(cent, 1)
     probe_n = _nearest_clusters_udf(cent, n_probe)

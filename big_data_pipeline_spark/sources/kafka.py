@@ -24,8 +24,6 @@ with the file source.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -43,9 +41,18 @@ EVENT_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-@lru_cache(maxsize=1)
+_KAFKA_CLASS_PRESENT: bool | None = None
+
+
 def kafka_available() -> bool:
-    """True when the spark-sql-kafka connector is on the classpath."""
+    """True when the spark-sql-kafka connector is on the classpath.
+
+    The classpath probe is memoized only once a live session answers
+    it; calls made BEFORE any SparkSession exists return False without
+    caching, so an early probe can't pin a stale negative forever."""
+    global _KAFKA_CLASS_PRESENT
+    if _KAFKA_CLASS_PRESENT is not None:
+        return _KAFKA_CLASS_PRESENT
     spark = SparkSession.getActiveSession()
     if spark is None:
         return False
@@ -53,9 +60,10 @@ def kafka_available() -> bool:
         spark._jvm.java.lang.Class.forName(
             "org.apache.spark.sql.kafka010.KafkaSourceProvider"
         )
-        return True
+        _KAFKA_CLASS_PRESENT = True
     except Exception:
-        return False
+        _KAFKA_CLASS_PRESENT = False
+    return _KAFKA_CLASS_PRESENT
 
 
 def kafka_stream(

@@ -17,12 +17,8 @@ against the exact baseline is asserted in tests.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.pandas.functions import pandas_udf
 
 from big_data_pipeline_spark.functions.vectors import (
     EMB_DIMS_DEFAULT,

@@ -73,3 +73,15 @@ def test_star_cc_random_graph_and_degenerates(spark):
     a = {(r.id, r.cluster_id) for r in connected_components(df, max_iter=200).collect()}
     b = {(r.id, r.cluster_id) for r in connected_components_star(df).collect()}
     assert a == b
+
+
+def test_star_cc_raises_on_nonconvergence(spark):
+    import pytest
+
+    from big_data_pipeline_spark.dedup.clusters import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(chain, max_iter=1)

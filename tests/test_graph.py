@@ -51,3 +51,10 @@ def test_pagerank_dangling_and_uniform_weight(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
     assert got["c"] > got["b"] > got["a"]
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "rank"}

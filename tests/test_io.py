@@ -206,3 +206,33 @@ def test_zorder_write_tightens_rowgroup_stats(spark, tmp_path, sf_dir):
         assert avg_range(zord, col) < 0.7 * avg_range(plain, col), col
     # same rows survive the layout change
     assert spark.read.parquet(zord).count() == li.count()
+
+
+def test_merge_upsert_key_moving_partitions_leaves_no_stale_copy(spark, tmp_path):
+    """Regression: an update that changes a key's partition value must
+    rewrite the OLD partition too, or the stale copy survives."""
+    from big_data_pipeline_spark.io import merge_upsert
+
+    path = str(tmp_path / "merge_move")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, part string, v double",
+    ).write.partitionBy("part").parquet(path)
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, "b", 99.0)], "id long, part string, v double"),
+        key_cols="id",
+        partition_by="part",
+    )
+    got = {(r.id, r.part): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"): 1.0, (2, "b"): 99.0, (3, "b"): 30.0}
+
+
+def test_zorder_rejects_key_overflow(spark):
+    import pytest
+
+    from big_data_pipeline_spark.io import zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)

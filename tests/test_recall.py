@@ -79,3 +79,13 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     # weak-similarity corpus: true neighbors are near-uniform over
     # clusters, so recall tracks probed mass; floor kept loose
     assert recall >= 0.5, recall
+
+
+def test_ivf_clamps_clusters_to_tiny_corpus(spark):
+    """Regression: corpora smaller than n_clusters must not crash the
+    centroid sampler."""
+    from big_data_pipeline_spark.similarity.knn import ivf_topk
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").limit(8)
+    got = ivf_topk(emb.limit(3), emb, k=2, n_clusters=16, n_probe=6)
+    assert got.count() > 0

@@ -68,3 +68,23 @@ def test_scd2_null_safe_change_detection(spark):
     )
     assert out.filter(F.col("is_current")).collect()[0].tier == "gold"
     assert out.count() == 2  # NULL -> value detected as a change
+
+
+def test_scd2_new_key_with_all_null_tracked_attrs_inserts(spark):
+    """Regression: a NEW key whose tracked attrs are all NULL must still
+    insert (NULL <=> NULL against the unmatched join previously made it
+    look unchanged and silently dropped it)."""
+    from datetime import datetime
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    hist = scd2_init(_dim(spark, [(1, "gold", t0)]), "eff")
+    out = scd2_apply(
+        hist,
+        spark.createDataFrame([(2, None, t1)], "cust long, tier string, eff timestamp"),
+        ["cust"],
+        ["tier"],
+        "eff",
+    )
+    rows = {(r.cust, r.tier, r.is_current) for r in out.collect()}
+    assert (2, None, True) in rows
+    assert len(rows) == 2

@@ -48,3 +48,24 @@ def test_bigram_udtf_edges(spark):
     ).collect()
     got = {(r.doc_id, r.pos): r.bigram for r in rows}
     assert got == {(0, 0): "a b", (0, 1): "b c"}  # 1/0-token docs emit nothing
+
+
+def test_exact_p90_and_median_skip_nulls_like_duckdb(spark):
+    """Regression: NULLs must be ignored (DuckDB quantile semantics),
+    not poison the interpolation into NaN."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": [1] * 5, "v": [1.0, 2.0, None, 4.0, 5.0]})
+    got = (
+        spark.createDataFrame(pdf)
+        .groupBy("k")
+        .agg(exact_p90("v").alias("p"), exact_median("v").alias("m"))
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want_p, want_m = con.sql(
+        "select quantile_cont(v, 0.9), median(v) from t"
+    ).fetchone()
+    assert got.p == want_p and got.m == want_m
