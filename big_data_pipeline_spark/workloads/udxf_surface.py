@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.functions.udxf import (
@@ -69,12 +69,42 @@ FROM t
 """
 
 
+def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas UDAF as a WINDOW function: exact rolling
+    median of each user's last 5 event values. Spark evaluates the
+    Arrow UDF once per frame; rank statistics hash-match DuckDB's
+    windowed median directly. One shuffle on user_id, frames in a
+    single sorted pass."""
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        exact_median("value").over(w).alias("rolling_median_value"),
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+SELECT user_id, event_id,
+       median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_median_value
+FROM events
+"""
+
+
 QUERIES = {
     "median_order_value": median_order_value,
     "bigram_explode_udtf": bigram_explode_udtf,
+    "rolling_median_user_value": rolling_median_user_value,
 }
 
 ORACLE = {
     "median_order_value": _MEDIAN_SQL,
     "bigram_explode_udtf": _BIGRAM_SQL,
+    "rolling_median_user_value": _ROLLING_MEDIAN_SQL,
 }
