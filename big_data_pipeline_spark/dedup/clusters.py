@@ -39,6 +39,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.b == labels.id)
@@ -61,7 +62,16 @@ def connected_components(
         n_changed = updated.filter("changed").count()
         labels = updated.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # partially propagated labels would split one component into
+        # several cluster_ids and dedup would keep false representatives
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(rounds needed ~ largest component diameter); raise max_iter "
+            "or use connected_components_star (O(log d) rounds)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

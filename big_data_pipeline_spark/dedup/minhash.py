@@ -65,8 +65,21 @@ def candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     id_col: str = "doc_id",
+    num_perm: int | None = None,
 ) -> DataFrame:
-    """LSH banding: docs sharing any full band become a candidate pair."""
+    """LSH banding: docs sharing any full band become a candidate pair.
+
+    ``num_perm``, when given, guards band geometry: indexing past the
+    signature yields all-NULL bands whose identical hash would make
+    EVERY doc a candidate of every other (concat_ws skips nulls) — the
+    exact-verify filter keeps results correct but the band join
+    silently degenerates to O(n^2).
+    """
+    if num_perm is not None and bands * rows_per_band > num_perm:
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} exceeds "
+            f"num_perm = {num_perm}; shrink bands or rows_per_band"
+        )
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -121,7 +134,7 @@ def minhash_dedup_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     sigs = minhash_signatures(docs, num_perm, id_col, text_col)
-    cands = candidate_pairs(sigs, bands, rows_per_band, "doc_id")
+    cands = candidate_pairs(sigs, bands, rows_per_band, "doc_id", num_perm=num_perm)
 
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -140,8 +153,11 @@ def minhash_dedup_pairs(
         F.col("s1.n") + F.col("s2.n") - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(s1), F.col("doc_id1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("doc_id2") == F.col("s2.doc_id"))
+        # sizes is corpus-sized (one row per doc): no broadcast hint —
+        # the optimizer broadcasts small corpora on its own, and forcing
+        # it would OOM at the billion-doc scale this module targets
+        inter.join(s1, F.col("doc_id1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc_id2") == F.col("s2.doc_id"))
         .filter(jacc >= threshold)
         .select("doc_id1", "doc_id2", "n_common", jacc.alias("jaccard"))
     )

@@ -67,17 +67,32 @@ def asof_join(
         .orderBy(_TS, _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = stacked.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in value_cols}
-    )
+    # Carry the whole matched right ROW as one struct (its ts + all
+    # value columns), not each value independently: per-column
+    # last(ignorenulls) would skip back past a newer right row whose
+    # value is NULL — attaching a stale value the tolerance check (keyed
+    # to the newest row's ts) would then wrongly admit. Row semantics
+    # match native ASOF joins: the most recent right row wins, NULLs and
+    # all.
+    match = F.last(
+        F.when(
+            F.col(_SIDE) == 0,
+            F.struct(F.col(_TS).alias("__mts"), *value_cols),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    carried = stacked.withColumn("__asof_m", match)
+    alive = F.col("__asof_m").isNotNull()
     if tolerance is not None:
-        carried = carried.withColumn(
-            "__asof_match_ts", F.last(F.when(F.col(_SIDE) == 0, F.col(_TS)), True).over(w)
+        alive = alive & (
+            F.col("__asof_m.__mts") >= F.col(_TS) - tolerance
         )
-        expired = F.col("__asof_match_ts") < F.col(_TS) - tolerance
-        carried = carried.withColumns(
-            {c: F.when(expired, F.lit(None)).otherwise(F.col(c)) for c in value_cols}
-        ).drop("__asof_match_ts")
+    carried = carried.withColumns(
+        {
+            c: F.when(alive, F.col(f"__asof_m.{c}")).otherwise(F.lit(None))
+            for c in value_cols
+        }
+    ).drop("__asof_m")
 
     out_cols = [*left.columns, *value_cols]
     return (

@@ -34,7 +34,9 @@ _MERGE = {
 }
 _PARTIAL = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    # count('*') counts rows; count(col) must skip nulls exactly like
+    # the unsalted plan (bit-identical promise of this module)
+    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(F.col(c)),
     "min": F.min,
     "max": F.max,
 }

@@ -49,8 +49,15 @@ def incremental_transform(
     """Drain new raw JSONL files into the processed parquet layer.
 
     Returns the number of micro-batches executed (0 = nothing new).
-    Each batch appends symbol-partitioned parquet; exactly-once at the
-    file level via the checkpoint, so reruns never duplicate rows.
+
+    End-to-end idempotence: the checkpoint makes the SOURCE exactly-once
+    (each raw file is consumed in exactly one batch id), and the sink
+    writes each batch under its own ``ingest_batch=<id>`` partition with
+    DYNAMIC overwrite — a crashed-then-retried batch rewrites exactly
+    its own partitions instead of appending duplicates (foreachBatch
+    alone is at-least-once; a blind append would double rows on
+    retry). Readers see ``ingest_batch`` as an ordinary partition
+    column and can ignore it.
     """
     raw = (
         spark.readStream.schema(RAW_SCHEMA)
@@ -65,8 +72,10 @@ def incremental_transform(
         nonlocal n_batches
         n_batches += 1
         (
-            batch_df.write.mode("append")
-            .partitionBy("symbol")
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "symbol")
             .parquet(processed_dir)
         )
 

@@ -55,12 +55,13 @@ OUTPUT_SCHEMA = T.StructType(
 _ALPHA = 0.2
 
 
-def _update_user_stats(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, total, ewma = state.get if state.exists else (0, 0.0, None)
+def _advance_stats(
+    stats: tuple, batches: Iterator[pd.DataFrame]
+) -> tuple:
+    """Shared recurrence for BOTH stateful APIs (applyInPandasWithState
+    and transformWithStateInPandas): one implementation, so the
+    equivalence the tests assert can't silently desynchronize."""
+    n, total, ewma = stats
     for pdf in batches:
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         for v in pdf["value"]:
@@ -71,8 +72,12 @@ def _update_user_stats(
                 if ewma is None
                 else _ALPHA * float(v) + (1 - _ALPHA) * ewma
             )
-    state.update((n, total, ewma))
-    yield pd.DataFrame(
+    return n, total, ewma
+
+
+def _stats_row(key: tuple[Any, ...], stats: tuple) -> pd.DataFrame:
+    n, total, ewma = stats
+    return pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
@@ -80,6 +85,18 @@ def _update_user_stats(
             "ewma": [ewma],
         }
     )
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    stats = _advance_stats(
+        state.get if state.exists else (0, 0.0, None), batches
+    )
+    state.update(stats)
+    yield _stats_row(key, stats)
 
 
 def running_user_stats(
@@ -129,26 +146,11 @@ class RunningUserStatsProcessor:
     def handleInputRows(
         self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
     ) -> Iterator[pd.DataFrame]:
-        n, total, ewma = self._state.get() if self._state.exists() else (0, 0.0, None)
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for v in pdf["value"]:
-                n += 1
-                total += float(v)
-                ewma = (
-                    float(v)
-                    if ewma is None
-                    else _ALPHA * float(v) + (1 - _ALPHA) * ewma
-                )
-        self._state.update((n, total, ewma))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "value_sum": [total],
-                "ewma": [ewma],
-            }
+        stats = _advance_stats(
+            self._state.get() if self._state.exists() else (0, 0.0, None), rows
         )
+        self._state.update(stats)
+        yield _stats_row(key, stats)
 
     def close(self) -> None:
         pass
@@ -174,6 +176,12 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
     proc = type(
         "RunningUserStatsTWS", (StatefulProcessor,), dict(RunningUserStatsProcessor.__dict__)
     )()
+    # NOTE session-wide side effect, stated loudly: TWS requires the
+    # RocksDB state store, and the provider is a session conf read at
+    # query START — it cannot be scoped to one query. Later streaming
+    # queries in this session also run on RocksDB (fine for new
+    # checkpoints; checkpoints written by another provider are not
+    # readable across the switch).
     spark = events.sparkSession
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",

@@ -115,7 +115,13 @@ def run_available_now(
 ) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; return the
     materialized batch result. Incremental semantics, batch latency —
-    the Spark-native version of the reference's daily reprocess."""
+    the Spark-native version of the reference's daily reprocess.
+
+    Mode trap: for WINDOWED AGGREGATIONS, append emits only windows the
+    watermark has closed — after a drain, every window inside the final
+    watermark horizon is silently withheld in state. Pass
+    ``output_mode="complete"`` (as the aggregation queries here do) for
+    full results; append is right for joins/dedup/row streams."""
     spark = stream_df.sparkSession
     with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
         q = (
@@ -153,6 +159,12 @@ def stream_stream_interval_join(
     watermark, or late-but-admitted left rows could find their right
     match already evicted (Spark drops state strictly by watermark).
     """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must have distinct column names "
+            "(alias one side, e.g. .withColumnRenamed('ts', 'l_ts')) — "
+            "a shared name makes the join condition ambiguous"
+        )
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark).withColumnRenamed(
         key, f"_r_{key}"

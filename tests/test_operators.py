@@ -108,3 +108,54 @@ def test_range_join_no_duplicate_pairs_across_bins(spark):
     ).toPandas()
     assert len(got) == len(got.drop_duplicates(["lid", "rid"]))
     assert len(got) == 20  # 0..570s all inside [0, 600)
+
+
+def test_asof_tolerance_uses_matched_rows_timestamp(spark):
+    """Regression: a newer right ROW with a NULL value must not let a
+    stale older value slip past the tolerance window — the matched row
+    (NULLs and all) is what gets attached, like native ASOF."""
+    from datetime import datetime
+
+    from big_data_pipeline_spark.operators import asof_join
+
+    right = spark.createDataFrame(
+        [
+            ("A", datetime(2024, 1, 1, 12, 0), 10.0),
+            ("A", datetime(2024, 1, 1, 12, 28), None),
+        ],
+        "k string, rts timestamp, quote double",
+    )
+    left = spark.createDataFrame(
+        [("A", datetime(2024, 1, 1, 12, 30))], "k string, lts timestamp"
+    )
+    got = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["quote"], tolerance=F.expr("INTERVAL 5 MINUTES"),
+    ).collect()[0]
+    # the matched row IS the 12:28 one (inside tolerance) — its NULL
+    # value is attached; the 30-minute-old 10.0 must not leak through
+    assert got.quote is None
+
+    no_tol = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["quote"],
+    ).collect()[0]
+    assert no_tol.quote is None  # row semantics without tolerance too
+
+
+def test_salted_count_skips_nulls_like_unsalted(spark):
+    """Regression: ('count', col) must count non-null values, matching
+    the unsalted plan bit-for-bit; ('count', '*') counts rows."""
+    from big_data_pipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)],
+        "k string, v double",
+    )
+    got = {
+        r.k: (r.n_rows, r.n_vals)
+        for r in salted_aggregate(
+            df, ["k"], {"n_rows": ("count", "*"), "n_vals": ("count", "v")}
+        ).collect()
+    }
+    assert got == {"a": (3, 2), "b": (1, 0)}
