@@ -36,6 +36,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     nested_types,
     pipeline_flagship,
     relational,
+    runtime_filters,
     similarity,
     skew,
     streaming_surface,
@@ -63,6 +64,7 @@ _MODULES = (
     multimodal,
     nested_types,
     skew,
+    runtime_filters,
     llm_pipeline,
     streaming_surface,
     udxf_surface,

@@ -140,6 +140,41 @@ GROUP BY CUBE (o_orderstatus, year(o_orderdate))
 """
 
 
+# --- GROUPING SETS: explicit multi-grain aggregate ---------------------------
+# The general form behind cube/rollup: one shuffle computes exactly the
+# grains asked for — (status, priority), (status), () — instead of the
+# full 2^n cube. grouping_id disambiguates the NULL-as-rollup rows from
+# genuine NULL keys, which matters on nullable dimension columns.
+
+
+def grouping_sets_status_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("grain"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS grain,
+       COUNT(*) AS n_orders,
+       {exact_sum_sql("o_totalprice", "revenue")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 # --- set ops: INTERSECT / EXCEPT (distinct semantics) -----------------------
 
 
@@ -539,6 +574,7 @@ QUERIES = {
     "left_join_order_counts": left_join_order_counts,
     "rollup_order_revenue": rollup_order_revenue,
     "cube_status_year": cube_status_year,
+    "grouping_sets_status_priority": grouping_sets_status_priority,
     "intersect_customer_keys": intersect_customer_keys,
     "except_customer_keys": except_customer_keys,
     "above_customer_avg_orders": above_customer_avg_orders,
@@ -561,6 +597,7 @@ ORACLE = {
     "left_join_order_counts": _LEFT_JOIN_SQL,
     "rollup_order_revenue": _ROLLUP_SQL,
     "cube_status_year": _CUBE_SQL,
+    "grouping_sets_status_priority": _GROUPING_SETS_SQL,
     "intersect_customer_keys": _INTERSECT_SQL,
     "except_customer_keys": _EXCEPT_SQL,
     "above_customer_avg_orders": _ABOVE_AVG_SQL,

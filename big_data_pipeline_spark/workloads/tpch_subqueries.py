@@ -8,6 +8,7 @@ noted per query):
 - q2-like  : per-group argmin (correlated MIN subquery) → window rank
 - q6-like  : pure scan-range aggregate (the classic pushdown showcase)
 - q9-like  : multi-join profit rollup (cost proxied by p_retailprice)
+- q11-like : value-share threshold vs a global scalar subquery
 - q13-like : outer-join distribution with a join-condition filter
 - q15-like : scalar-subquery max over an aggregated CTE
 - q16-like : NOT IN exclusion + COUNT(DISTINCT) rollup
@@ -410,8 +411,68 @@ LIMIT 10
 """
 
 
+# --- q11-like: important parts by value share --------------------------------
+# No partsupp → a part's "stock value" for one nation's suppliers is the
+# shipped revenue sum from lineitem. q11's scalar subquery (global total
+# × fraction) becomes a 1-row aggregate broadcast-cross-joined back —
+# the fact is scanned once, per-part sums are reused for the total, and
+# the threshold compare happens after exact DECIMAL summation (one
+# deterministic cast to double per side, so the > is order-insensitive).
+
+
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    supplier = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    per_part = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr("l_extendedprice * (1 - l_discount)").cast(
+                    "decimal(38,6)"
+                )
+            ).alias("value_dec")
+        )
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * F.lit(0.001)
+        )
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+           AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM per_part,
+     (SELECT SUM(value_dec) AS total_dec FROM per_part) AS t
+WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.001
+"""
+
+
 QUERIES = {
     "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+    "q11_important_part_values": q11_important_part_values,
     "q6_forecast_revenue_change": q6_forecast_revenue_change,
     "q9_nation_profit": q9_nation_profit,
     "q13_customer_order_distribution": q13_customer_order_distribution,
@@ -424,6 +485,7 @@ QUERIES = {
 
 ORACLE = {
     "q2_min_acctbal_supplier": _Q2_SQL,
+    "q11_important_part_values": _Q11_SQL,
     "q6_forecast_revenue_change": _Q6_SQL,
     "q9_nation_profit": _Q9_SQL,
     "q13_customer_order_distribution": _Q13_SQL,

@@ -159,3 +159,38 @@ def test_salted_count_skips_nulls_like_unsalted(spark):
         ).collect()
     }
     assert got == {"a": (3, 2), "b": (1, 0)}
+
+
+def test_bloom_prune_keeps_all_matches_and_prunes(spark):
+    """No false negatives ever; with a selective dim the prune must
+    actually drop most fact rows (that's its reason to exist)."""
+    from big_data_pipeline_spark.operators.bloom import (
+        bloom_filter_rows,
+        bloom_pruned_join,
+        build_bloom,
+        optimal_bits,
+    )
+
+    fact = spark.range(0, 10_000).withColumnRenamed("id", "fk")
+    dim = (
+        spark.range(0, 10_000, 100)  # 100 of 10k keys survive "the filter"
+        .withColumnRenamed("id", "dk")
+    )
+    num_bits, num_hashes = optimal_bits(100, fpp=0.01)
+    bitmap = build_bloom(dim, "dk", num_bits, num_hashes)
+    pruned = bloom_filter_rows(fact, "fk", bitmap, num_hashes)
+
+    kept = {r.fk for r in pruned.collect()}
+    assert set(range(0, 10_000, 100)) <= kept  # every true match survives
+    assert len(kept) < 1_000  # ≥90% of non-matches pruned at fpp=1%
+
+    joined = bloom_pruned_join(fact, dim, "fk", "dk")
+    assert joined.count() == 100  # exact join result, bloom invisible
+
+
+def test_bloom_sizing_monotonic():
+    from big_data_pipeline_spark.operators.bloom import optimal_bits
+
+    m1, k1 = optimal_bits(1_000, fpp=0.01)
+    m2, _ = optimal_bits(1_000, fpp=0.001)
+    assert m2 > m1 and m1 % 64 == 0 and 1 <= k1 <= 16
