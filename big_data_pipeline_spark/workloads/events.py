@@ -295,6 +295,32 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+# --- sessionize_secondary_sort: the same sessions via one ordered pass -----
+# Deliberately the SAME semantics as session_windows, computed by the
+# secondary-sort mapInPandas operator instead of LAG/running-sum window
+# functions — so both share one oracle. The window formulation is the
+# default; the ordered-pass pattern is the escape hatch for per-key
+# sequential logic windows can't express, and this query pins its
+# correctness against the declarative twin.
+
+
+def sessionize_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.secondary_sort import sessionize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        sessionize(ev, gap_seconds=_SESSION_GAP_MIN * 60)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # --- linreg_next_value: grouped OLS via closed-form exact aggregates -------
 # Reference parity: stock_predictor.py trains y = a + b*x per key where
 # x = current close, y = next close (shift(-1)), predicts from the last
@@ -396,6 +422,7 @@ QUERIES = {
     "tumbling_window_counts": tumbling_window_counts,
     "sliding_window_counts": sliding_window_counts,
     "session_windows": session_windows,
+    "sessionize_secondary_sort": sessionize_secondary_sort,
     "linreg_next_value": linreg_next_value,
 }
 
@@ -409,5 +436,6 @@ ORACLE = {
     "tumbling_window_counts": _TUMBLING_SQL,
     "sliding_window_counts": _SLIDING_SQL,
     "session_windows": _SESSION_SQL,
+    "sessionize_secondary_sort": _SESSION_SQL,
     "linreg_next_value": _LINREG_SQL,
 }

@@ -194,3 +194,42 @@ def test_bloom_sizing_monotonic():
     m1, k1 = optimal_bits(1_000, fpp=0.01)
     m2, _ = optimal_bits(1_000, fpp=0.001)
     assert m2 > m1 and m1 % 64 == 0 and 1 <= k1 <= 16
+
+
+def test_sessionize_carries_state_across_arrow_batches(spark):
+    """Force 3-row Arrow batches so one user's rows span batches: the
+    carried (user, ts, session) state must resume counters exactly."""
+    from datetime import datetime, timedelta
+
+    from big_data_pipeline_spark.operators.secondary_sort import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: sessions (0s,10s) (2000s,2100s) (4000s) -> ids 1,1,2,2,3
+    for i, off in enumerate([0, 10, 2000, 2100, 4000]):
+        rows.append((1, i, t0 + timedelta(seconds=off)))
+    # user 2: 1801s gap is > 1800 -> new session
+    rows.append((2, 10, t0))
+    rows.append((2, 11, t0 + timedelta(seconds=1801)))
+    # user 3: exactly 1800s gap stays in session 1
+    rows.append((3, 20, t0))
+    rows.append((3, 21, t0 + timedelta(seconds=1800)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {
+            (r.user_id, r.event_id): r.session_id
+            for r in sessionize(df).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert got == {
+        (1, 0): 1, (1, 1): 1, (1, 2): 2, (1, 3): 2, (1, 4): 3,
+        (2, 10): 1, (2, 11): 2,
+        (3, 20): 1, (3, 21): 1,
+    }
