@@ -1,0 +1,99 @@
+"""KMV / theta sketches: mergeable distinct-count with SET OPERATIONS.
+
+Complements the HLL rollup in ``workloads/llm_pipeline.py``: HLL
+sketches union-merge, but cannot estimate INTERSECTIONS or differences
+— the theta-sketch family can (Dasgupta et al., "Theta sketches" /
+Apache DataSketches theory). This is the k-minimum-values variant:
+
+- sketch of a set = the k smallest values of u(x) = xxhash64(x)
+  normalized into [0,1); if fewer than k distinct values exist the
+  sketch IS the set (estimates become exact).
+- estimate: (k-1) / kth_min  (the classic KMV estimator).
+- union: merge value arrays, keep the k smallest.
+- intersection (theta style): theta = min of the two sketch
+  thresholds; count shared values below theta; estimate = count/theta.
+
+Everything is deterministic (seeded xxhash64, no RNG), so results are
+stable across runs — but the estimator is engine-specific, hence the
+workload using it is a rows-only check with accuracy asserted in
+tests. Scale shape: the per-group sketch build is one shuffle
+(distinct) + one window top-k; sketches are k doubles (~8 KB at
+k=1024) regardless of group size, so cross-group set algebra is
+driver-light array math on tiny frames, exactly like the DataSketches
+workflow on a warehouse at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# xxhash64 → signed int64; shift into [0,1). Collisions (~n^2/2^64)
+# are far below estimator noise.
+_SCALE = 2.0**64
+_OFFSET = 2.0**63
+
+
+def normalized_hash(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.xxhash64(c).cast("double") + F.lit(_OFFSET)) / F.lit(_SCALE)
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """Per-group KMV sketch: (group, sketch array<double> sorted asc,
+    n_distinct). One distinct shuffle + one top-k window."""
+    distinct = (
+        df.select(group_col, value_col)
+        .distinct()
+        .withColumn("__u", normalized_hash(value_col))
+    )
+    w = Window.partitionBy(group_col).orderBy("__u")
+    return (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.sort_array(F.collect_list("__u")).alias("sketch"),
+            F.max("__rn").alias("n_kept"),
+        )
+        .join(
+            distinct.groupBy(group_col).agg(
+                F.count(F.lit(1)).alias("n_distinct")
+            ),
+            group_col,
+        )
+    )
+
+
+def kmv_estimate(sketch: Column, n_distinct: Column, k: int) -> Column:
+    """(k-1)/kth_min when the sketch is full, else the exact count."""
+    return F.when(
+        F.size(sketch) < k, n_distinct.cast("double")
+    ).otherwise(F.lit(k - 1) / F.try_element_at(sketch, F.lit(k)))
+
+
+def kmv_union_estimate(a: Column, b: Column, k: int) -> Column:
+    """Distinct-count estimate of A ∪ B from two sketch arrays."""
+    merged = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    return F.when(
+        F.size(merged) < k, F.size(merged).cast("double")
+    ).otherwise(F.lit(k - 1) / F.try_element_at(merged, F.lit(k)))
+
+
+def kmv_intersect_estimate(a: Column, b: Column, k: int) -> Column:
+    """Theta-style A ∩ B estimate: shared values below the smaller
+    threshold, scaled by it. Thresholds are 1.0 for non-full sketches
+    (they hold their whole set)."""
+    theta_a = F.when(F.size(a) < k, F.lit(1.0)).otherwise(
+        F.try_element_at(a, F.lit(k))
+    )
+    theta_b = F.when(F.size(b) < k, F.lit(1.0)).otherwise(
+        F.try_element_at(b, F.lit(k))
+    )
+    theta = F.least(theta_a, theta_b)
+    shared = F.size(
+        F.filter(F.array_intersect(a, b), lambda u: u < theta)
+    )
+    return shared.cast("double") / theta

@@ -128,8 +128,90 @@ def approx_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- approx_theta_overlap: KMV/theta set-operation estimates ---------------
+# What HLL can't do: estimate the INTERSECTION of two distinct-sets
+# without re-scanning raw data. KMV sketches of click/purchase user
+# sets → union AND intersection estimates from k doubles per side,
+# reported next to the exact counts (computed here only to expose the
+# error; a 100 TB deployment would persist the k-double sketches and
+# skip the exact pass). Deterministic (seeded hash) but
+# engine-specific → rows-only check; accuracy bounds are pinned in
+# tests/test_sketches.py.
+
+_THETA_K = 64
+
+
+def approx_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+        kmv_union_estimate,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+    )
+    sk = kmv_sketch(ev, "event_type", "user_id", _THETA_K)
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("sketch").alias("a_sk"), F.col("n_distinct").alias("a_n")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sketch").alias("b_sk"), F.col("n_distinct").alias("b_n")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("has_a"),
+            F.max(F.col("event_type") == "purchase").alias("has_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("x_union"),
+            F.sum((F.col("has_a") & F.col("has_b")).cast("long")).alias(
+                "x_inter"
+            ),
+        )
+    )
+    k = _THETA_K
+    measures = F.array(
+        F.struct(
+            F.lit("click_users").alias("measure"),
+            kmv_estimate(F.col("a_sk"), F.col("a_n"), k).alias("estimate"),
+            F.col("a_n").cast("double").alias("exact"),
+        ),
+        F.struct(
+            F.lit("purchase_users").alias("measure"),
+            kmv_estimate(F.col("b_sk"), F.col("b_n"), k).alias("estimate"),
+            F.col("b_n").cast("double").alias("exact"),
+        ),
+        F.struct(
+            F.lit("union_users").alias("measure"),
+            kmv_union_estimate(F.col("a_sk"), F.col("b_sk"), k).alias(
+                "estimate"
+            ),
+            F.col("x_union").cast("double").alias("exact"),
+        ),
+        F.struct(
+            F.lit("intersect_users").alias("measure"),
+            kmv_intersect_estimate(F.col("a_sk"), F.col("b_sk"), k).alias(
+                "estimate"
+            ),
+            F.col("x_inter").cast("double").alias("exact"),
+        ),
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(exact))
+        .select(F.explode(measures).alias("m"))
+        .select("m.measure", "m.estimate", "m.exact")
+    )
+
+
 QUERIES = {
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
+    "approx_theta_overlap": approx_theta_overlap,
     "approx_sketch_rollup": approx_sketch_rollup,
     "stratified_sample_docs": stratified_sample_docs,
     "approx_corpus_stats": approx_corpus_stats,

@@ -1,0 +1,85 @@
+"""KMV/theta sketch accuracy and exact-small-set behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.functions.sketches import (
+    kmv_estimate,
+    kmv_intersect_estimate,
+    kmv_sketch,
+    kmv_union_estimate,
+)
+
+
+def _overlap_frames(spark, n_a, n_b, n_shared):
+    """Two labeled sets: a = [0, n_a), b = [n_a - n_shared, n_a + n_b - n_shared)."""
+    a = spark.range(0, n_a).select(
+        F.lit("a").alias("g"), F.col("id").alias("v")
+    )
+    b = spark.range(n_a - n_shared, n_a + n_b - n_shared).select(
+        F.lit("b").alias("g"), F.col("id").alias("v")
+    )
+    return a.unionAll(b)
+
+
+def _estimates(spark, df, k):
+    sk = kmv_sketch(df, "g", "v", k)
+    a = sk.filter(F.col("g") == "a").select(
+        F.col("sketch").alias("a_sk"), F.col("n_distinct").alias("a_n")
+    )
+    b = sk.filter(F.col("g") == "b").select(
+        F.col("sketch").alias("b_sk"), F.col("n_distinct").alias("b_n")
+    )
+    row = (
+        a.crossJoin(b)
+        .select(
+            kmv_estimate(F.col("a_sk"), F.col("a_n"), k).alias("ea"),
+            kmv_union_estimate(F.col("a_sk"), F.col("b_sk"), k).alias("eu"),
+            kmv_intersect_estimate(F.col("a_sk"), F.col("b_sk"), k).alias(
+                "ei"
+            ),
+        )
+        .collect()[0]
+    )
+    return row.ea, row.eu, row.ei
+
+
+def test_kmv_exact_below_k(spark):
+    """Sketches smaller than k ARE the set: estimates must be exact."""
+    df = _overlap_frames(spark, 50, 40, 10)
+    ea, eu, ei = _estimates(spark, df, k=256)
+    assert ea == 50.0
+    assert eu == 80.0
+    assert ei == 10.0
+
+
+def test_kmv_estimation_error_within_bounds(spark):
+    """Full sketches: KMV std error ~ 1/sqrt(k-1) ≈ 6.3% at k=256.
+    Deterministic hash → these are fixed values; 20% ≈ 3σ headroom."""
+    df = _overlap_frames(spark, 5_000, 4_000, 2_000)
+    ea, eu, ei = _estimates(spark, df, k=256)
+    assert abs(ea - 5_000) / 5_000 < 0.20
+    assert abs(eu - 7_000) / 7_000 < 0.20
+    assert abs(ei - 2_000) / 2_000 < 0.30  # intersections are noisier
+
+
+def test_theta_overlap_query_shape(spark):
+    from big_data_pipeline_spark.workloads.llm_pipeline import (
+        approx_theta_overlap,
+    )
+
+    rows = {
+        r.measure: r
+        for r in approx_theta_overlap(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {
+        "click_users",
+        "purchase_users",
+        "union_users",
+        "intersect_users",
+    }
+    for r in rows.values():
+        assert r.estimate > 0
+        # k=64 → ~13% std error; generous 3σ bound, deterministic values
+        assert abs(r.estimate - r.exact) / max(r.exact, 1.0) < 0.45
