@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.functions.text import (
@@ -257,8 +257,74 @@ WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD
 """
 
 
+# --- tfidf_top_terms: per-document signature terms --------------------------
+# TF-IDF with a LINEAR smoothed idf, (n_docs+1)/(df+1), instead of the
+# usual log form: java.lang.Math.log and libm log are not guaranteed
+# bit-identical, and the ranking (the part that matters for signature
+# terms) is unchanged for any monotone idf transform. Every arithmetic
+# step — int casts, one divide, one multiply — is IEEE-exact in both
+# engines, so the scores (not just the ranks) hash-match.
+#
+# Scale shape: tf is a (doc, term) groupBy (shuffle keyed on the pair,
+# zipfian skew lands on distinct (doc,term) combos, not raw terms); df
+# re-aggregates tf's output by term alone; n_docs is a 1-row broadcast.
+# The hot-term skew of the df join is bounded: df is one row per term.
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (
+        (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         tf * ((n_docs + 1) / (df + 1)) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY tf * ((n_docs + 1) / (df + 1)) DESC, token
+         ) AS rn
+  FROM tf JOIN dfreq USING (token), total
+)
+SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "tfidf_top_terms": tfidf_top_terms,
     "doc_quality_score": doc_quality_score,
     "lang_id_stopwords": lang_id_stopwords,
     "lang_stats": lang_stats,
@@ -268,6 +334,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_token_stats": _TOKEN_STATS_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
     "doc_quality_score": _QUALITY_SQL,
     "lang_id_stopwords": _lang_sql(),
     "lang_stats": _LANG_STATS_SQL,
