@@ -23,6 +23,7 @@ if str(_REPO) not in sys.path:
 
 from big_data_pipeline_spark.workloads import (  # noqa: E402
     advanced,
+    behavior,
     clusters,
     data_quality,
     dedup,
@@ -52,6 +53,7 @@ _MODULES = (
     tpch_like,
     tpch_subqueries,
     advanced,
+    behavior,
     events,
     timeseries,
     features,

@@ -82,6 +82,64 @@ def kmv_union_estimate(a: Column, b: Column, k: int) -> Column:
     ).otherwise(F.lit(k - 1) / F.try_element_at(merged, F.lit(k)))
 
 
+def misra_gries_topk(
+    df: DataFrame, value_col: str, k: int, top: int = 10
+) -> DataFrame:
+    """Heavy hitters with FIXED memory per partition (Misra-Gries).
+
+    Exact groupBy-count keeps one state entry per distinct key — fine
+    until key cardinality explodes (raw n-grams over a 100 TB corpus).
+    Misra-Gries keeps at most ``k`` weighted counters per partition:
+    inserting a batch's counts then repeatedly draining the minimum
+    counter whenever more than k survive. Guarantees per summary:
+    every item with true frequency > N_partition/(k+1) is present, and
+    est ≤ true ≤ est + N_partition/(k+1). Summaries merge by summing
+    (the shuffle moves ≤ partitions×k rows, never the raw keys), and
+    the merged lower bounds rank the heavy hitters.
+
+    Returns the ``top`` rows: (value, est_count) by descending
+    estimate; ties broken by value for determinism.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("value", StringType()),
+            StructField("weight", LongType()),
+        ]
+    )
+
+    def partial(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for val, cnt in pdf[value_col].value_counts().items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            while len(counters) > k:
+                d = min(counters.values())
+                counters = {
+                    v: c - d for v, c in counters.items() if c - d > 0
+                }
+        yield pd.DataFrame(
+            {"value": list(counters), "weight": list(counters.values())}
+        )
+
+    summaries = df.select(F.col(value_col).cast("string").alias(value_col))
+    return (
+        summaries.mapInPandas(partial, schema=out_schema)
+        .groupBy("value")
+        .agg(F.sum("weight").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("value"))
+        .limit(top)
+    )
+
+
 def kmv_intersect_estimate(a: Column, b: Column, k: int) -> Column:
     """Theta-style A ∩ B estimate: shared values below the smaller
     threshold, scaled by it. Thresholds are 1.0 for non-full sketches

@@ -30,9 +30,71 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3, chunks=4)
 
 
+# --- entity_blocking_pairs: deletion-neighborhood blocking + verify ---------
+# Entity-resolution at scale: finding "names within edit distance 1"
+# with a cross join is O(n^2) — 10^16 comparisons at 100 TB. The
+# wildcard-position (deletion-neighborhood) trick makes it linear: emit
+# one blocking key per character position (the name with that position
+# wildcarded); two equal-length names at Hamming distance <= 1 share at
+# least one key, so an equi-join on the key yields every candidate and
+# levenshtein() verifies exactly. Per record that is |name| keys — the
+# candidate join is sparse, no quadratic block ever forms. The oracle
+# is the brute-force quadratic form (fine at sf0.01), restricted to
+# equal lengths to state the same same-length-Hamming semantics.
+
+
+def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    keys = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.concat(
+            F.expr("substring(c_name, 1, i - 1)"),
+            F.lit("_"),
+            F.expr("substring(c_name, i + 1)"),
+        ).alias("bkey"),
+    )
+    a = keys.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        "bkey",
+    )
+    b = keys.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        "bkey",
+    )
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .select("custkey_a", "custkey_b", "name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+    )
+
+
+_ENTITY_SQL = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND length(a.c_name) = length(b.c_name)
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
+    "entity_blocking_pairs": entity_blocking_pairs,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_near_dups": simhash_near_dups,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "entity_blocking_pairs": _ENTITY_SQL,
+}

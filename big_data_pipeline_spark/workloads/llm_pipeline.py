@@ -209,9 +209,37 @@ def approx_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- approx_heavy_tokens: fixed-memory heavy hitters (Misra-Gries) ---------
+# groupBy-count is exact but keeps one state entry per distinct key;
+# over raw n-grams at 100 TB that state is the problem. Misra-Gries
+# caps memory at k counters per partition and still guarantees every
+# token with frequency > N/(k+1) surfaces. Estimates are lower bounds
+# (engine-specific traversal order → rows-only check); the exact count
+# is joined on for the error column, and the guarantee itself is
+# asserted in tests/test_sketches.py.
+
+
+def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.functions.sketches import misra_gries_topk
+
+    tokens = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    mg = misra_gries_topk(tokens, "token", k=200, top=10)
+    exact = tokens.groupBy(F.col("token").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return mg.join(exact, "value").orderBy(
+        F.desc("est_count"), F.asc("value")
+    )
+
+
 QUERIES = {
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
     "approx_theta_overlap": approx_theta_overlap,
+    "approx_heavy_tokens": approx_heavy_tokens,
     "approx_sketch_rollup": approx_sketch_rollup,
     "stratified_sample_docs": stratified_sample_docs,
     "approx_corpus_stats": approx_corpus_stats,

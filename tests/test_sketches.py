@@ -83,3 +83,26 @@ def test_theta_overlap_query_shape(spark):
         assert r.estimate > 0
         # k=64 → ~13% std error; generous 3σ bound, deterministic values
         assert abs(r.estimate - r.exact) / max(r.exact, 1.0) < 0.45
+
+
+def test_misra_gries_guarantee(spark):
+    """Every key with frequency > N/(k+1) must surface, with estimate
+    a lower bound within N/(k+1) of truth."""
+    from big_data_pipeline_spark.functions.sketches import misra_gries_topk
+
+    # 3 heavy keys (1000 each) drowning in 5000 singletons
+    heavy = spark.range(3000).select(
+        F.concat(F.lit("heavy_"), (F.col("id") % 3)).alias("v")
+    )
+    noise = spark.range(5000).select(
+        F.concat(F.lit("noise_"), F.col("id")).alias("v")
+    )
+    df = heavy.unionAll(noise).repartition(8)
+    got = {
+        r.value: r.est_count
+        for r in misra_gries_topk(df, "v", k=100, top=10).collect()
+    }
+    n = 8000
+    for key in ("heavy_0", "heavy_1", "heavy_2"):
+        assert key in got  # freq 1000 > 8000/101
+        assert 1000 - n / 101 <= got[key] <= 1000
