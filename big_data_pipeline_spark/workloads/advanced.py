@@ -175,6 +175,39 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+# --- ntile: equi-depth bucketing into quartiles ------------------------------
+# NTILE's bucket-boundary rule (first n_rows % n buckets get the extra
+# row) is identical in Spark and DuckDB; ties are pinned with the key
+# so both engines see the same total order.
+
+
+def ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        read_table(spark, sf_dir, "customer")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+_NTILE_SQL = """
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+FROM q GROUP BY c_mktsegment, quartile
+"""
+
+
 # --- set ops: INTERSECT / EXCEPT (distinct semantics) -----------------------
 
 
@@ -575,6 +608,7 @@ QUERIES = {
     "rollup_order_revenue": rollup_order_revenue,
     "cube_status_year": cube_status_year,
     "grouping_sets_status_priority": grouping_sets_status_priority,
+    "ntile_acctbal_quartiles": ntile_acctbal_quartiles,
     "intersect_customer_keys": intersect_customer_keys,
     "except_customer_keys": except_customer_keys,
     "above_customer_avg_orders": above_customer_avg_orders,
@@ -598,6 +632,7 @@ ORACLE = {
     "rollup_order_revenue": _ROLLUP_SQL,
     "cube_status_year": _CUBE_SQL,
     "grouping_sets_status_priority": _GROUPING_SETS_SQL,
+    "ntile_acctbal_quartiles": _NTILE_SQL,
     "intersect_customer_keys": _INTERSECT_SQL,
     "except_customer_keys": _EXCEPT_SQL,
     "above_customer_avg_orders": _ABOVE_AVG_SQL,

@@ -85,6 +85,24 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def sample_bottomk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample: the k smallest xxhash64(doc_id)
+    values. The scalable replacement for ORDER BY rand() LIMIT k — a
+    TakeOrderedAndProject (per-partition top-k, tiny driver merge), no
+    full sort, no RNG state, reproducible across runs and cluster
+    layouts, and consistent across tables (the same keys win
+    everywhere, which is what makes joins between sampled tables line
+    up). Hash has no DuckDB twin → rows-only; determinism and
+    uniformity are asserted in tests/test_llm_pipeline.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("__h", F.xxhash64("doc_id"))
+        .orderBy("__h")
+        .limit(100)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 # --- approximate aggregates (rows-only: sketch internals differ) -------------
 
 
@@ -242,6 +260,7 @@ QUERIES = {
     "approx_heavy_tokens": approx_heavy_tokens,
     "approx_sketch_rollup": approx_sketch_rollup,
     "stratified_sample_docs": stratified_sample_docs,
+    "sample_bottomk_docs": sample_bottomk_docs,
     "approx_corpus_stats": approx_corpus_stats,
 }
 

@@ -62,3 +62,15 @@ def test_sketch_rollup_matches_exact_distinct(spark, sf_dir):
     assert set(got) == set(exact)
     for k, e in exact.items():
         assert abs(got[k] - e) <= max(1, 0.05 * e), (k, got[k], e)
+
+
+def test_bottomk_sample_deterministic_uniform(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.llm_pipeline import (
+        sample_bottomk_docs,
+    )
+
+    a = sorted(r.doc_id for r in sample_bottomk_docs(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in sample_bottomk_docs(spark, sf_dir).collect())
+    assert a == b  # reproducible across runs
+    assert len(a) == 100
+    assert len(set(a)) == 100  # without replacement
