@@ -43,26 +43,26 @@ def kmv_sketch(
     df: DataFrame, group_col: str, value_col: str, k: int
 ) -> DataFrame:
     """Per-group KMV sketch: (group, sketch array<double> sorted asc,
-    n_distinct). One distinct shuffle + one top-k window."""
+    n_distinct). One distinct shuffle + one windowed pass: the per-group
+    exact count rides along as an unordered window aggregate over the
+    same partitioning (no second scan, no join — both Window operators
+    reuse the one exchange)."""
     distinct = (
         df.select(group_col, value_col)
         .distinct()
         .withColumn("__u", normalized_hash(value_col))
     )
     w = Window.partitionBy(group_col).orderBy("__u")
+    w_all = Window.partitionBy(group_col)
     return (
-        distinct.withColumn("__rn", F.row_number().over(w))
+        distinct.withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .groupBy(group_col)
         .agg(
             F.sort_array(F.collect_list("__u")).alias("sketch"),
             F.max("__rn").alias("n_kept"),
-        )
-        .join(
-            distinct.groupBy(group_col).agg(
-                F.count(F.lit(1)).alias("n_distinct")
-            ),
-            group_col,
+            F.max("__n").alias("n_distinct"),
         )
     )
 

@@ -131,4 +131,5 @@ def bloom_pruned_join(
     num_bits, num_hashes = optimal_bits(n_keys, fpp)
     bitmap = build_bloom(dim, dim_key, num_bits, num_hashes)
     pruned = bloom_filter_rows(fact, fact_key, bitmap, num_hashes)
-    return pruned.join(dim, F.col(fact_key) == F.col(dim_key))
+    # frame-qualified references: fact_key and dim_key may share a name
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

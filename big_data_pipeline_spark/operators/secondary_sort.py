@@ -28,6 +28,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 
+# NULL-key sentinel: NULL user_ids arrive as NaN (Arrow nullable→float64)
+# and NaN != NaN would poison the equality-based grouping; one shared
+# object restores NULL==NULL, matching SQL GROUP BY / window-PARTITION
+# semantics where all NULL keys form one group.
+_NULL_KEY = object()
+
 
 def sessionize(
     df: DataFrame,
@@ -53,6 +59,10 @@ def sessionize(
             if len(pdf) == 0:
                 continue
             uid = pdf[user_col].to_numpy()
+            null_mask = pdf[user_col].isna().to_numpy()
+            if null_mask.any():
+                uid = uid.astype(object)
+                uid[null_mask] = _NULL_KEY
             sec = (
                 pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
                 // 1_000_000

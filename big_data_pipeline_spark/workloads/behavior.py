@@ -5,25 +5,24 @@ runs daily, both oracle-checked cell-exact:
 
 - ``funnel_conversion``: strictly-ordered step funnel
   (view → click → purchase). Each step is "first qualifying event at
-  or after the user's previous step time" — the standard unordered-
-  window funnel definition. Three grouped min-aggregates chained by
-  broadcast-sized joins on user_id; the events fact is scanned once
-  per step with the step's type filter pushed to the parquet scan.
+  or after the user's previous step time". One events scan, one hash
+  shuffle on user_id: the step times are three stacked unordered
+  window aggregates behind a single exchange, then a per-user reduce
+  and a global non-null count.
 - ``cohort_retention``: users cohorted by first-active day, counted by
   day offset. Two grouped passes (first-day, distinct active days) and
   one join, keyed on the bounded user_id space — the fact-sized
   shuffle is the distinct, which AQE coalesces.
 
-Scale notes (100 TB): both queries reduce events to per-user rows
-before any join, so join inputs are |users|, not |events|. Funnel
-steps broadcast the prior step's (user, ts) frame when it fits;
-cohort's distinct-(user, day) is the only full shuffle and is exactly
-the minimal state the metric needs.
+Scale notes (100 TB): the funnel's only shuffle moves the
+type-filtered events once; cohort reduces events to per-user /
+per-(user, day) rows before its join, so join inputs are |users|, not
+|events|.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.io import read_table
@@ -32,31 +31,48 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = read_table(spark, sf_dir, "events")
+    # ONE events scan, ONE shuffle: the three step times are stacked
+    # unordered window aggregates over the same user partitioning (each
+    # step's condition references the previous step's column, so Spark
+    # plans three Window operators behind a single exchange), then one
+    # per-user reduce and a global count of non-null steps.
     s1, s2, s3 = _FUNNEL_STEPS
-    step1 = (
-        events.filter(F.col("event_type") == s1)
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = Window.partitionBy("user_id")
+    per_event = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_FUNNEL_STEPS))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2) & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3) & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    step2 = (
-        events.filter(F.col("event_type") == s2)
-        .join(F.broadcast(step1), "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    per_user = per_event.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
     )
-    step3 = (
-        events.filter(F.col("event_type") == s3)
-        .join(F.broadcast(step2), "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        step1.agg(F.count(F.lit(1)).alias("n_step1"))
-        .crossJoin(step2.agg(F.count(F.lit(1)).alias("n_step2")))
-        .crossJoin(step3.agg(F.count(F.lit(1)).alias("n_step3")))
+    return per_user.agg(
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
     )
 
 

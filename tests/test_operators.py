@@ -233,3 +233,35 @@ def test_sessionize_carries_state_across_arrow_batches(spark):
         (2, 10): 1, (2, 11): 2,
         (3, 20): 1, (3, 21): 1,
     }
+
+
+def test_bloom_pruned_join_same_key_name(spark):
+    """Regression: same-named join keys must not raise
+    AMBIGUOUS_REFERENCE (frame-qualified references in the final join)."""
+    from big_data_pipeline_spark.operators.bloom import bloom_pruned_join
+
+    fact = spark.range(0, 1000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 1000, 50).withColumnRenamed("id", "k")
+    assert bloom_pruned_join(fact, dim, "k", "k").count() == 20
+
+
+def test_sessionize_null_user_forms_one_group(spark):
+    """Regression: NULL user_ids must sessionize as ONE group (SQL
+    GROUP BY/window semantics), not emit NULL session ids — NaN from
+    the Arrow nullable-long conversion used to poison the equality."""
+    from datetime import datetime, timedelta
+
+    from big_data_pipeline_spark.operators.secondary_sort import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (None, 1, t0),
+            (None, 2, t0 + timedelta(seconds=10)),
+            (None, 3, t0 + timedelta(seconds=4000)),
+            (7, 4, t0),
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    got = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}

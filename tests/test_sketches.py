@@ -64,14 +64,14 @@ def test_kmv_estimation_error_within_bounds(spark):
     assert abs(ei - 2_000) / 2_000 < 0.30  # intersections are noisier
 
 
-def test_theta_overlap_query_shape(spark):
+def test_theta_overlap_query_shape(spark, sf_dir):
     from big_data_pipeline_spark.workloads.llm_pipeline import (
         approx_theta_overlap,
     )
 
     rows = {
         r.measure: r
-        for r in approx_theta_overlap(spark, "/root/testdata/sf0.001").collect()
+        for r in approx_theta_overlap(spark, sf_dir).collect()
     }
     assert set(rows) == {
         "click_users",
