@@ -32,6 +32,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize once: every round re-joins this frame, and without
+        # the checkpoint each round would re-execute the entire upstream
+        # pair-finding pipeline (shingle→minhash→join) from scratch
+        .localCheckpoint()
     )
     labels = (
         both.select(F.col("a").alias("id"))
