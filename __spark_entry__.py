@@ -24,6 +24,7 @@ if str(_REPO) not in sys.path:
 from big_data_pipeline_spark.workloads import (  # noqa: E402
     advanced,
     behavior,
+    cdc_feed,
     clusters,
     data_quality,
     dedup,
@@ -67,6 +68,7 @@ _MODULES = (
     nested_types,
     skew,
     runtime_filters,
+    cdc_feed,
     llm_pipeline,
     streaming_surface,
     udxf_surface,

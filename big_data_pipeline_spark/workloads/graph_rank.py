@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.io import read_table
 from big_data_pipeline_spark.operators.graph import pagerank
-from big_data_pipeline_spark.oracle import exact_sum
+from big_data_pipeline_spark.oracle import exact_avg, exact_sum
 
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,8 +54,92 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- triangle_count_trade: multi-way self-join graph motif ------------------
+# Triangle counting = the canonical graph-motif join: canonicalize the
+# strong-trade graph to undirected a<b edges, then one two-hop join
+# closed by a third edge check, with a<b<c ordering so each triangle
+# counts exactly once. Edge threshold is RELATIVE (1.8× the mean edge
+# revenue) so the query is scale-free across sf. Per-nation output =
+# explode each triangle's three corners.
+#
+# Scale: |edges| after thresholding is per-nation-pair aggregated —
+# graph size is bounded by key cardinality squared, never row count;
+# the joins are edge-sized, and the a<b<c ordering halves/serializes
+# the candidate space exactly as in the MapReduce triangle literature.
+
+
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = trade_edges(spark, sf_dir)
+    # exact decimal avg: a raw double AVG is partial-agg-order sensitive
+    # and the threshold compare must be deterministic on both engines
+    avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
+    strong = (
+        edges.crossJoin(F.broadcast(avg_rev))
+        .filter(F.col("revenue") > 1.8 * F.col("avg_rev"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = strong.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = strong.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = strong.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    triangles = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        triangles.select(F.col("x").alias("nation"))
+        .unionAll(triangles.select(F.col("y").alias("nation")))
+        .unionAll(triangles.select(F.col("z").alias("nation")))
+    )
+    return (
+        corners.groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "nation")
+    )
+
+
+_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT s.n_name AS src, c2.n_name AS dst,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation s ON supplier.s_nationkey = s.n_nationkey
+  JOIN nation c2 ON customer.c_nationkey = c2.n_nationkey
+  GROUP BY 1, 2
+),
+strong AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e, (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*) AS avg_rev FROM e) t
+  WHERE revenue > 1.8 * avg_rev AND src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM strong e1
+  JOIN strong e2 ON e1.b = e2.a
+  JOIN strong e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS nation FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT nation, COUNT(*) AS n_triangles
+FROM corners GROUP BY nation
+ORDER BY n_triangles DESC, nation
+"""
+
+
 QUERIES = {
     "pagerank_nation_trade": pagerank_nation_trade,
+    "triangle_count_trade": triangle_count_trade,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "triangle_count_trade": _TRIANGLE_SQL,
+}

@@ -257,6 +257,46 @@ WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD
 """
 
 
+# --- bpe_token_counts: BPE-style pre-tokenizer counting ---------------------
+# LLM token budgeting needs subword-style counts, not whitespace words.
+# This is the GPT-2 pre-tokenizer shape (contraction suffixes /
+# space-prefixed letter runs / digit runs / punctuation runs),
+# simplified to the RE2-compatible subset (no lookahead) so Spark's
+# Java regex and DuckDB's RE2 produce identical matches. The count is
+# a deterministic ~proxy for BPE token count (pre-tokenization is the
+# count-dominating stage; merges only split within runs).
+
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize("text")
+    # idx=0 = whole match (Spark defaults to capture group 1; the
+    # pattern's only group is non-capturing)
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(toks).alias("n_ws_tokens"),
+        (
+            F.length("text").cast("double")
+            / F.greatest(F.size(bpe), F.lit(1))
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'))
+         AS n_bpe_tokens,
+       len({_TOKS_SQL}) AS n_ws_tokens,
+       CAST(length(text) AS DOUBLE)
+         / greatest(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')), 1)
+         AS chars_per_bpe_token
+FROM documents
+"""
+
+
 # --- tfidf_top_terms: per-document signature terms --------------------------
 # TF-IDF with a LINEAR smoothed idf, (n_docs+1)/(df+1), instead of the
 # usual log form: java.lang.Math.log and libm log are not guaranteed
@@ -324,6 +364,7 @@ SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 3
 
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "bpe_token_counts": bpe_token_counts,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_quality_score": doc_quality_score,
     "lang_id_stopwords": lang_id_stopwords,
@@ -334,6 +375,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_token_stats": _TOKEN_STATS_SQL,
+    "bpe_token_counts": _BPE_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "doc_quality_score": _QUALITY_SQL,
     "lang_id_stopwords": _lang_sql(),

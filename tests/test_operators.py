@@ -265,3 +265,28 @@ def test_sessionize_null_user_forms_one_group(spark):
     )
     got = {r.event_id: r.session_id for r in sessionize(df).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_snapshot_diff_classifies_and_drops_noops(spark):
+    from big_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (None, "x", 1.0)],
+        "k long, s string, v double",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0),
+         (None, "y", 2.0)],
+        "k long, s string, v double",
+    )
+    rows = snapshot_diff(before, after, keys=["k"]).collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r.op, []).append(r)
+
+    # k=1 unchanged -> absent; k=2 value change; k=3 NULL->value change
+    assert sorted(r.k for r in by_op["U"]) == [2, 3]
+    assert {r.k for r in by_op["I"]} == {4, None}  # NULL key never matches
+    assert [r.k for r in by_op["D"]] == [None]
+    u2 = next(r for r in by_op["U"] if r.k == 2)
+    assert (u2.v_before, u2.v_after) == (20.0, 25.0)
