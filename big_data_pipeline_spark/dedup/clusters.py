@@ -154,12 +154,18 @@ def connected_components_star(
             .distinct()
         )
 
-    cur = symmetrize(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).filter(F.col("a") != F.col("b")).localCheckpoint()
+    # materialize the raw pair projection once: cur AND isolated both
+    # consume it, and without this the upstream pair-finding pipeline
+    # (shingle→minhash→join) executes twice
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
+    cur = (
+        symmetrize(raw).filter(F.col("a") != F.col("b")).localCheckpoint()
+    )
     isolated = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint()
     )

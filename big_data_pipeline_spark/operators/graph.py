@@ -49,9 +49,12 @@ def pagerank(
     an action anyway.
     """
     w = F.col(weight) if weight else F.lit(1.0)
+    # materialize the edge projection once: it feeds BOTH the out-weight
+    # aggregate and the probe side of the normalization join, and
+    # without this the upstream edge-build pipeline executes twice
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("w")
-    )
+    ).localCheckpoint()
     out_w = e.groupBy("e_src").agg(F.sum("w").alias("out_w"))
     # normalized transition edges, cached: reused every iteration
     trans = (
