@@ -69,3 +69,26 @@ def test_exact_p90_and_median_skip_nulls_like_duckdb(spark):
         "select quantile_cont(v, 0.9), median(v) from t"
     ).fetchone()
     assert got.p == want_p and got.m == want_m
+
+
+def test_grouped_agg_udaf_as_window_function(spark):
+    """The GROUPED_AGG pandas UDAF must work .over(a window frame) and
+    reproduce DuckDB's interpolated median per frame — the capability
+    the closed-form rolling query's docstring points here for."""
+    from pyspark.sql import Window
+
+    from big_data_pipeline_spark.functions.udxf import exact_median
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 2.0), ("a", 4, 10.0)],
+        "k string, i long, v double",
+    )
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(-2, 0)
+    got = {
+        r.i: r.m
+        for r in df.select(
+            "i", exact_median("v").over(w).alias("m")
+        ).collect()
+    }
+    # frames: [1], [1,3], [1,3,2], [3,2,10]
+    assert got == {1: 1.0, 2: 2.0, 3: 2.0, 4: 3.0}
