@@ -10,6 +10,7 @@ the latest-file-per-key selection (``transform.py:11-24``,
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -181,6 +182,60 @@ def write_bucketed(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    checks: list,
+    partition_by: str | list[str] | None = None,
+) -> DataFrame:
+    """Write-Audit-Publish: bad data never becomes visible.
+
+    The three-step pattern warehouse pipelines use instead of writing
+    straight to the serving path:
+
+    1. WRITE the batch to a staging directory next to the target;
+    2. AUDIT the staged files with the declarative expectation suite
+       (`quality/expectations.run_expectations` — one aggregation pass
+       over what was actually written, catching writer bugs too);
+    3. PUBLISH by atomic directory rename iff every check passed —
+       readers see the old data or the new data, never a half-write.
+
+    Raises ``ValueError`` with the violation report if the audit fails;
+    the staging directory is removed either way. Returns the audit
+    report frame. At 100 TB the same pattern applies with a metastore
+    partition-location swap or a table-format commit as step 3 — the
+    invariant (validate staged, publish atomically) is unchanged; a
+    directory rename is one metadata op on HDFS/local (on S3, prefer a
+    manifest/table-format commit, since "rename" is a copy).
+    """
+    import shutil
+    import uuid
+
+    from big_data_pipeline_spark.quality.expectations import run_expectations
+
+    spark = df.sparkSession
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    write_parquet(df, staging, partition_by=partition_by)
+    try:
+        staged = spark.read.parquet(staging)
+        report = run_expectations(staged, checks)
+        rows = report.collect()
+        if any(not r.passed for r in rows):
+            failed = [(r.check, r.violations) for r in rows if not r.passed]
+            raise ValueError(f"audit failed, not publishing: {failed}")
+        old = f"{path}__retired_{uuid.uuid4().hex[:8]}"
+        target = Path(path)
+        if target.exists():
+            target.rename(old)
+        Path(staging).rename(path)
+        if Path(old).exists():
+            shutil.rmtree(old)
+    finally:
+        if Path(staging).exists():
+            shutil.rmtree(staging)
+    return spark.createDataFrame(rows, report.schema)
 
 
 def with_file_metadata(df: DataFrame) -> DataFrame:

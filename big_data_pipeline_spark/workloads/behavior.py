@@ -133,12 +133,64 @@ GROUP BY cohort_day, day_offset
 """
 
 
+def sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without the syntax:
+    serialize each user's time-ordered event types into one string
+    (order pinned by (ts, event_id)), then count regex occurrences of
+    the behavioral pattern — here non-overlapping view→click→purchase
+    runs with anything in between within the run's user. Counting over
+    the serialized sequence is the classic poor-man's CEP; the per-user
+    string is bounded by the user's event count, and the heavy lifting
+    (ordering) is one window shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.struct("rn", "event_type")))
+                .getField("event_type")
+            ).alias("seq")
+        )
+    )
+    pat = "view,(?:[a-z]+,)*?click,(?:[a-z]+,)*?purchase"
+    return (
+        seqs.select(
+            "user_id",
+            F.regexp_count(F.col("seq"), F.lit(pat))
+            .cast("long")  # DuckDB len() is BIGINT
+            .alias("n_conversions"),
+        )
+        .filter(F.col("n_conversions") > 0)
+    )
+
+
+_SEQ_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(regexp_extract_all(seq,
+           'view,(?:[a-z]+,)*?click,(?:[a-z]+,)*?purchase'))
+         AS n_conversions
+FROM seqs
+WHERE len(regexp_extract_all(seq,
+      'view,(?:[a-z]+,)*?click,(?:[a-z]+,)*?purchase')) > 0
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "sequence_pattern_counts": sequence_pattern_counts,
 }
 
 ORACLE = {
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
+    "sequence_pattern_counts": _SEQ_SQL,
 }

@@ -236,3 +236,34 @@ def test_zorder_rejects_key_overflow(spark):
 
     with pytest.raises(ValueError, match="63"):
         zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_write_audit_publish_gates_bad_data(spark, tmp_path):
+    """Failed audits must leave the previous published data untouched
+    and visible; passed audits swap atomically; no staging leftovers."""
+    from big_data_pipeline_spark.io import write_audit_publish
+    from big_data_pipeline_spark.quality.expectations import (
+        expect_between,
+        expect_not_null,
+    )
+
+    target = str(tmp_path / "serving")
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, v double")
+    report = write_audit_publish(
+        good, target, [expect_not_null("v"), expect_between("v", 0, 10)]
+    )
+    assert all(r.passed for r in report.collect())
+    assert {r.id for r in spark.read.parquet(target).collect()} == {1, 2}
+
+    bad = spark.createDataFrame([(3, 99.0), (4, None)], "id long, v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="audit failed"):
+        write_audit_publish(
+            bad, target, [expect_not_null("v"), expect_between("v", 0, 10)]
+        )
+    # previous publish still fully visible, no staging/retired residue
+    assert {r.id for r in spark.read.parquet(target).collect()} == {1, 2}
+    residue = [p.name for p in tmp_path.iterdir() if "staging" in p.name
+               or "retired" in p.name]
+    assert residue == []
