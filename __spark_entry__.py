@@ -46,6 +46,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     timeseries,
     tpch_like,
     tpch_subqueries,
+    training_data,
     udxf_surface,
 )
 
@@ -73,6 +74,7 @@ _MODULES = (
     streaming_surface,
     udxf_surface,
     data_quality,
+    training_data,
     pipeline_flagship,
 )
 

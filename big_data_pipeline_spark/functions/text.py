@@ -38,15 +38,25 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     )
 
 
-def exploded_shingles(df, id_col: str, text_col: str, k: int = 3, distinct: bool = True):
-    """(id, shingle) rows via explode + element_at — stays inside
+def exploded_shingles(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    distinct: bool = True,
+    extra_cols: tuple[str, ...] = (),
+):
+    """(id, *extra, shingle) rows via explode + element_at — stays inside
     whole-stage codegen (no interpreted lambdas), one narrow explode.
 
     The codegen-friendly formulation of the MinHash input stage; at
     100 TB the explode fan-out (~tokens/doc) happens map-side with no
-    shuffle until the consumer aggregates.
+    shuffle until the consumer aggregates. ``extra_cols`` ride along
+    through the explode so consumers never need a join back to the
+    source table to recover per-document attributes.
     """
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    keep = [id_col, *extra_cols]
+    toks = df.select(*[F.col(c) for c in keep], tokenize(text_col).alias("__toks"))
     # clamp to ≥1 so short docs yield one (partial) shingle, matching
     # the slice() semantics of the array form; try_element_at nulls
     # out-of-range instead of throwing under ANSI, concat_ws skips nulls
@@ -56,8 +66,8 @@ def exploded_shingles(df, id_col: str, text_col: str, k: int = 3, distinct: bool
     words = [
         F.try_element_at("__toks", F.col("__pos") + i) for i in range(k)
     ]
-    out = toks.select(id_col, pos, "__toks").select(
-        id_col, F.concat_ws(" ", *words).alias("shingle")
+    out = toks.select(*keep, pos, "__toks").select(
+        *keep, F.concat_ws(" ", *words).alias("shingle")
     )
     return out.distinct() if distinct else out
 

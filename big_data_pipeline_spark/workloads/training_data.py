@@ -1,0 +1,398 @@
+"""Training-data curation workloads: PII, quality gates, retention,
+quota sampling, contamination, and closed-form regression statistics.
+
+These are the corpus-governance operators a large-scale LLM training
+pipeline runs between "raw crawl" and "tokenizer input" (SURVEY.md §0
+north star; extends the text/dedup surface in workloads/text.py and
+workloads/dedup.py):
+
+- ``pii_pseudonymize_kanon`` — irreversible pseudonymization (SHA-256)
+  of direct identifiers plus a k-anonymity audit over the
+  quasi-identifier tuple (nation, segment, balance bucket).
+- ``gopher_repetition_stats`` — repetition-based quality gates in the
+  style of the Gopher rules (Rae et al. 2021): duplicate-token
+  fraction, top-token share, top-bigram share.
+- ``dedup_keep_best`` — retention policy on exact-duplicate clusters:
+  keep the best representative (longest, then smallest id) per
+  fingerprint group instead of an arbitrary one.
+- ``source_quota_sample`` — deterministic per-source quota (bounded
+  rows per domain) via hash-ordered ranking, the standard mix-balancing
+  step before tokenization.
+- ``contamination_ngram_overlap`` — benchmark-contamination check:
+  fraction of each candidate document's 5-gram shingles that appear in
+  a held-out benchmark corpus (here: the ``src0`` slice).
+- ``lineitem_regression_stats`` — corr / OLS slope / intercept per
+  group in closed form from exact decimal power sums (the oracle-exact
+  formulation of A5/ML-adjacent stats from SURVEY.md §2.5).
+
+Scale notes (100 TB):
+- PII + quality + quota are narrow single-scan projections/windows
+  partitioned by their natural keys (source, fingerprint); no
+  cross-partition traffic beyond the one keyed shuffle each.
+- The contamination benchmark set is tiny by construction (a benchmark
+  suite, not the corpus), so the shingle-membership join broadcasts —
+  no shuffle of the 100 TB side. With a larger benchmark, swap the
+  broadcast for the Bloom prefilter in operators/bloom.py.
+- Power-sum regression is a pure map-side-combinable aggregation: six
+  decimal sums per group, one exchange, closed-form math on the tiny
+  aggregated frame. This is how you fit millions of per-group OLS
+  models without a Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.functions.text import exploded_shingles, tokenize
+from big_data_pipeline_spark.io import read_table
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+# --- pii_pseudonymize_kanon -------------------------------------------------
+
+_K_THRESHOLD = 5
+_BAL_BUCKET = 1000
+
+
+def pii_pseudonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymize direct identifiers; audit k-anonymity of the rest.
+
+    c_name (direct identifier) -> SHA-256 hex. The quasi-identifier
+    tuple (c_nationkey, c_mktsegment, floor-bucketed c_acctbal) gets a
+    group-size k; rows with k < 5 are flagged for suppression. One
+    window over the quasi-identifier key — single shuffle.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = (F.floor(F.col("c_acctbal") / F.lit(float(_BAL_BUCKET))) * _BAL_BUCKET).alias(
+        "bal_bucket"
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment", "bal_bucket")
+    return (
+        cust.select(
+            "c_custkey",
+            F.sha2(F.col("c_name"), 256).alias("name_pseudo"),
+            "c_nationkey",
+            "c_mktsegment",
+            bucket,
+        )
+        .withColumn("k_anonymity", F.count(F.lit(1)).over(w))
+        .withColumn("suppress", F.col("k_anonymity") < _K_THRESHOLD)
+    )
+
+
+_PII_SQL = f"""
+SELECT c_custkey,
+       sha256(c_name) AS name_pseudo,
+       c_nationkey,
+       c_mktsegment,
+       CAST(FLOOR(c_acctbal / {_BAL_BUCKET}.0) AS BIGINT) * {_BAL_BUCKET} AS bal_bucket,
+       COUNT(*) OVER (
+         PARTITION BY c_nationkey, c_mktsegment,
+                      CAST(FLOOR(c_acctbal / {_BAL_BUCKET}.0) AS BIGINT) * {_BAL_BUCKET}
+       ) AS k_anonymity,
+       COUNT(*) OVER (
+         PARTITION BY c_nationkey, c_mktsegment,
+                      CAST(FLOOR(c_acctbal / {_BAL_BUCKET}.0) AS BIGINT) * {_BAL_BUCKET}
+       ) < {_K_THRESHOLD} AS suppress
+FROM customer
+"""
+
+# --- gopher_repetition_stats ------------------------------------------------
+
+_DUP_FRAC_MAX = 0.55
+_TOP_TOKEN_MAX = 0.12
+
+
+def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gates: dup-token fraction, top-token share,
+    top-bigram share, and the resulting keep/drop decision.
+
+    One explode per granularity (token, bigram), each collapsed by a
+    map-side-combinable two-level groupBy; the final join is on doc_id.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    bi = (
+        exploded_shingles(docs, "doc_id", "text", k=2, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bi_cnt"))
+    )
+    out = uni.join(bi, "doc_id")
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_share = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    bi_share = F.col("top_bi_cnt").cast("double") / F.col("n_bigrams")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        dup_frac.alias("dup_token_frac"),
+        top_share.alias("top_token_share"),
+        bi_share.alias("top_bigram_share"),
+        ((dup_frac <= _DUP_FRAC_MAX) & (top_share <= _TOP_TOKEN_MAX)).alias("keep"),
+    )
+
+
+_GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+uni AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM toks, UNNEST(t) AS u(tok)
+  GROUP BY doc_id, tok
+),
+unistats AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+         MAX(cnt) AS top_cnt
+  FROM uni GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle, COUNT(*) AS cnt
+  FROM toks, UNNEST(range(1, greatest(len(t), 2))) AS u(i)
+  GROUP BY doc_id, array_to_string(t[i:i+1], ' ')
+),
+bistats AS (
+  SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bi_cnt
+  FROM bi GROUP BY doc_id
+)
+SELECT u.doc_id, n_tokens, n_distinct,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+       CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_share,
+       CAST(top_bi_cnt AS DOUBLE) / n_bigrams AS top_bigram_share,
+       (1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) <= {_DUP_FRAC_MAX}
+         AND CAST(top_cnt AS DOUBLE) / n_tokens <= {_TOP_TOKEN_MAX} AS keep
+FROM unistats u JOIN bistats b ON u.doc_id = b.doc_id
+"""
+
+# --- dedup_keep_best --------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup retention policy: one representative per fingerprint
+    group — longest text first, then smallest doc_id. Emits the kept
+    row with its group size (how many dups it absorbed)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5("text").alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    wr = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("fingerprint", F.col("doc_id").alias("kept_doc_id"),
+                "n_chars", "group_size",
+                (F.col("group_size") - F.lit(1)).alias("n_dups_removed"))
+    )
+
+
+_KEEP_BEST_SQL = """
+WITH fp AS (
+  SELECT doc_id, n_chars, md5(text) AS fingerprint,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT fingerprint, doc_id AS kept_doc_id, n_chars, group_size,
+       group_size - 1 AS n_dups_removed
+FROM fp WHERE rn = 1
+"""
+
+# --- source_quota_sample ----------------------------------------------------
+
+_QUOTA = 40
+
+
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota: keep at most 40 docs per source,
+    chosen by md5-hash order (stable across engines and runs — no RNG
+    state, rerunnable at any scale). The mix-balancing step that stops
+    one crawl domain from dominating the training mix."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QUOTA)
+    )
+
+
+_QUOTA_SQL = f"""
+SELECT source, doc_id, rn FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_QUOTA}
+"""
+
+# --- contamination_ngram_overlap --------------------------------------------
+
+_BENCH_SOURCE = "src0"
+_CONTAM_K = 5
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: share of each candidate doc's distinct
+    5-grams that appear anywhere in the benchmark slice (source=src0).
+
+    The benchmark shingle set is small (a benchmark suite, not a
+    corpus), so it broadcasts; the candidate side never shuffles.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    # source rides through the explode — no join back to the table
+    sh = exploded_shingles(
+        docs, "doc_id", "text", k=_CONTAM_K, extra_cols=("source",)
+    )
+    bench = (
+        sh.filter(F.col("source") == _BENCH_SOURCE)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = sh.filter(F.col("source") != _BENCH_SOURCE)
+    joined = cand.join(F.broadcast(bench), "shingle", "left")
+    return (
+        joined.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_shingles")).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+_CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(t[i:i+{_CONTAM_K - 1}], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - {_CONTAM_K - 2}, 2))) AS u(i)
+),
+bench AS (
+  SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE source = '{_BENCH_SOURCE}'
+)
+SELECT c.doc_id, c.source, COUNT(*) AS n_shingles,
+       COUNT(b.hit) AS n_hits,
+       CAST(COUNT(b.hit) AS DOUBLE) / COUNT(*) AS contamination_rate
+FROM sh c LEFT JOIN bench b ON c.shingle = b.shingle
+WHERE c.source <> '{_BENCH_SOURCE}'
+GROUP BY c.doc_id, c.source
+"""
+
+# --- lineitem_regression_stats ----------------------------------------------
+
+# One formula text shared by both engines: identical parse -> identical
+# IEEE-754 evaluation order -> bit-exact doubles on both sides. Sums are
+# over exact integer cents (sum of squared DOUBLE prices cast to decimal
+# rounds differently across engines in the last ulp); the /100 cent
+# scale is undone at the end. corr is scale-invariant.
+_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100.0"
+_INTERCEPT = "((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 100.0"
+_CORR = "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))"
+
+
+def lineitem_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice on quantity, plus Pearson
+    corr, in closed form from exact integer-cent power sums.
+
+    Equivalent to SQL regr_slope/regr_intercept/corr, but order-
+    insensitive (exact decimal sums of integer cents) and bit-exact
+    across engines — built-in float aggregates are summation-order-
+    sensitive and cannot pass an exact-equality oracle. Map-side
+    combinable; one exchange.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("yc"),
+    )
+
+    def dsum(expr: str, alias: str):
+        return F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double").alias(alias)
+
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x", "sx"),
+        dsum("yc", "sy"),
+        dsum("x * yc", "sxy"),
+        dsum("x * x", "sxx"),
+        dsum("yc * yc", "syy"),
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(_SLOPE).alias("slope"),
+        F.expr(_INTERCEPT).alias("intercept"),
+        F.expr(_CORR).alias("corr_qty_price"),
+    )
+
+
+_REGR_SQL = f"""
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yc
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM cents GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       {_SLOPE} AS slope,
+       {_INTERCEPT} AS intercept,
+       {_CORR} AS corr_qty_price
+FROM sums
+"""
+
+QUERIES = {
+    "pii_pseudonymize_kanon": pii_pseudonymize_kanon,
+    "gopher_repetition_stats": gopher_repetition_stats,
+    "dedup_keep_best": dedup_keep_best,
+    "source_quota_sample": source_quota_sample,
+    "contamination_ngram_overlap": contamination_ngram_overlap,
+    "lineitem_regression_stats": lineitem_regression_stats,
+}
+
+ORACLE = {
+    "pii_pseudonymize_kanon": _PII_SQL,
+    "gopher_repetition_stats": _GOPHER_SQL,
+    "dedup_keep_best": _KEEP_BEST_SQL,
+    "source_quota_sample": _QUOTA_SQL,
+    "contamination_ngram_overlap": _CONTAM_SQL,
+    "lineitem_regression_stats": _REGR_SQL,
+}

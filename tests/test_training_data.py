@@ -1,0 +1,90 @@
+"""Behavioral tests for the training-data curation workloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from big_data_pipeline_spark.workloads import training_data as td
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_kanon_group_sizes_are_true_counts(spark):
+    out = td.pii_pseudonymize_kanon(spark, SF_SMALL).cache()
+    # k reported on every row must equal the actual group size
+    recount = out.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("true_k"), F.max("k_anonymity").alias("reported_k")
+    )
+    assert recount.filter("true_k <> reported_k").count() == 0
+    bad_flag = out.filter(
+        (F.col("suppress") != (F.col("k_anonymity") < td._K_THRESHOLD))
+    )
+    assert bad_flag.count() == 0
+    # pseudonym is a 64-hex sha256, never the raw name
+    assert out.filter(~F.col("name_pseudo").rlike("^[0-9a-f]{64}$")).count() == 0
+
+
+def test_gopher_stats_bounds_and_keep_consistency(spark):
+    rows = td.gopher_repetition_stats(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct <= r.n_tokens
+        assert 0.0 <= r.dup_token_frac < 1.0
+        assert 0.0 < r.top_token_share <= 1.0
+        assert 0.0 < r.top_bigram_share <= 1.0
+        # bigrams repeat at most as sharply as their rarer constituent
+        assert r.keep == (
+            r.dup_token_frac <= td._DUP_FRAC_MAX
+            and r.top_token_share <= td._TOP_TOKEN_MAX
+        )
+
+
+def test_dedup_keep_best_covers_corpus_and_picks_longest(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    kept = td.dedup_keep_best(spark, SF_SMALL).cache()
+    # every source row is absorbed into exactly one group
+    total = kept.agg(F.sum("group_size")).collect()[0][0]
+    assert total == docs.count()
+    # the kept doc is maximal-length within its fingerprint group
+    joined = (
+        docs.select(F.md5("text").alias("fingerprint"), "n_chars")
+        .groupBy("fingerprint")
+        .agg(F.max("n_chars").alias("max_chars"))
+        .join(kept, "fingerprint")
+    )
+    assert joined.filter("n_chars <> max_chars").count() == 0
+
+
+def test_source_quota_respected_and_deterministic(spark):
+    a = td.source_quota_sample(spark, SF_SMALL)
+    per_source = a.groupBy("source").count().collect()
+    assert all(r["count"] <= td._QUOTA for r in per_source)
+    b = td.source_quota_sample(spark, SF_SMALL)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_contamination_rates_bounded_and_exclude_benchmark(spark):
+    out = td.contamination_ngram_overlap(spark, SF_SMALL).cache()
+    assert out.filter(F.col("source") == td._BENCH_SOURCE).count() == 0
+    assert out.filter(
+        (F.col("contamination_rate") < 0) | (F.col("contamination_rate") > 1)
+    ).count() == 0
+    assert out.filter("n_hits > n_shingles").count() == 0
+
+
+def test_regression_stats_match_numpy(spark):
+    out = {r.l_returnflag: r for r in td.lineitem_regression_stats(spark, SF_SMALL).collect()}
+    pdf = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy()
+        y = grp["l_extendedprice"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        corr = np.corrcoef(x, y)[0, 1]
+        r = out[flag]
+        assert r.n_rows == len(grp)
+        assert abs(r.slope - slope) <= 1e-6 * max(1.0, abs(slope))
+        assert abs(r.intercept - intercept) <= 1e-6 * max(1.0, abs(intercept))
+        assert abs(r.corr_qty_price - corr) <= 1e-9
