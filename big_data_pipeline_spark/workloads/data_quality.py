@@ -51,5 +51,73 @@ FROM agg, (
 """
 
 
-QUERIES = {"dq_orders_report": dq_orders_report}
-ORACLE = {"dq_orders_report": _DQ_SQL}
+# --- zscore_outlier_orders: statistical anomaly flagging --------------------
+
+# Shared formula text -> identical IEEE evaluation in both engines. All
+# inputs are exact integer cents, so the doubles agree bit-for-bit.
+_Z = "(xc - s / n) / sqrt((ss - s * s / n) / n)"
+_Z_THRESHOLD = 1.5
+
+
+def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag orders whose total price sits in the far tail (>1.5
+    population-sigma; the synthetic prices are uniform, so |z| is
+    bounded by sqrt(3) and a 3-sigma rule can never fire) of their
+    priority class — the anomaly-detection companion
+    to the expectation suite above.
+
+    Two-pass shape: tiny per-group moment aggregation (map-side
+    combinable), broadcast back, z computed rowside in closed form from
+    exact integer-cent sums. Z-scores are scale-invariant, so the cent
+    scaling cancels and never needs undoing.
+    """
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("xc"),
+    )
+    moments = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    return (
+        orders.join(F.broadcast(moments), "o_orderpriority")
+        .withColumn("zscore", F.expr(_Z))
+        .filter(F.abs(F.col("zscore")) > _Z_THRESHOLD)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "zscore")
+    )
+
+
+_ZSCORE_SQL = f"""
+WITH cents AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc
+  FROM orders
+),
+moments AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS ss
+  FROM cents GROUP BY o_orderpriority
+)
+SELECT o_orderkey, c.o_orderpriority, o_totalprice, {_Z} AS zscore
+FROM cents c JOIN moments m ON c.o_orderpriority = m.o_orderpriority
+WHERE ABS({_Z}) > {_Z_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dq_orders_report": dq_orders_report,
+    "zscore_outlier_orders": zscore_outlier_orders,
+}
+ORACLE = {
+    "dq_orders_report": _DQ_SQL,
+    "zscore_outlier_orders": _ZSCORE_SQL,
+}

@@ -214,7 +214,40 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour: each event lands in exactly
+    two overlapping windows. The one streaming window shape the surface
+    was missing (tumbling/session already covered); state size is
+    windows x event_types, bounded by the watermark."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, "mem_stream_sliding", output_mode="complete")
+
+
+# An event at t belongs to the 2h/1h-slide windows starting at
+# date_trunc(hour, t) and one hour earlier — enumerate both via UNNEST.
+_STREAM_SLIDING_SQL = f"""
+SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {exact_sum_sql("value", "sum_value")}
+FROM events, UNNEST([0, 1]) AS u(o)
+GROUP BY date_trunc('hour', ts) - o * INTERVAL 1 HOUR, event_type
+"""
+
+
 QUERIES = {
+    "stream_sliding_window_counts": stream_sliding_window_counts,
     "stream_tumbling_window_counts": stream_tumbling_window_counts,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_exact": stream_dedup_exact,
@@ -224,6 +257,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_sliding_window_counts": _STREAM_SLIDING_SQL,
     "stream_tumbling_window_counts": _STREAM_TUMBLING_SQL,
     "stream_session_windows": _STREAM_SESSION_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,

@@ -362,7 +362,54 @@ SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 3
 """
 
 
+# --- inverted_index_postings: token -> capped posting list ------------------
+
+_POSTING_CAP = 20
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an inverted index: per token, document frequency and the
+    first 20 doc_ids (ascending) as the posting list.
+
+    The retrieval-side twin of tf-idf: one explode, one distinct, one
+    groupBy on token. collect_list order is nondeterministic under
+    parallel aggregation, so the list is sort_array-ed before capping —
+    the output is exact, not order-lucky. At 100 TB posting lists for
+    stopword-like tokens are the skew risk; the cap bounds both memory
+    and output, and a production index would range-bucket doc_ids per
+    token (the salting pattern in operators/skew.py).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token")
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+_INVERTED_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok AS token
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+)
+SELECT token, COUNT(*) AS df,
+       (list(doc_id ORDER BY doc_id))[1:{_POSTING_CAP}] AS postings
+FROM pairs
+GROUP BY token
+HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
+    "inverted_index_postings": inverted_index_postings,
     "doc_token_stats": doc_token_stats,
     "bpe_token_counts": bpe_token_counts,
     "tfidf_top_terms": tfidf_top_terms,
@@ -374,6 +421,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "inverted_index_postings": _INVERTED_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
     "bpe_token_counts": _BPE_SQL,
     "tfidf_top_terms": _TFIDF_SQL,

@@ -242,6 +242,47 @@ SELECT source, doc_id, rn FROM (
 ) WHERE rn <= {_QUOTA}
 """
 
+# --- weighted_sample_docs ---------------------------------------------------
+
+_SAMPLE_K = 100
+# Efraimidis–Spirakis weighted reservoir key: u^(1/w) with u uniform in
+# (0,1]. u comes from a Knuth multiplicative hash of doc_id instead of an
+# RNG — deterministic, partition-order-free, identical in both engines.
+_ES_KEY = (
+    "pow((((doc_id * 2654435761) % 2147483648) + 1) / 2147483649.0,"
+    " 1.0 / n_chars)"
+)
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample: top-100 by the E-S key, so a
+    doc's inclusion probability is proportional to n_chars without any
+    RNG state (rerunnable, resumable — what a production training-mix
+    sampler needs).
+
+    orderBy().limit(k) plans as TakeOrderedAndProject: each partition
+    keeps its local top-k, only k rows per partition reach the driver
+    merge — no global sort at 100 TB. The key itself is not output
+    (libm pow may differ in the last ulp across engines; ordering is
+    unaffected but raw key bytes would flake the exact-value hash).
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    key = F.expr(_ES_KEY)
+    top = docs.orderBy(key.desc(), F.asc("doc_id")).limit(_SAMPLE_K)
+    w = Window.orderBy(F.expr(_ES_KEY).desc(), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+_WEIGHTED_SQL = f"""
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (ORDER BY {_ES_KEY} DESC, doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= {_SAMPLE_K}
+"""
+
 # --- contamination_ngram_overlap --------------------------------------------
 
 _BENCH_SOURCE = "src0"
@@ -384,11 +425,13 @@ QUERIES = {
     "gopher_repetition_stats": gopher_repetition_stats,
     "dedup_keep_best": dedup_keep_best,
     "source_quota_sample": source_quota_sample,
+    "weighted_sample_docs": weighted_sample_docs,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "lineitem_regression_stats": lineitem_regression_stats,
 }
 
 ORACLE = {
+    "weighted_sample_docs": _WEIGHTED_SQL,
     "pii_pseudonymize_kanon": _PII_SQL,
     "gopher_repetition_stats": _GOPHER_SQL,
     "dedup_keep_best": _KEEP_BEST_SQL,

@@ -88,3 +88,50 @@ def test_regression_stats_match_numpy(spark):
         assert abs(r.slope - slope) <= 1e-6 * max(1.0, abs(slope))
         assert abs(r.intercept - intercept) <= 1e-6 * max(1.0, abs(intercept))
         assert abs(r.corr_qty_price - corr) <= 1e-9
+
+
+def test_weighted_sample_is_exact_k_deterministic_and_length_biased(spark):
+    a = td.weighted_sample_docs(spark, SF_SMALL).cache()
+    assert a.count() == td._SAMPLE_K
+    assert a.filter("rank < 1 or rank > 100").count() == 0
+    b = td.weighted_sample_docs(spark, SF_SMALL)
+    assert a.exceptAll(b).count() == 0
+    # length-weighted keys must skew the sample toward longer docs
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    corpus_avg = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_avg = a.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_avg > corpus_avg
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    from big_data_pipeline_spark.workloads import text as text_wl
+
+    rows = text_wl.inverted_index_postings(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.df >= 2
+        assert len(r.postings) == min(r.df, text_wl._POSTING_CAP)
+        assert r.postings == sorted(r.postings)
+
+
+def test_zscore_outliers_exceed_threshold_and_match_recompute(spark):
+    from big_data_pipeline_spark.workloads import data_quality as dq
+
+    out = dq.zscore_outlier_orders(spark, SF_SMALL).cache()
+    assert out.count() > 0
+    assert out.filter(F.abs(F.col("zscore")) <= dq._Z_THRESHOLD).count() == 0
+    # spot-check one row against a pandas recompute (population sigma)
+    pdf = spark.read.parquet(f"{SF_SMALL}/orders.parquet").toPandas()
+    r = out.orderBy("o_orderkey").first()
+    grp = pdf[pdf.o_orderpriority == r.o_orderpriority].o_totalprice
+    z = (r.o_totalprice - grp.mean()) / grp.std(ddof=0)
+    assert abs(z - r.zscore) < 1e-9
+
+
+def test_stream_sliding_counts_each_event_twice(spark):
+    from big_data_pipeline_spark.workloads import streaming_surface as ss
+
+    out = ss.stream_sliding_window_counts(spark, SF_SMALL)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert total == 2 * n_events
