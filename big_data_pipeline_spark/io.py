@@ -29,19 +29,26 @@ TABLES = (
 )
 
 
-# Columns stored as TIMESTAMP(NANOS) in parquet. Spark has no ns
-# timestamp; with spark.sql.legacy.parquet.nanosAsLong (session.py) they
-# surface as int64 nanos and are truncated to µs here — the same value
-# DuckDB produces, so oracle comparisons stay exact (FIXTURES.md).
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose physical parquet encoding has varied across
+# corpus generations: TIMESTAMP(NANOS) (surfaces as int64 with
+# spark.sql.legacy.parquet.nanosAsLong, session.py), or TIMESTAMP(MICROS)
+# isAdjustedToUTC=false (surfaces as timestamp_ntz). Both are normalized
+# to a session-TZ (UTC) µs timestamp — the same wall-clock value DuckDB
+# produces, so oracle comparisons stay exact (FIXTURES.md).
+_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test-corpus table: ``{sf_dir}/{name}.parquet``."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+    for col in _TS_COLS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dt = dict(df.dtypes)[col]
+        if dt == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
