@@ -1,8 +1,11 @@
 """Benchmark harness: times every registered query at one scale factor.
 
-Prints ONE JSON line:
+The LAST stdout line is ONE compact JSON object (the driver captures the
+tail of stdout, so the machine line must be short and final):
 ``{"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}``
+   "queries": {...top slowest...}, "sf": 0.1, "n_queries": K,
+   "detail": "BENCH_DETAIL.json"}``
+Full per-query timings go to ``BENCH_DETAIL.json`` next to this file.
 
 Env knobs: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32), ``SPARK_GRAFT_SHUFFLE`` (default 32),
@@ -77,7 +80,8 @@ def main() -> int:
             timings[name] = -1.0
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
+    detail_path = REPO / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "total_query_sec",
@@ -85,7 +89,28 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            indent=1,
+        )
+    )
+    # Compact machine line LAST: round-1's full 128-query map overflowed
+    # the driver's stdout tail capture and parsed as null. Keep only the
+    # 10 slowest inline; everything is in BENCH_DETAIL.json.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
     return 0

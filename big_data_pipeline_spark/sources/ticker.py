@@ -13,19 +13,34 @@ apply per task, not per pipeline:
             .option("symbols", "AAPL,MSFT,GOOG")
             .option("periods", "720").load())
 
-The fetch backend is pluggable: the default is the deterministic
-synthetic generator (pipeline.synthetic_bars); a real market-API
-backend would implement ``_fetch`` with the HTTP call and inherit the
-partitioning/limiting for free. Emitted rows are in the *ingested*
-(dirty) shape — suffixed columns are already flattened to canonical
-names here since one source serves all symbols, but timestamps stay
-offset-aware strings exactly like the reference's JSON transport
-(stock_ingestor.py:33-35), so normalize_schema's parsing path is
-exercised end-to-end.
+The fetch backend is pluggable (``option("backend", ...)``):
+
+- ``synthetic`` (default): the deterministic generator
+  (pipeline.synthetic_bars) — offline, reproducible.
+- ``http``: GET ``option("endpoint")`` with ``{symbol}``/``{periods}``
+  substituted, expecting a JSON array of bar objects — the generic
+  stand-in for the reference's market-API fetch
+  (``stock_ingestor.py:22``: ``yf.download`` per symbol). Requests are
+  rate-limited *per executor process* (S2, ``stock_ingestor.py:23``:
+  ``time.sleep(1)`` between fetches) via a process-level throttle:
+  ``option("rate_limit_sec", "1.0")``. On a cluster each Python worker
+  enforces its own interval, so aggregate request rate scales with
+  executor count — cap it by capping fetch-task parallelism
+  (``spark.cores.max`` / a dedicated small pool), not with a global
+  lock (a driver-coordinated limiter would serialize the cluster).
+
+Emitted rows are in the *ingested* (dirty) shape — suffixed columns are
+already flattened to canonical names here since one source serves all
+symbols, but timestamps stay offset-aware strings exactly like the
+reference's JSON transport (stock_ingestor.py:33-35), so
+normalize_schema's parsing path is exercised end-to-end.
 """
 
 from __future__ import annotations
 
+import json
+import time
+import urllib.request
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -36,27 +51,87 @@ _SCHEMA = (
 )
 
 
+class RateLimiter:
+    """Minimum-interval throttle (S2). One instance per Python worker
+    process (module global below): consecutive ``wait()`` calls are
+    spaced ≥ ``interval_sec`` apart, like the reference's
+    ``time.sleep(1)`` between symbol downloads — but enforced at the
+    *slot* that actually issues requests, so it composes with task
+    parallelism instead of serializing the whole job.
+
+    ``clock``/``sleep`` are injectable for deterministic tests.
+    """
+
+    def __init__(self, clock=time.monotonic, sleep=time.sleep):
+        self._clock = clock
+        self._sleep = sleep
+        self._next_ok = 0.0
+
+    def wait(self, interval_sec: float) -> float:
+        """Block until a request slot is free; return seconds slept."""
+        now = self._clock()
+        delay = max(0.0, self._next_ok - now)
+        if delay > 0:
+            self._sleep(delay)
+        self._next_ok = max(now, self._next_ok) + interval_sec
+        return delay
+
+
+_PROCESS_LIMITER = RateLimiter()
+
+
+def _http_fetch_bars(
+    endpoint: str,
+    symbol: str,
+    periods: int,
+    rate_limit_sec: float,
+    timeout_sec: float = 30.0,
+    limiter: RateLimiter | None = None,
+) -> list[dict]:
+    """One rate-limited GET → list of bar dicts (the generic market-API
+    shape: ``[{"Datetime": ..., "Open": ..., ...}, ...]``)."""
+    (limiter or _PROCESS_LIMITER).wait(rate_limit_sec)
+    url = endpoint.format(symbol=symbol, periods=periods)
+    with urllib.request.urlopen(url, timeout=timeout_sec) as resp:  # noqa: S310
+        payload = json.loads(resp.read().decode("utf-8"))
+    if not isinstance(payload, list):
+        raise ValueError(f"ticker endpoint returned non-array JSON for {symbol}")
+    return payload
+
+
 class _SymbolPartition(InputPartition):
-    def __init__(self, symbol: str, periods: int, seed: int):
+    def __init__(self, symbol: str, options: dict):
         self.symbol = symbol
-        self.periods = periods
-        self.seed = seed
+        self.periods = int(options.get("periods", "210"))
+        self.seed = int(options.get("seed", "42"))
+        self.backend = options.get("backend", "synthetic")
+        self.endpoint = options.get("endpoint", "")
+        self.rate_limit_sec = float(options.get("rate_limit_sec", "1.0"))
 
 
 class _TickerReader(DataSourceReader):
     def __init__(self, options: dict):
         raw = options.get("symbols", "AAPL,MSFT,GOOG")
         self.symbols: Sequence[str] = [s for s in raw.split(",") if s]
-        self.periods = int(options.get("periods", "210"))
-        self.seed = int(options.get("seed", "42"))
+        self.options = dict(options)
+        backend = self.options.get("backend", "synthetic")
+        if backend not in ("synthetic", "http"):
+            raise ValueError(f"unknown ticker backend: {backend!r}")
+        if backend == "http" and not self.options.get("endpoint"):
+            raise ValueError("backend=http requires option('endpoint', ...)")
 
     def partitions(self) -> Sequence[InputPartition]:
         # one partition per symbol = the unit of fetch parallelism
-        return [
-            _SymbolPartition(s, self.periods, self.seed) for s in self.symbols
-        ]
+        return [_SymbolPartition(s, self.options) for s in self.symbols]
 
     def read(self, partition: _SymbolPartition) -> Iterator[tuple]:
+        if partition.backend == "http":
+            yield from self._read_http(partition)
+        else:
+            yield from self._read_synthetic(partition)
+
+    @staticmethod
+    def _read_synthetic(partition: _SymbolPartition) -> Iterator[tuple]:
         # runs on executors; import inside to keep the driver light
         from big_data_pipeline_spark.pipeline import synthetic_bars
 
@@ -73,6 +148,27 @@ class _TickerReader(DataSourceReader):
                 float(getattr(row, f"Close_{sym}")),
                 int(getattr(row, f"Volume_{sym}")),
                 sym,
+            )
+
+    @staticmethod
+    def _read_http(partition: _SymbolPartition) -> Iterator[tuple]:
+        bars = _http_fetch_bars(
+            partition.endpoint,
+            partition.symbol,
+            partition.periods,
+            partition.rate_limit_sec,
+        )
+        if not bars:  # S3 empty-fetch guard
+            return
+        for bar in bars:
+            yield (
+                str(bar["Datetime"]),
+                float(bar["Open"]),
+                float(bar["High"]),
+                float(bar["Low"]),
+                float(bar["Close"]),
+                int(bar["Volume"]),
+                partition.symbol,
             )
 
 

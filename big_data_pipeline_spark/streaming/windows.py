@@ -31,32 +31,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) → int64 ns
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events parquet (S5's streaming twin).
 
-    Streaming scans require an explicit schema; ``ts`` arrives as int64
-    nanos (see session.py nanosAsLong) and is truncated to µs exactly
-    like the batch reader, so batch/stream results are comparable.
+    Streaming scans require an explicit schema, but the corpus's physical
+    ``ts`` encoding has varied across generations (io.py ``_TS_COLS``):
+    TIMESTAMP(MICROS) isAdjustedToUTC=false (surfaces as timestamp_ntz),
+    or TIMESTAMP(NANOS) (surfaces as int64 under nanosAsLong). A one-time
+    batch probe of the footer picks the right schema, then both paths
+    normalize to the same session-TZ (UTC) µs timestamp as
+    ``io.read_table`` — batch/stream results stay comparable.
     """
+    path = f"{sf_dir}/events.parquet"
+    # One driver-side footer read — metadata only, no data scan.
+    probed = dict(spark.read.parquet(path).dtypes)["ts"]
+    ntz = probed == "timestamp_ntz"
     # FileStreamSource requires a directory or glob (it derives basePath
     # from the non-glob prefix); the table is a single file, so glob it.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            _events_schema(T.TimestampNTZType() if ntz else T.LongType())
+        )
         .format("parquet")
-        .load(f"{sf_dir}/events.parquet*")
+        .load(f"{path}*")
     )
+    if ntz:
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

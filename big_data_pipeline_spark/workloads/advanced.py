@@ -355,8 +355,10 @@ SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
             WHEN o_totalprice < 200000 THEN 'medium'
             ELSE 'large' END AS bucket,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_urgent
 FROM orders
 GROUP BY 1
 """

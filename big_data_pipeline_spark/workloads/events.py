@@ -146,7 +146,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_PROPS_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
 FROM (
   SELECT event_type, CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
@@ -283,8 +283,9 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

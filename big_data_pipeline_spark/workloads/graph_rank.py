@@ -82,11 +82,20 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # strong is consumed 3× (e1/e2/e3); without a lineage cut the
+        # upstream 5-way join + agg replays per consumer unless exchange
+        # reuse happens to rescue it. Materialize once — the thresholded
+        # edge list is key-cardinality-bounded (≤ |nations|²), so this
+        # is a tiny cached table even at 100 TB input. Same pattern as
+        # pagerank/star-CC (commit 495263f).
+        .localCheckpoint(eager=True)
     )
     e1 = strong.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = strong.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = strong.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    triangles = e1.join(e2, "y").join(e3, ["x", "z"])
+    # triangles also feeds 3 corner projections; it's triangle-count
+    # sized (tiny), so cut lineage here too.
+    triangles = e1.join(e2, "y").join(e3, ["x", "z"]).localCheckpoint(eager=True)
     corners = (
         triangles.select(F.col("x").alias("nation"))
         .unionAll(triangles.select(F.col("y").alias("nation")))

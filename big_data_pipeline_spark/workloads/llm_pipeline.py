@@ -66,7 +66,7 @@ gated AS (
     AND len(regexp_split_to_array(trim(text), '\s+')) >= {_MIN_TOKENS}
     AND lang IN ('en','de','es','fr','zh')
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS min_doc_id
 FROM gated JOIN embeddings ON doc_id = vec_id
 GROUP BY lang

@@ -35,7 +35,8 @@ _MAP_SQL = """
 SELECT k AS key, COUNT(*) AS n,
        MIN(CAST(json_extract(props::JSON, '$.' || k) AS INT)) AS min_v,
        MAX(CAST(json_extract(props::JSON, '$.' || k) AS INT)) AS max_v,
-       SUM(CAST(json_extract(props::JSON, '$.' || k) AS INT)) AS sum_v
+       CAST(SUM(CAST(json_extract(props::JSON, '$.' || k) AS INT)) AS BIGINT)
+         AS sum_v
 FROM (SELECT props, unnest(json_keys(props::JSON)) AS k FROM events)
 GROUP BY k
 """
@@ -108,7 +109,7 @@ SELECT event_type, COUNT(*) AS n_events,
        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 

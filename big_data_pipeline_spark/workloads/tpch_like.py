@@ -236,10 +236,10 @@ def q12_urgency_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS high_priority_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-         AS low_priority_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_priority_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_quantity >= 25 AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY l_returnflag

@@ -155,7 +155,7 @@ uni AS (
   GROUP BY doc_id, tok
 ),
 unistats AS (
-  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
          MAX(cnt) AS top_cnt
   FROM uni GROUP BY doc_id
 ),

@@ -88,3 +88,123 @@ def test_kafka_stream_gated_without_connector(spark):
 
         with pytest.raises(RuntimeError, match="spark-sql-kafka"):
             kafka_stream(spark, "localhost:9092", "events")
+
+
+# --- http backend (S1/S2): fake in-process market API -----------------------
+
+
+def _bars_json(symbol: str, periods: int) -> bytes:
+    import json
+
+    from big_data_pipeline_spark.pipeline import synthetic_bars
+
+    pdf = synthetic_bars(symbol, periods, seed=42)
+    out = [
+        {
+            "Datetime": row.Datetime,
+            "Open": float(getattr(row, f"Open_{symbol}")),
+            "High": float(getattr(row, f"High_{symbol}")),
+            "Low": float(getattr(row, f"Low_{symbol}")),
+            "Close": float(getattr(row, f"Close_{symbol}")),
+            "Volume": int(getattr(row, f"Volume_{symbol}")),
+        }
+        for row in pdf.itertuples(index=False)
+    ]
+    return json.dumps(out).encode()
+
+
+def _start_fake_api():
+    """Tiny HTTP server answering /bars?symbol=X&periods=N; returns
+    (server, thread, port, request_log)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    log = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            sym = q["symbol"][0]
+            periods = int(q["periods"][0])
+            log.append(sym)
+            body = b"[]" if sym == "EMPTY" else _bars_json(sym, periods)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    return srv, th, srv.server_address[1], log
+
+
+def test_ticker_http_backend_matches_synthetic(spark):
+    srv, _, port, log = _start_fake_api()
+    try:
+        register_ticker_source(spark)
+        endpoint = (
+            f"http://127.0.0.1:{port}/bars?symbol={{symbol}}&periods={{periods}}"
+        )
+        read = lambda backend: (  # noqa: E731
+            spark.read.format("ticker")
+            .option("symbols", "AAPL,MSFT,EMPTY")
+            .option("periods", "24")
+            .option("backend", backend)
+            .option("endpoint", endpoint)
+            .option("rate_limit_sec", "0.01")
+            .load()
+        )
+        http_pdf = read("http").toPandas().sort_values(["symbol", "Datetime"])
+        syn = (
+            spark.read.format("ticker")
+            .option("symbols", "AAPL,MSFT")
+            .option("periods", "24")
+            .load()
+            .toPandas()
+            .sort_values(["symbol", "Datetime"])
+        )
+        # EMPTY symbol → S3 guard: no rows, no error
+        assert sorted(set(http_pdf["symbol"])) == ["AAPL", "MSFT"]
+        assert http_pdf.reset_index(drop=True).equals(syn.reset_index(drop=True))
+        assert sorted(log) == ["AAPL", "EMPTY", "MSFT"]  # one fetch per symbol
+    finally:
+        srv.shutdown()
+
+
+def test_ticker_http_backend_requires_endpoint(spark):
+    import pytest
+
+    register_ticker_source(spark)
+    with pytest.raises(Exception, match="endpoint"):
+        (
+            spark.read.format("ticker")
+            .option("backend", "http")
+            .load()
+            .count()
+        )
+
+
+def test_rate_limiter_spaces_requests():
+    from big_data_pipeline_spark.sources.ticker import RateLimiter
+
+    t = {"now": 100.0}
+    slept = []
+
+    def clock():
+        return t["now"]
+
+    def sleep(s):
+        slept.append(s)
+        t["now"] += s
+
+    rl = RateLimiter(clock=clock, sleep=sleep)
+    assert rl.wait(1.0) == 0.0  # first request immediate
+    assert rl.wait(1.0) == 1.0  # second waits the full interval
+    t["now"] += 5.0  # long gap — no wait, no debt accumulation
+    assert rl.wait(1.0) == 0.0
