@@ -2,11 +2,17 @@
 ``python -m scripts.stock_ingestor`` path, unified):
 
     python -m big_data_pipeline_spark pipeline --base-dir /tmp/lake
+    python -m big_data_pipeline_spark pipeline --base-dir D --stage transform
     python -m big_data_pipeline_spark query q1_pricing_summary [--sf-dir D]
     python -m big_data_pipeline_spark list
 
 One SparkSession per invocation; an external scheduler (or cron) can
-call ``pipeline`` repeatedly — every stage write is idempotent.
+call ``pipeline`` repeatedly — every stage write is idempotent, and
+``--stage`` exposes each DAG node as its own verb so an Airflow-style
+scheduler owns the dependency chain while this process owns exactly one
+task instance (G2; reference ``dags/stock_pipeline_dag.py:29-50``).
+``--retries/--retry-delay-sec`` apply the reference's retry policy
+(``:17-18``) in-process.
 """
 
 from __future__ import annotations
@@ -23,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("--base-dir", required=True)
     p_pipe.add_argument("--symbols", default="AAPL,MSFT,GOOG")
     p_pipe.add_argument("--periods", type=int, default=210)
+    p_pipe.add_argument(
+        "--stage",
+        choices=["ingest", "transform", "combine", "predict"],
+        help="run ONE stage (external-scheduler mode); default: whole DAG",
+    )
+    p_pipe.add_argument("--retries", type=int, default=1)
+    p_pipe.add_argument("--retry-delay-sec", type=float, default=300.0)
 
     p_query = sub.add_parser("query", help="run a registered query")
     p_query.add_argument("name")
@@ -46,14 +59,41 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("cli")
     if args.cmd == "pipeline":
-        from big_data_pipeline_spark.pipeline import PipelineConfig, run_pipeline
+        from big_data_pipeline_spark import pipeline as pmod
+        from big_data_pipeline_spark.scheduler import (
+            RetryPolicy,
+            run_pipeline_with_retries,
+            run_stage_with_retries,
+        )
 
-        cfg = PipelineConfig(
+        cfg = pmod.PipelineConfig(
             base_dir=args.base_dir,
             symbols=tuple(args.symbols.split(",")),
             periods=args.periods,
         )
-        preds = run_pipeline(spark, cfg)
+        policy = RetryPolicy(
+            retries=args.retries, retry_delay_sec=args.retry_delay_sec
+        )
+        if args.stage:
+            fn = getattr(pmod, args.stage)
+            run = run_stage_with_retries(
+                args.stage, lambda: fn(spark, cfg), policy
+            )
+            print(
+                f"{run.name}: attempts={run.attempts} "
+                f"ok={run.succeeded} ({run.elapsed_sec:.1f}s)"
+                + (f" err={run.error}" if run.error else "")
+            )
+            return 0 if run.succeeded else 1
+        report = run_pipeline_with_retries(spark, cfg, policy)
+        for run in report.runs:
+            print(
+                f"{run.name}: attempts={run.attempts} ok={run.succeeded} "
+                f"({run.elapsed_sec:.1f}s)"
+            )
+        if not report.succeeded:
+            return 1
+        preds = spark.read.parquet(cfg.layer("predictions"))
         for row in preds.collect():
             print(row.asDict())
         return 0

@@ -48,6 +48,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dt == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
         elif dt == "timestamp_ntz":
+            # ntz→timestamp reinterprets the wall-clock in the SESSION
+            # timezone; oracle-exactness requires it to be UTC, which
+            # session.py pins (spark.sql.session.timeZone=UTC). A caller
+            # overriding the TZ via extra_conf would silently shift ts.
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
