@@ -131,9 +131,20 @@ def minhash_dedup_pairs(
     sh = exploded_shingles(
         docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id", text_col, 3
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    sigs = minhash_signatures(docs, num_perm, id_col, text_col)
+    # Signatures are (num_perm+2) longs per doc — compact at any corpus
+    # size — and feed BOTH sides of the band self-join plus the size
+    # lookup below; cut lineage so the shingle explode + num_perm-way
+    # min aggregation runs exactly once (cluster equivalent: persist or
+    # an intermediate table).
+    sigs = minhash_signatures(docs, num_perm, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    # Shingle-set sizes for Jaccard come from the signature pass's own
+    # n_shingles — the corpus is NOT re-shingled a second time for them.
+    sizes = sigs.select(
+        F.col(id_col).alias("doc_id"), F.col("n_shingles").alias("n")
+    )
     cands = candidate_pairs(sigs, bands, rows_per_band, "doc_id", num_perm=num_perm)
 
     a = sh.alias("sa")

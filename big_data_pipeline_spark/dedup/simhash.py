@@ -68,7 +68,13 @@ def simhash_pairs(
     """
     if chunks <= max_hamming:
         raise ValueError("need chunks > max_hamming for pigeonhole soundness")
-    fps = simhash(docs, id_col, text_col)
+    # The fingerprint table feeds both sides of the self-join; without a
+    # lineage cut the shingle explode + 64-way bit-sum aggregation — the
+    # dominant cost — can replay per side. Fingerprints are 8 bytes/doc,
+    # so materializing is near-free at any scale (measured 5.9s → ~3s at
+    # sf0.1). On a cluster this would be a persist(DISK_ONLY) or an
+    # intermediate table; localCheckpoint is the local[] equivalent.
+    fps = simhash(docs, id_col, text_col).localCheckpoint(eager=True)
     width = BITS // chunks
     mask = (1 << width) - 1
     chunk_vals = F.array(
@@ -98,6 +104,8 @@ def simhash_pairs(
             F.col("b.simhash").alias("simhash2"),
             ham.alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is computed pre-shuffle, so
+        # far-apart candidate pairs never enter the dedup exchange
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
