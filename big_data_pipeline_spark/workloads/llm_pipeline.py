@@ -73,6 +73,111 @@ GROUP BY lang
 """
 
 
+# --- sequence packing: docs -> fixed token-budget training sequences --------
+# The pretraining-loader step the cleaned corpus feeds: concatenate
+# documents in a deterministic order and cut the token stream into
+# fixed-budget sequences. Two formulations:
+#
+# * doc_pack_assign — the CONCAT-AND-SPLIT model (GPT-style packing):
+#   pack boundary every `budget` tokens of the per-language running
+#   stream; a document can straddle a boundary (it's assigned to the
+#   pack its first token lands in). Pure window arithmetic — cumulative
+#   sum then integer division — identical in Spark and DuckDB, so it is
+#   fully oracle-checked.
+# * pack_greedy_binpack — the NO-SPLIT model (first-fit by order): a doc
+#   that would overflow the open pack starts a new one; an oversize doc
+#   gets a pack alone. The capacity reset is inherently stateful (no
+#   closed window form), so it runs as a per-language applyInPandas
+#   sweep — grouped state bounded by docs-per-language partition, the
+#   same shape as the reference's grouped OLS trainer. Rows-only check;
+#   the greedy invariants are pinned in tests/test_llm_pipeline.py.
+#
+# Scale: one shuffle on lang each; the greedy sweep's per-group pass is
+# O(docs-in-group) with nothing driver-side. At 100 TB the lang
+# partition would be (lang, shard) with shard = hash(doc_id) % k to
+# bound group size — packing quality is unaffected since packs never
+# cross shards.
+
+_PACK_BUDGET = 2048
+
+
+def doc_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokenize("text")).alias("n_tokens")
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("stream_start")
+    assigned = toks.withColumn(
+        "pack_id", F.floor(start / F.lit(_PACK_BUDGET))
+    )
+    return (
+        assigned.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_PACK_ASSIGN_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(FLOOR(
+           (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+           / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM assigned
+GROUP BY lang, pack_id
+"""
+
+
+def pack_greedy_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokenize("text")).alias("n_tokens")
+    )
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, pack_id, used = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if used > 0 and used + n > _PACK_BUDGET:
+                pack_id += 1
+                used = 0
+            pack_ids.append(pack_id)
+            used += n
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    packed = toks.groupBy("lang").applyInPandas(
+        pack_group,
+        schema="doc_id long, lang string, n_tokens int, pack_id long",
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
 # --- stratified sampling (rows-only: RNG is engine-specific) -----------------
 
 
@@ -256,6 +361,8 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
+    "doc_pack_assign": doc_pack_assign,
+    "pack_greedy_binpack": pack_greedy_binpack,
     "approx_theta_overlap": approx_theta_overlap,
     "approx_heavy_tokens": approx_heavy_tokens,
     "approx_sketch_rollup": approx_sketch_rollup,
@@ -266,4 +373,5 @@ QUERIES = {
 
 ORACLE = {
     "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
+    "doc_pack_assign": _PACK_ASSIGN_SQL,
 }

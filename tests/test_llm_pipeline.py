@@ -74,3 +74,75 @@ def test_bottomk_sample_deterministic_uniform(spark, sf_dir):
     assert a == b  # reproducible across runs
     assert len(a) == 100
     assert len(set(a)) == 100  # without replacement
+
+
+def test_doc_pack_assign_conservation(spark, sf_dir):
+    """Concat-and-split packing: every pack except a language's last
+    must START inside its budget window, and total tokens are conserved."""
+    from big_data_pipeline_spark.functions.text import tokenize
+    from big_data_pipeline_spark.workloads.llm_pipeline import (
+        _PACK_BUDGET,
+        doc_pack_assign,
+    )
+
+    packs = doc_pack_assign(spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", F.size(tokenize("text")).alias("n")
+    )
+    totals = {
+        r.lang: r.total
+        for r in docs.groupBy("lang").agg(F.sum("n").alias("total")).collect()
+    }
+    got = {}
+    for r in packs:
+        got[r.lang] = got.get(r.lang, 0) + r.pack_tokens
+    assert got == totals  # no tokens lost or duplicated
+    # pack ids are dense from 0 per language (stream split has no gaps)
+    by_lang = {}
+    for r in packs:
+        by_lang.setdefault(r.lang, []).append(r.pack_id)
+    for lang, ids in by_lang.items():
+        assert sorted(ids) == list(range(len(ids))), lang
+        # all but the final pack must span the full budget boundary:
+        # docs assigned to pack p start in [p*B, (p+1)*B), so every
+        # non-final pack's token span reaches the next boundary
+        assert totals[lang] // _PACK_BUDGET <= len(ids)
+
+
+def test_pack_greedy_binpack_invariants(spark, sf_dir):
+    """No-split packing: capacity respected (except oversize singletons),
+    deterministic, and greedy (a new pack opens only on overflow)."""
+    from big_data_pipeline_spark.functions.text import tokenize
+    from big_data_pipeline_spark.workloads.llm_pipeline import (
+        _PACK_BUDGET,
+        pack_greedy_binpack,
+    )
+
+    rows = pack_greedy_binpack(spark, sf_dir).collect()
+    for r in rows:
+        if r.n_docs > 1:
+            assert r.pack_tokens <= _PACK_BUDGET, r
+    # deterministic across runs
+    again = pack_greedy_binpack(spark, sf_dir).collect()
+    key = lambda r: (r.lang, r.pack_id)  # noqa: E731
+    assert sorted(map(tuple, rows), key=str) == sorted(map(tuple, again), key=str)
+    # greedy: consecutive packs cannot be merged — replay the sweep
+    docs = sorted(
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.size(tokenize("text")).alias("n"))
+        .collect(),
+        key=lambda r: (r.lang, r.doc_id),
+    )
+    packed = {key(r): r for r in rows}
+    used, pid, prev_lang = 0, 0, None
+    for d in docs:
+        if d.lang != prev_lang:
+            used, pid, prev_lang = 0, 0, d.lang
+        if used > 0 and used + d.n > _PACK_BUDGET:
+            pid += 1
+            used = 0
+        used += d.n
+        assert (d.lang, pid) in packed
+    for lang in {d.lang for d in docs}:
+        n_packs = sum(1 for (lg, _p) in packed if lg == lang)
+        assert n_packs == 1 + max(p for (lg, p) in packed if lg == lang)
