@@ -113,8 +113,9 @@ _PRIORITY = (
     # the two round-1 hash-typing fixes, early so the fix is proven
     "q12_urgency_shipping_buckets",
     "price_bucket_profile",
-    # join capability representative
-    "q3_shipping_priority",
+    # sequence packing (join capability stays covered in-prefix by
+    # q12_urgency_shipping_buckets, stream_static_enrich, llm_clean)
+    "doc_pack_assign",
     # LLM pipeline: dedup family
     "exact_dedup",
     "minhash_lsh_dedup",
