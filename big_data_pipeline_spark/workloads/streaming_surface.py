@@ -56,6 +56,45 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (streaming/rollup.py): a
+    checkpointed drain maintains the hourly rollup TABLE (update-mode
+    state + keyed MERGE into day-partitioned parquet), then the serving
+    scan answers from pre-aggregated rows. Exposes the exact columns
+    (counts) for the oracle; the maintained double sum is covered by
+    tests/test_rollup.py's batch-equivalence across incremental
+    arrivals, which this one-shot drain can't show."""
+    import tempfile
+
+    from big_data_pipeline_spark.streaming.rollup import (
+        read_rollup,
+        rollup_drain,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="rollup_") as tmp:
+        rollup_dir = f"{tmp}/rollup"
+        # the corpus table is one parquet file; glob it as the watched dir
+        rollup_drain(
+            spark, f"{sf_dir}/events.parquet*", rollup_dir, f"{tmp}/ckpt"
+        )
+        out = read_rollup(spark, rollup_dir).select(
+            "window_start", "event_type", "n_events"
+        )
+        # materialize before the TemporaryDirectory (the scan's input)
+        # is deleted
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
+_STREAM_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` (state-store merge of overlapping
     sessions). Its window end is last-event-ts + gap; the oracle's
@@ -249,6 +288,7 @@ GROUP BY date_trunc('hour', ts) - o * INTERVAL 1 HOUR, event_type
 QUERIES = {
     "stream_sliding_window_counts": stream_sliding_window_counts,
     "stream_tumbling_window_counts": stream_tumbling_window_counts,
+    "stream_continuous_rollup": stream_continuous_rollup,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_stateful_user_stats": stream_stateful_user_stats,
@@ -259,6 +299,7 @@ QUERIES = {
 ORACLE = {
     "stream_sliding_window_counts": _STREAM_SLIDING_SQL,
     "stream_tumbling_window_counts": _STREAM_TUMBLING_SQL,
+    "stream_continuous_rollup": _STREAM_ROLLUP_SQL,
     "stream_session_windows": _STREAM_SESSION_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,
     "stream_click_purchase_attribution": _STREAM_ATTRIB_SQL,

@@ -36,6 +36,7 @@ def test_registry_consistency():
                 "pagerank",
                 "sample",
                 "approx",
+                "binpack",  # greedy capacity reset: stateful, no window form
             )
         ), name
 
