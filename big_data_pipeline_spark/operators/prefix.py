@@ -1,0 +1,90 @@
+"""Distributed prefix (running) sums: the scale-out form of the
+cumulative window.
+
+``SUM(...) OVER (PARTITION BY p ORDER BY o ROWS UNBOUNDED PRECEDING)``
+executes each window partition in ONE task — fine when the partition
+key is high-cardinality (per-user running sums), a single-task
+bottleneck when it is low-cardinality (a per-language token stream at
+100 TB: 5 languages → 5 tasks hold the whole corpus).
+
+``sharded_running_sum`` is the classic two-phase prefix-sum fix:
+
+1. split each window partition into ``shards`` contiguous ranges of the
+   order column (boundaries from ``approxQuantile`` — one bounded
+   driver-side collect of ``shards-1`` doubles),
+2. local running sum within (partition, shard) — all shards in
+   parallel,
+3. per-shard totals (tiny: |parts|×|shards| rows), running-summed into
+   per-shard OFFSETS by an equally tiny window, broadcast-joined back,
+4. global running sum = local sum + shard offset.
+
+The result is bit-identical to the single-task window for exact types
+(integers / decimals); for doubles the summation order changes, which
+is the usual floating-point caveat. Cost: one extra tiny aggregation
+and a broadcast join, no extra shuffle of the data (the local window's
+shuffle replaces the global window's).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sharded_running_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    value_col: str | Column,
+    out_col: str,
+    shards: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = running sum of ``value_col`` over rows
+    ordered by ``order_col`` within ``part_cols`` — semantically equal
+    to the cumulative window, executed with ``shards``-way parallelism
+    per window partition.
+
+    ``order_col`` must be unique within a partition (it is the total
+    order; ties would make any running sum ill-defined).
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    bounds = (
+        df.approxQuantile(
+            order_col, [i / shards for i in range(1, shards)], 0.001
+        )
+        if shards > 1
+        else []
+    )
+    # shard id = number of boundaries strictly below the order value;
+    # duplicate boundaries just leave some shards empty (harmless)
+    shard: Column = reduce(
+        lambda a, b: a + b,
+        [(F.col(order_col) > F.lit(q)).cast("int") for q in bounds],
+        F.lit(0),
+    )
+    local_w = (
+        Window.partitionBy(*part_cols, "__shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("__shard", shard).withColumn(
+        "__local", F.sum(value).over(local_w)
+    )
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy(*part_cols, "__shard")
+        .agg(F.sum(value).alias("__tot"))
+        .withColumn("__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)))
+        .select(*part_cols, "__shard", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "__shard"])
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__shard", "__local", "__off")
+    )

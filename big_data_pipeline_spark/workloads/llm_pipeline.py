@@ -102,14 +102,22 @@ _PACK_BUDGET = 2048
 
 
 def doc_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
     docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
     toks = docs.select(
         "doc_id", "lang", F.size(tokenize("text")).alias("n_tokens")
     )
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("stream_start")
-    assigned = toks.withColumn(
-        "pack_id", F.floor(start / F.lit(_PACK_BUDGET))
+    # A plain per-lang cumulative window caps parallelism at the number
+    # of languages (single-task streams at 100 TB); the two-phase
+    # sharded prefix sum computes the identical integer cumsum with
+    # shards-way parallelism per language (operators/prefix.py).
+    cum = sharded_running_sum(
+        toks, ["lang"], "doc_id", "n_tokens", "cum_tokens"
+    )
+    assigned = cum.withColumn(
+        "pack_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(_PACK_BUDGET)),
     )
     return (
         assigned.groupBy("lang", "pack_id")

@@ -290,3 +290,55 @@ def test_snapshot_diff_classifies_and_drops_noops(spark):
     assert [r.k for r in by_op["D"]] == [None]
     u2 = next(r for r in by_op["U"] if r.k == 2)
     assert (u2.v_before, u2.v_after) == (20.0, 25.0)
+
+
+def test_sharded_running_sum_equals_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import read_table
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("event_id") % 7).alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = ev.withColumn("cum", F.sum("v").over(w))
+    for shards in (1, 4, 32):
+        got = sharded_running_sum(
+            ev, ["user_id"], "event_id", "v", "cum", shards=shards
+        )
+        a = sorted(map(tuple, got.select("event_id", "cum").collect()))
+        b = sorted(map(tuple, want.select("event_id", "cum").collect()))
+        assert a == b, shards
+
+
+def test_sharded_running_sum_low_cardinality_partition(spark, sf_dir):
+    """The motivating case: ONE window partition, shards-way parallel."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import read_table
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("all").alias("g"), F.length("text").alias("n")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        map(tuple, docs.withColumn("cum", F.sum("n").over(w))
+            .select("doc_id", "cum").collect())
+    )
+    got = sorted(
+        map(tuple, sharded_running_sum(docs, ["g"], "doc_id", "n", "cum", 8)
+            .select("doc_id", "cum").collect())
+    )
+    assert got == want
