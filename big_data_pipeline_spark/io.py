@@ -331,31 +331,7 @@ def merge_upsert(
         merged.write.mode("overwrite").parquet(target_path)
 
 
-def zorder_key(cols: list[str], bits: int = 16) -> Column:
-    """Z-order (Morton) key over numeric columns: each value is ranked
-    into a ``bits``-wide bucket index via percent_rank, then the bit
-    planes are interleaved. Rows close in the key are close in EVERY
-    dimension, so sorting by it gives parquet row-groups tight min/max
-    ranges on all participating columns at once — multi-column data
-    skipping from one sort, where a lexicographic sort only prunes the
-    leading column.
-    """
-    if len(cols) * bits > 63:
-        raise ValueError(
-            f"z-order key needs {len(cols) * bits} bits but a signed long "
-            "holds 63 — lower `bits` (e.g. bits=15 supports 4 columns) so "
-            "the interleaved key cannot overflow into the sign bit and "
-            "tear the curve"
-        )
-    ranked = [
-        F.percent_rank().over(Window.orderBy(F.col(c))) for c in cols
-    ]
-    idxs = [
-        F.least(
-            F.floor(r * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
-        )
-        for r in ranked
-    ]
+def _interleave_bits(idxs: list[Column], bits: int) -> Column:
     key = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):
         for i in idxs:
@@ -363,24 +339,85 @@ def zorder_key(cols: list[str], bits: int = 16) -> Column:
     return key
 
 
+def _zorder_check(cols: list[str], bits: int) -> None:
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"z-order key needs {len(cols) * bits} bits but a signed long "
+            "holds 63 — lower `bits` (e.g. bits=15 supports 4 columns) so "
+            "the interleaved key cannot overflow into the sign bit and "
+            "tear the curve"
+        )
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 15,
+    out_col: str = "_zkey",
+    tiebreak_cols: list[str] | None = None,
+    shards: int = 64,
+) -> DataFrame:
+    """Append a Z-order (Morton) key over numeric columns: each value is
+    ranked into a ``bits``-wide bucket index, then the bit planes are
+    interleaved. Rows close in the key are close in EVERY dimension, so
+    sorting by it gives parquet row-groups tight min/max ranges on all
+    participating columns at once — multi-column data skipping from one
+    sort, where a lexicographic sort only prunes the leading column.
+
+    Ranks come from the sharded prefix sum (operators/prefix.py), NOT a
+    global-order window — a global percent_rank funnels the whole table
+    through one task, which is exactly the bottleneck a layout rewrite
+    of a 100 TB table cannot afford. Cost: one bounded quantile probe +
+    one shuffle per key column, all ``shards``-way parallel.
+
+    ``tiebreak_cols`` (default: none needed when each col is unique)
+    deterministically orders equal values; equal values only ever land
+    in the same or adjacent rank buckets either way.
+    """
+    _zorder_check(cols, bits)
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    n = df.count()
+    out = df
+    for c in cols:
+        out = sharded_running_sum(
+            out,
+            [],
+            c,
+            F.lit(1),
+            f"__rn_{c}",
+            shards=shards,
+            tiebreak_cols=tiebreak_cols,
+        )
+    idxs = [
+        F.least(
+            F.floor((F.col(f"__rn_{c}") - 1) * (1 << bits) / F.lit(n)).cast(
+                "long"
+            ),
+            F.lit((1 << bits) - 1),
+        )
+        for c in cols
+    ]
+    return out.withColumn(out_col, _interleave_bits(idxs, bits)).drop(
+        *[f"__rn_{c}" for c in cols]
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     cols: list[str],
     n_files: int = 8,
-    bits: int = 16,
+    bits: int = 15,
+    tiebreak_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` clustered by the Z-order of ``cols``.
 
     ``repartitionByRange`` on the key splits the curve into contiguous
     segments (one per output file) and sorts within each — every file
-    covers a compact hyper-rectangle of the column space. NOTE the
-    global percent_rank in zorder_key is a single-partition window —
-    fine for bounded batches; at 100 TB replace the rank with fixed
-    quantile boundaries from approx_percentile (same key shape, no
-    global window) — the layout and skipping behavior are identical.
+    covers a compact hyper-rectangle of the column space.
     """
-    keyed = df.withColumn("_zkey", zorder_key(cols, bits))
+    keyed = with_zorder_key(df, cols, bits, "_zkey", tiebreak_cols)
     (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")

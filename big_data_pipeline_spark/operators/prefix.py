@@ -40,14 +40,18 @@ def sharded_running_sum(
     value_col: str | Column,
     out_col: str,
     shards: int = 32,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = running sum of ``value_col`` over rows
-    ordered by ``order_col`` within ``part_cols`` — semantically equal
-    to the cumulative window, executed with ``shards``-way parallelism
-    per window partition.
+    ordered by ``order_col`` (then ``tiebreak_cols``) within
+    ``part_cols`` — semantically equal to the cumulative window,
+    executed with ``shards``-way parallelism per window partition.
 
-    ``order_col`` must be unique within a partition (it is the total
-    order; ties would make any running sum ill-defined).
+    ``(order_col, *tiebreak_cols)`` must be unique within a partition
+    (it is the total order; ties would make any running sum
+    ill-defined). Shard boundaries come from ``order_col`` alone; rows
+    tied on a boundary value fall in one shard, where the tiebreak
+    orders them.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     bounds = (
@@ -64,9 +68,10 @@ def sharded_running_sum(
         [(F.col(order_col) > F.lit(q)).cast("int") for q in bounds],
         F.lit(0),
     )
+    order = [order_col, *(tiebreak_cols or [])]
     local_w = (
         Window.partitionBy(*part_cols, "__shard")
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = df.withColumn("__shard", shard).withColumn(

@@ -232,10 +232,51 @@ def test_merge_upsert_key_moving_partitions_leaves_no_stale_copy(spark, tmp_path
 def test_zorder_rejects_key_overflow(spark):
     import pytest
 
-    from big_data_pipeline_spark.io import zorder_key
+    from big_data_pipeline_spark.io import with_zorder_key
 
+    df = spark.range(4)
     with pytest.raises(ValueError, match="63"):
-        zorder_key(["a", "b", "c", "d"], bits=16)
+        with_zorder_key(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_key_parallel_rank_clusters_both_dims(spark, tmp_path):
+    """The sharded-rank z-key must interleave: sorting by it clusters
+    BOTH columns, and its plan has no global-order window."""
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import with_zorder_key, zorder_write
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).alias("y"),
+    )
+    keyed = with_zorder_key(df, ["x", "y"], bits=6, tiebreak_cols=["rid"])
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan is shard-partitioned or offset-tiny —
+    # no single global-order window over the data
+    assert "percent_rank" not in plan
+    # write clustered into files; each file must cover a tight x range
+    # AND a tight y range (lexicographic sort would only bound one)
+    path = str(tmp_path / "z")
+    zorder_write(df, path, ["x", "y"], n_files=16, bits=6, tiebreak_cols=["rid"])
+    import pyarrow.parquet as pq
+
+    spans_x, spans_y = [], []
+    import glob as _glob
+
+    for f in _glob.glob(path + "/*.parquet"):
+        t = pq.read_table(f)
+        xs = t.column("x").to_pylist()
+        ys = t.column("y").to_pylist()
+        if xs:
+            spans_x.append(max(xs) - min(xs))
+            spans_y.append(max(ys) - min(ys))
+    # 16 files over a 64x64 grid: a z-layout keeps BOTH average spans
+    # well under the full 63 extent
+    assert sum(spans_x) / len(spans_x) < 40
+    assert sum(spans_y) / len(spans_y) < 40
 
 
 def test_write_audit_publish_gates_bad_data(spark, tmp_path):
