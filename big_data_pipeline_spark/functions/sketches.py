@@ -43,27 +43,35 @@ def kmv_sketch(
     df: DataFrame, group_col: str, value_col: str, k: int
 ) -> DataFrame:
     """Per-group KMV sketch: (group, sketch array<double> sorted asc,
-    n_distinct). One distinct shuffle + one windowed pass: the per-group
-    exact count rides along as an unordered window aggregate over the
-    same partitioning (no second scan, no join — both Window operators
-    reuse the one exchange)."""
+    n_distinct).
+
+    The k smallest hashes per group use ``row_number <= k``, which the
+    optimizer rewrites to WindowGroupLimit — each input partition keeps
+    only its local top-k BEFORE the shuffle, so a low-cardinality group
+    column doesn't funnel the whole distinct set through one task. The
+    exact per-group count deliberately does NOT ride along as an
+    unordered window over the same partitioning (that window would
+    process every group in one task); it's a map-side-combinable
+    groupBy joined back broadcast — groups are few by construction.
+    """
     distinct = (
         df.select(group_col, value_col)
         .distinct()
         .withColumn("__u", normalized_hash(value_col))
     )
+    counts = distinct.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
     w = Window.partitionBy(group_col).orderBy("__u")
-    w_all = Window.partitionBy(group_col)
     return (
-        distinct.withColumn("__n", F.count(F.lit(1)).over(w_all))
-        .withColumn("__rn", F.row_number().over(w))
+        distinct.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .groupBy(group_col)
         .agg(
             F.sort_array(F.collect_list("__u")).alias("sketch"),
             F.max("__rn").alias("n_kept"),
-            F.max("__n").alias("n_distinct"),
         )
+        .join(F.broadcast(counts), group_col)
     )
 
 
