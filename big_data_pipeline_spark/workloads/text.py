@@ -408,7 +408,74 @@ HAVING COUNT(*) >= 2
 """
 
 
+# --- doc_chunk_overlap: RAG/window chunking ---------------------------------
+# Split each document's token stream into fixed-size chunks with a
+# fixed overlap (stride = size - overlap) — the retrieval-index /
+# context-window preparation step downstream embedders consume. Chunk
+# starts are enumerated with sequence() + explode and sliced with
+# slice(): one narrow map-side explode per doc, no shuffle until the
+# consumer — the same fan-out shape as shingling, linear at any corpus
+# size. A doc shorter than one chunk yields exactly one (partial)
+# chunk; the tail chunk may be short.
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("t") - F.lit(_CHUNK_SIZE)) / F.lit(_CHUNK_STRIDE)) + 1,
+        F.lit(1),
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (n_chunks - 1).cast("bigint"))
+        ).alias("chunk_id"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * _CHUNK_STRIDE).alias("start_tok"),
+        F.least(
+            F.col("chunk_id") * _CHUNK_STRIDE + _CHUNK_SIZE, F.col("n_tokens")
+        ).alias("end_tok"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "t", F.col("chunk_id") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE)
+            ),
+        ).alias("chunk_text"),
+    )
+    return chunks
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, len(t) AS n_tokens, t,
+         UNNEST(range(0, GREATEST(
+           CAST(CEIL((len(t) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS BIGINT) + 1,
+           1))) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_STRIDE} AS start_tok,
+       LEAST(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n_tokens) AS end_tok,
+       array_to_string(
+         t[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+         ' ') AS chunk_text
+FROM spans
+"""
+
+
 QUERIES = {
+    "doc_chunk_overlap": doc_chunk_overlap,
     "inverted_index_postings": inverted_index_postings,
     "doc_token_stats": doc_token_stats,
     "bpe_token_counts": bpe_token_counts,
@@ -421,6 +488,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_chunk_overlap": _CHUNK_SQL,
     "inverted_index_postings": _INVERTED_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
     "bpe_token_counts": _BPE_SQL,
