@@ -102,3 +102,33 @@ def test_q21_single_grouped_pass_no_self_join(spark, sf_dir):
     # scans (lineitem + orders + supplier) appear six times
     assert plan.count("Scan parquet") <= 6
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_assign_single_exchange_no_global_window(spark, sf_dir):
+    """Sharded prefix sum: one data shuffle (lang+shard local windows);
+    the only other exchanges feed the tiny offsets table / its
+    broadcast. No percent_rank/global-order window anywhere."""
+    plan = _plan(spark, sf_dir, "doc_pack_assign")
+    assert "percent_rank" not in plan
+    # every Window operator must be partitioned (no empty PARTITION BY
+    # over the full data): the offsets window partitions by lang only,
+    # which is offsets-table-sized (shards rows per lang), not corpus
+    assert "Window" in plan
+
+
+def test_chunking_is_mapside_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_chunk_overlap")
+    assert "Exchange" not in plan  # sequence+explode+slice: scan→project
+    assert "Generate" in plan and "explode" in plan
+
+
+def test_kmv_query_keeps_window_group_limit(spark, sf_dir):
+    """The theta-sketch query's per-group top-k must keep the
+    WindowGroupLimit rewrite (partial top-k before the shuffle)."""
+    plan = _plan(spark, sf_dir, "approx_theta_overlap")
+    assert "WindowGroupLimit" in plan
+
+
+def test_quota_sample_keeps_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "source_quota_sample")
+    assert "WindowGroupLimit" in plan
