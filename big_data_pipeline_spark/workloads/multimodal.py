@@ -63,28 +63,72 @@ FROM documents
 """
 
 
-# --- Arrow-batched feature extraction (rows-only) ---------------------------
+# --- Arrow-batched feature extraction (oracle-checked via hex space) --------
+# DuckDB in this build has no BLOB substring/digest functions, so the
+# independent twin works in HEX space: hex(encode(text)) is the byte
+# stream as a string, the high nibble of byte i is hex char 2i+1, and a
+# frame's bytes are a 128-char hex slice. That makes both the histogram
+# features and the sampled frame CONTENTS exactly comparable without
+# shipping raw binary through the hash (whose cross-engine bytes
+# canonicalization is not contract).
 
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_fake_media(read_table(spark, sf_dir, "documents"))
     feats = byte_histogram_features(docs.select("doc_id", "media"))
+    # f0 = fraction of bytes with high nibble 0 (ASCII control: \n,\t);
+    # f14 = nibble 0xE (CJK UTF-8 lead bytes) — exercises multibyte text
     return feats.select(
         "doc_id",
         F.col("features").getItem(0).alias("f0"),
-        F.aggregate(
-            "features", F.lit(0.0), lambda acc, x: acc + x
-        ).alias("feature_mass"),
+        F.col("features").getItem(14).alias("f14"),
         F.size("features").alias("n_bins"),
     )
+
+
+_FEATURE_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN nb = 0 THEN 0.0 ELSE
+         CAST(len(list_filter(range(0, nb),
+                              i -> substring(hx, i*2+1, 1) = '0')) AS DOUBLE)
+         / nb END AS f0,
+       CASE WHEN nb = 0 THEN 0.0 ELSE
+         CAST(len(list_filter(range(0, nb),
+                              i -> substring(hx, i*2+1, 1) = 'E')) AS DOUBLE)
+         / nb END AS f14,
+       16 AS n_bins
+FROM h
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_fake_media(read_table(spark, sf_dir, "documents"))
     frames = frame_sample(docs.select("doc_id", "media"), frame_bytes=64, stride=4)
     return frames.select(
-        "doc_id", "frame_idx", F.octet_length("frame").alias("frame_bytes")
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.hex("frame").alias("frame_hex"),
     )
+
+
+_FRAME_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(LEAST(64, nb - i*64) AS INT) AS frame_bytes,
+       substring(hx, i*128 + 1, 128) AS frame_hex
+FROM h, UNNEST(range(0, GREATEST(nb // 64, 1), 4)) AS u(i)
+"""
 
 
 # --- embedding-cosine near-duplicate pairs (oracle-checked) -----------------
@@ -144,5 +188,7 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_binary_meta": _BINARY_META_SQL,
+    "multimodal_feature_extract": _FEATURE_SQL,
+    "multimodal_frame_sample": _FRAME_SQL,
     "embedding_near_dups": _NEARDUP_SQL,
 }
