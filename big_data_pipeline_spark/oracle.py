@@ -28,13 +28,26 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,6)"
 
 
+# DuckDB's direct DECIMAL→DOUBLE cast is NOT correctly rounded once the
+# decimal's digits exceed double precision (observed: 1-ulp error on a
+# 20-digit DECIMAL(38,0) at sf0.1 — the int128 is converted piecewise).
+# Spark's cast (BigDecimal.doubleValue) IS correctly rounded. Routing
+# the oracle's cast through VARCHAR (exact digits → strtod, correctly
+# rounded) makes both engines bit-identical at ANY magnitude.
+
+
+def _dec_to_double_sql(inner: str) -> str:
+    return f"CAST(CAST({inner} AS VARCHAR) AS DOUBLE)"
+
+
 def exact_sum(expr_sql: str, alias: str) -> Column:
     """Order-insensitive SUM of a double expression, returned as double."""
     return F.sum(F.expr(expr_sql).cast(DEC)).cast("double").alias(alias)
 
 
 def exact_sum_sql(expr_sql: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr_sql} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+    inner = f"SUM(CAST({expr_sql} AS DECIMAL(38,6)))"
+    return f"{_dec_to_double_sql(inner)} AS {alias}"
 
 
 def exact_avg(expr_sql: str, alias: str) -> Column:
@@ -45,7 +58,5 @@ def exact_avg(expr_sql: str, alias: str) -> Column:
 
 
 def exact_avg_sql(expr_sql: str, alias: str) -> str:
-    return (
-        f"CAST(SUM(CAST({expr_sql} AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT(*) AS {alias}"
-    )
+    inner = f"SUM(CAST({expr_sql} AS DECIMAL(38,6)))"
+    return f"{_dec_to_double_sql(inner)} / COUNT(*) AS {alias}"

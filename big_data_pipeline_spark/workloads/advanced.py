@@ -90,7 +90,7 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEFT_JOIN_SQL = """
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
-       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0)
+       COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE), 0.0)
          AS total_spend
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
@@ -316,9 +316,9 @@ def moving_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOVING_SUM_SQL = """
 SELECT event_id, user_id, ts,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS moving_sum
 FROM events
 """
 
@@ -558,7 +558,7 @@ def time_range_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TIME_RANGE_SQL = """
 SELECT user_id, event_id,
        COUNT(*) OVER wr AS n_trailing_1h,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wr AS DOUBLE)
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wr AS VARCHAR) AS DOUBLE)
          AS sum_trailing_1h,
        PERCENT_RANK() OVER wd AS pr,
        CUME_DIST() OVER wd AS cd

@@ -103,8 +103,8 @@ WITH cents AS (
 moments AS (
   SELECT o_orderpriority,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS s,
-         CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS ss
+         CAST(CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS ss
   FROM cents GROUP BY o_orderpriority
 )
 SELECT o_orderkey, c.o_orderpriority, o_totalprice, {_Z} AS zscore

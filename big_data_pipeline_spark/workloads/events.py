@@ -104,7 +104,9 @@ def grouped_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             (
-                F.sum(F.expr("pow(value - m, 2)").cast(DEC)).cast("double")
+                # (x)*(x), not pow(x,2): one IEEE multiply needs no libm
+                # parity between JVM and C across engines
+                F.sum(F.expr("(value - m) * (value - m)").cast(DEC)).cast("double")
                 / F.count(F.lit(1))
             ).alias("mse"),
             F.count(F.lit(1)).alias("n_events"),
@@ -115,12 +117,12 @@ def grouped_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROUPED_MSE_SQL = """
 WITH t AS (
   SELECT user_id, value,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id) AS VARCHAR) AS DOUBLE)
            / COUNT(*) OVER (PARTITION BY user_id) AS m
   FROM events
 )
 SELECT user_id,
-       CAST(SUM(CAST(pow(value - m, 2) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mse,
+       CAST(CAST(SUM(CAST((value - m) * (value - m) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mse,
        COUNT(*) AS n_events
 FROM t GROUP BY user_id
 """
@@ -390,11 +392,11 @@ WITH ordered AS (
 stats AS (
   SELECT user_id,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy
   FROM ordered WHERE y IS NOT NULL GROUP BY user_id
 ),
 last_row AS (

@@ -60,13 +60,13 @@ _FEATURES_SQL = f"""
 SELECT event_id, user_id, ts, value,
        CASE WHEN LAG(value, 1) OVER w <> 0
             THEN value / LAG(value, 1) OVER w - 1.0 END AS lag_return,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE)
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS VARCHAR) AS DOUBLE)
          / CAST(COUNT(*) OVER f AS DOUBLE) AS rolling_mean,
        CASE WHEN COUNT(*) OVER f > 1 THEN
          (CAST(COUNT(*) OVER f AS DOUBLE)
-            * CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER f AS DOUBLE)
-          - CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE)
-            * CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS DOUBLE))
+            * CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER f AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER f AS VARCHAR) AS DOUBLE))
          / (CAST(COUNT(*) OVER f AS DOUBLE)
             * (CAST(COUNT(*) OVER f AS DOUBLE) - 1))
        END AS rolling_var
@@ -98,7 +98,7 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_MULTI_SQL = """
 SELECT hour_start, day_start, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM (
   SELECT date_trunc('hour', ts) AS hour_start,
          date_trunc('day', ts) AS day_start,

@@ -111,8 +111,8 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRIANGLE_SQL = """
 WITH e AS (
   SELECT s.n_name AS src, c2.n_name AS dst,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -123,7 +123,7 @@ WITH e AS (
 ),
 strong AS (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM e, (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+  FROM e, (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
                     / COUNT(*) AS avg_rev FROM e) t
   WHERE revenue > 1.8 * avg_rev AND src <> dst
 ),

@@ -148,9 +148,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = f"""
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
-                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
+                          ELSE CAST(0 AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM o_orderdate) AS o_year,
          CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
@@ -269,10 +269,10 @@ def q14_brand_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_SQL = """
-SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+SELECT CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
                           THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) * 100.0
-       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+                          ELSE 0.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * 100.0
+       / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
@@ -371,7 +371,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_SQL = f"""
 WITH avg_bal AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS a
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS a
   FROM customer
 )
 SELECT c_mktsegment, COUNT(*) AS n_customers,

@@ -294,7 +294,7 @@ WITH pa AS (
   FROM lineitem GROUP BY pk
 )
 SELECT COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / 7.0
          AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -344,7 +344,7 @@ WHERE s_suppkey IN (
   WHERE p_name LIKE '%widget%'
     AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
   GROUP BY l_suppkey, l_partkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > {_Q20_QTY}
+  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) > {_Q20_QTY}
 )
 """
 

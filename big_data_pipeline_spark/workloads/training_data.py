@@ -405,11 +405,11 @@ WITH cents AS (
 sums AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * yc AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syy
   FROM cents GROUP BY l_returnflag
 )
 SELECT l_returnflag,
