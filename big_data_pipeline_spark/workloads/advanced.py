@@ -603,8 +603,104 @@ FROM melted GROUP BY component
 """
 
 
+# --- set ops with ALL (multiset) semantics ----------------------------------
+# intersect/except_customer_keys pin the DISTINCT forms; these pin the
+# multiset forms — duplicate counts carry through (min for INTERSECT
+# ALL, difference for EXCEPT ALL), which is what dedup accounting and
+# delta reconciliation actually need. Same plan shape as the distinct
+# forms: one shuffle on the compared columns, partial-agg'd counts.
+
+
+def intersect_all_item_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    return (
+        a.intersectAll(b)
+        .groupBy("l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_INTERSECT_ALL_SQL = """
+SELECT l_quantity, COUNT(*) AS n FROM (
+  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT ALL
+  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+) GROUP BY l_quantity
+"""
+
+
+def except_all_item_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    return (
+        a.exceptAll(b)
+        .groupBy("l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EXCEPT_ALL_SQL = """
+SELECT l_quantity, COUNT(*) AS n FROM (
+  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+  EXCEPT ALL
+  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+) GROUP BY l_quantity
+"""
+
+
+# --- nth_value / first_value / last_value frame semantics -------------------
+# The remaining analytic-window family: value extraction at fixed frame
+# positions, with the full-partition frame spelled explicitly (default
+# frames differ between RANGE CURRENT ROW and full partition — pinning
+# the frame is what makes engines agree).
+
+
+def nth_order_values_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("first_price", F.first("o_totalprice").over(w))
+        .withColumn("second_price", F.nth_value("o_totalprice", 2).over(w))
+        .withColumn("last_price", F.last("o_totalprice").over(w))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("first_price").alias("first_price"),
+            F.max("second_price").alias("second_price"),
+            F.max("last_price").alias("last_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_NTH_VALUE_SQL = """
+WITH v AS (
+  SELECT o_custkey,
+         FIRST_VALUE(o_totalprice) OVER w AS first_price,
+         NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+         LAST_VALUE(o_totalprice) OVER w AS last_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey, MAX(first_price) AS first_price,
+       MAX(second_price) AS second_price, MAX(last_price) AS last_price,
+       COUNT(*) AS n_orders
+FROM v GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
+    "intersect_all_item_quantities": intersect_all_item_quantities,
+    "except_all_item_quantities": except_all_item_quantities,
+    "nth_order_values_per_customer": nth_order_values_per_customer,
     "semi_join_open_orders": semi_join_open_orders,
     "left_join_order_counts": left_join_order_counts,
     "rollup_order_revenue": rollup_order_revenue,
@@ -629,6 +725,9 @@ QUERIES = {
 
 ORACLE = {
     "anti_join_no_orders": _ANTI_SQL,
+    "intersect_all_item_quantities": _INTERSECT_ALL_SQL,
+    "except_all_item_quantities": _EXCEPT_ALL_SQL,
+    "nth_order_values_per_customer": _NTH_VALUE_SQL,
     "semi_join_open_orders": _SEMI_SQL,
     "left_join_order_counts": _LEFT_JOIN_SQL,
     "rollup_order_revenue": _ROLLUP_SQL,

@@ -38,3 +38,32 @@ def test_exact_avg_matches_duckdb(spark):
     got = df.agg(exact_avg("x", "a")).first()["a"]
     want = _duck(pdf, exact_avg_sql("x", "a"))
     assert got == want
+
+
+def test_exact_sum_partition_invariant(spark):
+    """The §7 determinism claim: the decimal-routed sum returns the
+    SAME double at any parallelism (a raw double sum would not)."""
+    pdf = pd.DataFrame({"x": [0.1 * i + 1e9 for i in range(1, 5000)]})
+    results = set()
+    for parts in (1, 3, 16, 64):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        results.add(df.agg(exact_sum("x", "s")).first()["s"].hex())
+    assert len(results) == 1, results
+
+
+def test_dec_to_double_cast_correctly_rounded_beyond_2_53():
+    """The sf0.1 regression pinned: DuckDB's direct DECIMAL→DOUBLE cast
+    mis-rounds huge decimals; the VARCHAR route must agree with Python's
+    correctly-rounded float() at every magnitude."""
+    import duckdb
+
+    from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+    con = duckdb.connect()
+    for digits in ("25133409346739793615322624",  # the observed ss value
+                   "12345678901234567890123456789",
+                   "99999999999999999999.999999"):
+        got = con.execute(
+            f"SELECT {_dec_to_double_sql(f'CAST({digits} AS DECIMAL(38,6))')}"
+        ).fetchone()[0]
+        assert got.hex() == float(digits).hex(), digits
