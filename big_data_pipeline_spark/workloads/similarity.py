@@ -150,8 +150,121 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=_K, n_clusters=16, n_probe=6)
 
 
+# --- label_centroid_margin: embedding-space label purity --------------------
+# The curation question behind it: do the embedding clusters agree with
+# the labels? Per-label centroids (exact decimal per-dimension sums →
+# one double division each — order-free, so the centroid doubles are
+# engine-identical), then each vector scores against every centroid with
+# the unrolled fixed-association cosine; margin = cos(own) − best other.
+# Negative margins flag probable label noise — rows to route to review
+# or drop before training.
+#
+# Scale: the per-dim sums are ONE map-side-combinable aggregation (64
+# wide columns, no explode shuffle); centroids are label-count-sized and
+# broadcast; scoring is a narrow map-side pass. Output is per-vector.
+
+_DIMS = EMB_DIMS_DEFAULT
+
+
+def _centroid_cols() -> list:
+    from big_data_pipeline_spark.oracle import DEC
+
+    return [
+        F.sum(F.col("embedding").getItem(i).cast("double").cast(DEC))
+        .cast("double")
+        .alias(f"s{i}")
+        for i in range(_DIMS)
+    ]
+
+
+def label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), *_centroid_cols())
+        .select(
+            F.col("label").alias("clabel"),
+            *[(F.col(f"s{i}") / F.col("n")).alias(f"c{i}") for i in range(_DIMS)],
+        )
+    )
+    # Score via the Arrow seq_cosine kernel — same left-associated IEEE
+    # order as the oracle's unrolled chain (bit-identical doubles), ~3x
+    # the interpreted 192-term expression (Spark refuses codegen for
+    # chains this wide). Norms: the 10-row centroid side is interpreted
+    # (trivial); the per-vector norm is one unrolled pass.
+    c_sqn_expr = " + ".join(f"c{i} * c{i}" for i in range(_DIMS))
+    cents = cents.select(
+        "clabel",
+        F.array(*[F.col(f"c{i}") for i in range(_DIMS)]).alias("cent"),
+        F.expr(c_sqn_expr).alias("sqn_c"),
+    )
+    v_sqn = sq_norm_sql("embedding", _DIMS, offset=0)
+    scored = (
+        emb.select(
+            "vec_id", "label", "embedding", F.expr(v_sqn).alias("sqn_v")
+        )
+        .join(F.broadcast(cents))
+        .withColumn(
+            "cos",
+            seq_cosine(
+                F.col("embedding"),
+                F.col("cent"),
+                F.col("sqn_v"),
+                F.col("sqn_c"),
+            ),
+        )
+    )
+    own = F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos")))
+    other = F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos")))
+    return (
+        scored.groupBy("vec_id", "label")
+        .agg(own.alias("cos_own"), other.alias("cos_best_other"))
+        .withColumn("margin", F.col("cos_own") - F.col("cos_best_other"))
+        .withColumn("suspect", F.col("margin") < 0)
+    )
+
+
+def _label_margin_sql() -> str:
+    from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+    sums = ", ".join(
+        _dec_to_double_sql(
+            f"SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(38,6)))"
+        )
+        + f" AS s{i}"
+        for i in range(_DIMS)
+    )
+    cdims = ", ".join(f"s{i} / n AS c{i}" for i in range(_DIMS))
+    vdot_c = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * c{i}" for i in range(_DIMS)
+    )
+    c_sqn = " + ".join(f"c{i} * c{i}" for i in range(_DIMS))
+    v_sqn = sq_norm_sql("embedding", _DIMS, offset=1)
+    return f"""
+WITH sums AS (
+  SELECT label, COUNT(*) AS n, {sums}
+  FROM embeddings GROUP BY label
+),
+cents AS (SELECT label AS clabel, {cdims} FROM sums),
+scored AS (
+  SELECT vec_id, label, clabel,
+         ({vdot_c}) / (sqrt({v_sqn}) * sqrt({c_sqn})) AS cos
+  FROM embeddings CROSS JOIN cents
+)
+SELECT vec_id, label,
+       MAX(CASE WHEN clabel = label THEN cos END) AS cos_own,
+       MAX(CASE WHEN clabel <> label THEN cos END) AS cos_best_other,
+       MAX(CASE WHEN clabel = label THEN cos END)
+         - MAX(CASE WHEN clabel <> label THEN cos END) AS margin,
+       (MAX(CASE WHEN clabel = label THEN cos END)
+         - MAX(CASE WHEN clabel <> label THEN cos END)) < 0 AS suspect
+FROM scored GROUP BY vec_id, label
+"""
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
+    "label_centroid_margin": label_centroid_margin,
     "knn_ivf_topk": knn_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "knn_lsh_topk": knn_lsh_topk,
@@ -159,5 +272,6 @@ QUERIES = {
 
 ORACLE = {
     "knn_cosine_topk": _KNN_SQL,
+    "label_centroid_margin": _label_margin_sql(),
     "embedding_norm_stats": _NORM_STATS_SQL,
 }
