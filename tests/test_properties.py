@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the order-sensitive operators.
+
+These complement the fixture-based tests with adversarial shapes:
+duplicate order keys across shard boundaries, all-equal values, empty
+partitions, single-row groups.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group (few, forces ties)
+        st.integers(min_value=0, max_value=50),  # order key (dups likely)
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_rows)
+def test_sharded_running_sum_property(spark, rows):
+    # make (g, k) unique: running sums need a total order
+    uniq = {}
+    for g, k, v in rows:
+        uniq[(g, k)] = v
+    data = [(g, k, v) for (g, k), v in uniq.items()]
+    df = spark.createDataFrame(data, "g int, k int, v int")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        (r.g, r.k, r.cum)
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    )
+    for shards in (1, 3, 7):
+        got = sorted(
+            (r.g, r.k, r.cum)
+            for r in sharded_running_sum(
+                df, ["g"], "k", "v", "cum", shards=shards
+            ).collect()
+        )
+        assert got == want, shards
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+def test_greedy_binpack_invariants_property(spark, sizes, budget):
+    """Greedy no-split packing: replay the sweep in plain Python and
+    demand identical pack assignment from the Spark implementation."""
+    import pandas as pd
+
+    from big_data_pipeline_spark.workloads import llm_pipeline as lp
+
+    data = [(i, "g", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, n_tokens int")
+
+    # reference sweep
+    want, pid, used = {}, 0, 0
+    for i, n in enumerate(sizes):
+        if used > 0 and used + n > budget:
+            pid += 1
+            used = 0
+        want.setdefault(pid, []).append((i, n))
+        used += n
+
+    def pack_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids, p, u = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if u > 0 and u + n > budget:
+                p += 1
+                u = 0
+            ids.append(p)
+            u += n
+        pdf["pack_id"] = ids
+        return pdf
+
+    got_rows = (
+        df.groupBy("lang")
+        .applyInPandas(
+            pack_group, schema="doc_id long, lang string, n_tokens int, pack_id long"
+        )
+        .collect()
+    )
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.pack_id, []).append((r.doc_id, r.n_tokens))
+    got = {p: sorted(v) for p, v in got.items()}
+    want = {p: sorted(v) for p, v in want.items()}
+    assert got == want
+    # capacity invariant: multi-doc packs fit the budget
+    for p, docs in got.items():
+        if len(docs) > 1:
+            assert sum(n for _, n in docs) <= budget
