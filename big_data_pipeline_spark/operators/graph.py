@@ -26,6 +26,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pagerank_driver(
+    trans: DataFrame, nodes: DataFrame, n: int, damping: float, max_iter: int
+) -> DataFrame:
+    """Driver-side power iteration for DRIVER-SMALL aggregated graphs.
+
+    Iterating a 25-node graph through cluster jobs spends everything on
+    scheduling (measured ~0.45 s/round at sf0.1); once the NORMALIZED
+    graph fits comfortably on the driver — and aggregated entity graphs
+    are key-cardinality-bounded, not data-bounded — the right engineering
+    is one bounded collect and a numpy loop. The distributed edge BUILD
+    (the data-sized work) is unchanged; only the node-sized iteration
+    moves. Accumulation order is pinned by sorting edges, so results are
+    run-to-run identical.
+    """
+    import numpy as np
+
+    ids = sorted(r.id for r in nodes.collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    rows = sorted(
+        ((r.e_src, r.e_dst, r.p) for r in trans.collect()),
+        key=lambda t: (str(t[1]), str(t[0])),
+    )
+    src_i = np.array([idx[s] for s, _, _ in rows], dtype=np.int64)
+    dst_i = np.array([idx[d] for _, d, _ in rows], dtype=np.int64)
+    p = np.array([pv for _, _, pv in rows], dtype=np.float64)
+    has_out = np.zeros(n, dtype=bool)
+    has_out[src_i] = True
+    rank = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        dangling = float(rank[~has_out].sum())
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst_i, p * rank[src_i])
+        rank = (1.0 - damping) / n + damping * dangling / n + damping * contrib
+    from pyspark.sql import types as T
+
+    spark = trans.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("id", nodes.schema["id"].dataType),
+            T.StructField("rank", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v, float(rank[idx[v]])) for v in ids], schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -34,6 +81,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, rank) for every node; ranks sum to 1.
 
@@ -47,6 +95,11 @@ def pagerank(
     optimizer) instead of paying a checkpoint job per round. Graphs with
     dangling nodes force k=1 effectively, since the per-round scalar is
     an action anyway.
+
+    Graphs whose NORMALIZED edge list fits on the driver
+    (``driver_max_edges``; ~100 MB at the default) solve there in one
+    bounded collect — see ``_pagerank_driver``. Pass 0 to force the
+    distributed loop.
     """
     w = F.col(weight) if weight else F.lit(1.0)
     # materialize the edge projection once: it feeds BOTH the out-weight
@@ -81,6 +134,10 @@ def pagerank(
     parts = max(1, min(int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")), n // 1_000_000 + 1))
     nodes = nodes_raw.repartition(parts, "id").localCheckpoint()
     trans = trans.repartition(parts, "e_src").localCheckpoint()
+    if 0 < driver_max_edges and n <= driver_max_edges:
+        m = trans.count()  # checkpointed: a metadata-cheap count
+        if m <= driver_max_edges:
+            return _pagerank_driver(trans, nodes, n, damping, max_iter)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     has_out = trans.select(F.col("e_src").alias("id")).distinct()
     dangling_nodes = nodes.join(has_out, "id", "left_anti").localCheckpoint()

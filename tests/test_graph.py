@@ -58,3 +58,26 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(empty)
     assert out.count() == 0
     assert set(out.columns) == {"id", "rank"}
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The small-graph driver solve and the distributed loop must agree
+    to float tolerance on the same graph (association orders differ)."""
+    from big_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 3.0),
+         ("a", "c", 1.0), ("d", "a", 1.0)],  # d dangles into a; e none
+        "src string, dst string, weight double",
+    )
+    fast = {r.id: r.rank for r in pagerank(edges, max_iter=8, weight="weight").collect()}
+    slow = {
+        r.id: r.rank
+        for r in pagerank(
+            edges, max_iter=8, weight="weight", driver_max_edges=0
+        ).collect()
+    }
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert abs(fast[k] - slow[k]) < 1e-12, k
+    assert abs(sum(fast.values()) - 1.0) < 1e-9
