@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("name")
     p_query.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p_query.add_argument("--limit", type=int, default=20)
+    p_query.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
 
     sub.add_parser("list", help="list registered queries")
 
@@ -102,7 +107,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.name not in queries:
         print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
         return 2
-    queries[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+    df = queries[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
     return 0
 
 
