@@ -114,7 +114,10 @@ def test_greedy_binpack_invariants_property(spark, sizes, budget):
     got = {p: sorted(v) for p, v in got.items()}
     want = {p: sorted(v) for p, v in want.items()}
     assert got == want
-    # capacity invariant: multi-doc packs fit the budget
+    # capacity invariant: a multi-doc pack whose docs each fit the
+    # budget fits in total. (An oversize doc may legitimately share a
+    # pack: it enters at used == 0 — e.g. after a zero-size doc.)
     for p, docs in got.items():
-        if len(docs) > 1:
-            assert sum(n for _, n in docs) <= budget
+        sizes_p = [n for _, n in docs]
+        if len(sizes_p) > 1 and max(sizes_p) <= budget:
+            assert sum(sizes_p) <= budget
