@@ -474,8 +474,75 @@ FROM spans
 """
 
 
+# --- token_rarity_score: corpus-statistics quality signal -------------------
+# The integer-exact stand-in for a unigram-LM perplexity filter: rank
+# the corpus vocabulary by frequency ascending (rank 1 = rarest), score
+# each document by its MEAN TOKEN RARITY RANK. Unusually rare-token-
+# heavy docs (gibberish, OCR noise) score high; boilerplate scores low.
+# Everything is counts and integer ranks — no log/exp, so no libm
+# parity assumptions — and the mean is one exact integer sum / count.
+#
+# Scale: the vocab ranking is a GLOBAL order — computed with the
+# sharded prefix sum (operators/prefix.py), not a single-task window;
+# the doc join shuffles on token (skew on stopwords handled by AQE).
+
+
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = sharded_running_sum(
+        vocab,
+        [],
+        "cnt",
+        F.lit(1),
+        "rarity_rank",
+        shards=16,
+        tiebreak_cols=["token"],
+    )
+    return (
+        toks.join(ranked.select("token", "rarity_rank"), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("rarity_rank").cast("double") / F.count(F.lit(1))
+            ).alias("mean_rarity_rank"),
+            F.max("rarity_rank").alias("max_rarity_rank"),
+        )
+    )
+
+
+_RARITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok AS token
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+  WHERE tok <> ''
+),
+vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt, token) AS BIGINT)
+           AS rarity_rank
+  FROM vocab
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(CAST(SUM(rarity_rank) AS BIGINT) AS DOUBLE) / COUNT(*)
+         AS mean_rarity_rank,
+       MAX(rarity_rank) AS max_rarity_rank
+FROM toks JOIN ranked USING (token)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
+    "token_rarity_score": token_rarity_score,
     "inverted_index_postings": inverted_index_postings,
     "doc_token_stats": doc_token_stats,
     "bpe_token_counts": bpe_token_counts,
@@ -489,6 +556,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_chunk_overlap": _CHUNK_SQL,
+    "token_rarity_score": _RARITY_SQL,
     "inverted_index_postings": _INVERTED_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
     "bpe_token_counts": _BPE_SQL,
