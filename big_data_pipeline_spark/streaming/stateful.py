@@ -193,3 +193,86 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- streaming Misra-Gries heavy hitters ------------------------------------
+# The streaming face of functions/sketches.misra_gries_topk: per group
+# key, at most ``MG_K`` weighted counters live in the state store
+# regardless of how many distinct values flow through — the
+# fixed-memory answer to "top users per event type, continuously".
+# Same decrement rule as the batch kernel (drain the minimum when more
+# than k counters survive), same guarantee: any value with frequency
+# > N_group/(k+1) is present, est ≤ true ≤ est + N_group/(k+1).
+# Events are processed in (ts, event_id) order so drains are
+# deterministic and replayable.
+
+MG_K = 8
+
+MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("values", T.ArrayType(T.StringType())),
+        T.StructField("weights", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _mg_insert(counters: dict, val: str, k: int) -> None:
+    counters[val] = counters.get(val, 0) + 1
+    if len(counters) > k:
+        d = min(counters.values())
+        for v in [v for v, c in counters.items() if c - d <= 0]:
+            del counters[v]
+        for v in counters:
+            counters[v] -= d
+
+
+def _update_heavy_hitters(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        values, weights, n_seen = state.get
+        counters = dict(zip(values, weights))
+    else:
+        counters, n_seen = {}, 0
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for uid in pdf["user_id"]:
+            _mg_insert(counters, str(uid), MG_K)
+            n_seen += 1
+    state.update((list(counters), [int(c) for c in counters.values()], n_seen))
+    out = pd.DataFrame(
+        {
+            "event_type": key[0],
+            "value": list(counters),
+            "est_count": [int(c) for c in counters.values()],
+            "n_seen": n_seen,
+        }
+    )
+    yield out.sort_values(
+        ["est_count", "value"], ascending=[False, True], kind="mergesort"
+    )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Bounded-state heavy-hitter tracking per event_type (see above)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_heavy_hitters,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

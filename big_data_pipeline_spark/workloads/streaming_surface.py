@@ -56,6 +56,22 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def stream_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-memory streaming heavy hitters: ≤ MG_K weighted counters
+    per event_type in the state store no matter how many distinct users
+    flow through (streaming/stateful.py Misra-Gries). MG estimates are
+    traversal-order-specific → rows-only check; the guarantee and the
+    exact replay equivalence are pinned in tests."""
+    from big_data_pipeline_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    out = streaming_heavy_hitters(stream_events(spark, sf_dir))
+    return run_available_now(
+        out, "mem_stream_heavy", output_mode="update"
+    )
+
+
 def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate (streaming/rollup.py): a
     checkpointed drain maintains the hourly rollup TABLE (update-mode
@@ -289,6 +305,7 @@ QUERIES = {
     "stream_sliding_window_counts": stream_sliding_window_counts,
     "stream_tumbling_window_counts": stream_tumbling_window_counts,
     "stream_continuous_rollup": stream_continuous_rollup,
+    "stream_heavy_hitter_users": stream_heavy_hitter_users,
     "stream_session_windows": stream_session_windows,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_stateful_user_stats": stream_stateful_user_stats,

@@ -37,6 +37,7 @@ def test_registry_consistency():
                 "sample",
                 "approx",
                 "binpack",  # greedy capacity reset: stateful, no window form
+                "heavy_hitter",  # MG estimates are traversal-order-specific
             )
         ), name
 
