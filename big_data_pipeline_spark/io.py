@@ -377,7 +377,12 @@ def with_zorder_key(
     _zorder_check(cols, bits)
     from big_data_pipeline_spark.operators.prefix import sharded_running_sum
 
+    # Guard the empty frame: n=0 would divide by zero in the bucket
+    # index (an ANSI error under Spark 4). The count itself is the one
+    # unavoidable extra action — rank→bucket needs the global row count.
     n = df.count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
     out = df
     for c in cols:
         out = sharded_running_sum(

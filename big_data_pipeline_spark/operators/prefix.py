@@ -62,10 +62,16 @@ def sharded_running_sum(
         else []
     )
     # shard id = number of boundaries strictly below the order value;
-    # duplicate boundaries just leave some shards empty (harmless)
-    shard: Column = reduce(
-        lambda a, b: a + b,
-        [(F.col(order_col) > F.lit(q)).cast("int") for q in bounds],
+    # duplicate boundaries just leave some shards empty (harmless).
+    # NULL order values make every comparison NULL — coalesce them into
+    # shard 0, matching the window's ascending NULLS FIRST placement
+    # (otherwise the offsets equi-join would silently drop those rows).
+    shard: Column = F.coalesce(
+        reduce(
+            lambda a, b: a + b,
+            [(F.col(order_col) > F.lit(q)).cast("int") for q in bounds],
+            F.lit(0),
+        ),
         F.lit(0),
     )
     order = [order_col, *(tiebreak_cols or [])]

@@ -47,13 +47,21 @@ def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
     Unlike workloads (which read the fixed test corpus via
     ``stream_events``), a maintained rollup watches a DIRECTORY the
-    ingest layer appends to; schema is pinned to the corpus's current
-    µs-ntz encoding and normalized to session-TZ (UTC) timestamps.
+    ingest layer appends to. The corpus's physical ``ts`` encoding has
+    varied across generations (µs-ntz vs int64 nanos — see
+    ``streaming/windows.stream_events``), so probe the footer of
+    whatever is already there instead of pinning one encoding, then
+    normalize to session-TZ (UTC) µs timestamps either way.
     """
+    try:
+        probed = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    except Exception:
+        probed = None
+    ntz = probed != "bigint"
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("ts", T.TimestampNTZType() if ntz else T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -61,7 +69,9 @@ def _events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         ]
     )
     raw = spark.readStream.schema(schema).format("parquet").load(events_dir)
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ntz:
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def rollup_drain(

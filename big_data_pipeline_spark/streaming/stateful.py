@@ -236,41 +236,52 @@ def _mg_insert(counters: dict, val: str, k: int) -> None:
             counters[v] -= d
 
 
-def _update_heavy_hitters(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        values, weights, n_seen = state.get
-        counters = dict(zip(values, weights))
-    else:
-        counters, n_seen = {}, 0
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        for uid in pdf["user_id"]:
-            _mg_insert(counters, str(uid), MG_K)
-            n_seen += 1
-    state.update((list(counters), [int(c) for c in counters.values()], n_seen))
-    out = pd.DataFrame(
-        {
-            "event_type": key[0],
-            "value": list(counters),
-            "est_count": [int(c) for c in counters.values()],
-            "n_seen": n_seen,
-        }
-    )
-    yield out.sort_values(
-        ["est_count", "value"], ascending=[False, True], kind="mergesort"
-    )
+def _make_update_heavy_hitters(k: int):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            values, weights, n_seen = state.get
+            counters = dict(zip(values, weights))
+        else:
+            counters, n_seen = {}, 0
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for uid in pdf["user_id"]:
+                _mg_insert(counters, str(uid), k)
+                n_seen += 1
+        state.update(
+            (list(counters), [int(c) for c in counters.values()], n_seen)
+        )
+        out = pd.DataFrame(
+            {
+                "event_type": key[0],
+                "value": list(counters),
+                "est_count": [int(c) for c in counters.values()],
+                "n_seen": n_seen,
+            }
+        )
+        yield out.sort_values(
+            ["est_count", "value"], ascending=[False, True], kind="mergesort"
+        )
+
+    return update
 
 
 def streaming_heavy_hitters(
-    events: DataFrame, timeout: str = GroupStateTimeout.NoTimeout
+    events: DataFrame,
+    k: int = MG_K,
+    timeout: str = GroupStateTimeout.NoTimeout,
 ) -> DataFrame:
-    """Bounded-state heavy-hitter tracking per event_type (see above)."""
+    """Bounded-state heavy-hitter tracking per event_type (see above).
+
+    ``k`` is the counter budget per key (state = k (value, weight)
+    pairs); threaded into the state-update closure so callers can trade
+    memory for the N/(k+1) error bound without touching the module."""
     return events.groupBy("event_type").applyInPandasWithState(
-        _update_heavy_hitters,
+        _make_update_heavy_hitters(k),
         outputStructType=MG_OUTPUT_SCHEMA,
         stateStructType=MG_STATE_SCHEMA,
         outputMode="update",

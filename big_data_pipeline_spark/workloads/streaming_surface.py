@@ -89,9 +89,15 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with tempfile.TemporaryDirectory(prefix="rollup_") as tmp:
         rollup_dir = f"{tmp}/rollup"
-        # the corpus table is one parquet file; glob it as the watched dir
+        # the corpus table is one parquet file; glob it as the watched dir.
+        # The oracle is the FULL batch aggregate, so this one-shot drain
+        # must not drop anything as late: an effectively-infinite
+        # watermark makes the equality hold even if the source ever
+        # splits into multiple out-of-order micro-batches (the
+        # maintained-table path keeps the production 30-day default).
         rollup_drain(
-            spark, f"{sf_dir}/events.parquet*", rollup_dir, f"{tmp}/ckpt"
+            spark, f"{sf_dir}/events.parquet*", rollup_dir, f"{tmp}/ckpt",
+            watermark="3650 days",
         )
         out = read_rollup(spark, rollup_dir).select(
             "window_start", "event_type", "n_events"

@@ -239,6 +239,16 @@ def test_zorder_rejects_key_overflow(spark):
         with_zorder_key(df, ["a", "b", "c", "d"], bits=16)
 
 
+def test_zorder_key_empty_input(spark):
+    """Empty frame: no divide-by-zero (ANSI) — just a literal 0 key."""
+    from big_data_pipeline_spark.io import with_zorder_key
+
+    df = spark.range(5).filter("id < 0")
+    out = with_zorder_key(df, ["id"], bits=6)
+    assert out.columns == ["id", "_zkey"]
+    assert out.count() == 0
+
+
 def test_zorder_key_parallel_rank_clusters_both_dims(spark, tmp_path):
     """The sharded-rank z-key must interleave: sorting by it clusters
     BOTH columns, and its plan has no global-order window."""

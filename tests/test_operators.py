@@ -342,3 +342,35 @@ def test_sharded_running_sum_low_cardinality_partition(spark, sf_dir):
             .select("doc_id", "cum").collect())
     )
     assert got == want
+
+
+def test_sharded_running_sum_null_order_rows_kept(spark):
+    """NULL order values must not be dropped by the shard equi-join:
+    they land in shard 0 (the window's NULLS FIRST position) and the
+    result matches the plain window for every shard count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    rows = [(None, 1, "a"), (None, 2, "b"), *[(i, 1, f"r{i}") for i in range(1, 41)]]
+    df = spark.createDataFrame(rows, "o int, v int, tb string")
+    w = (
+        Window.partitionBy()
+        .orderBy("o", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        map(tuple, df.withColumn("cum", F.sum("v").over(w))
+            .select("tb", "cum").collect())
+    )
+    for shards in (1, 4, 16):
+        got = sorted(
+            map(
+                tuple,
+                sharded_running_sum(
+                    df, [], "o", "v", "cum", shards=shards, tiebreak_cols=["tb"]
+                ).select("tb", "cum").collect(),
+            )
+        )
+        assert got == want, shards
