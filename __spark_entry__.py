@@ -80,76 +80,75 @@ _MODULES = (
 
 
 # The driver's correctness run covers a budgeted prefix of the registry
-# (round 1: exactly the first 50 entries). Order therefore IS coverage:
-# the prefix below packs one representative of every SURVEY.md §2
-# operator family plus every LLM-pipeline family (dedup, ANN, text,
-# curation, multimodal, streaming) into the first 50 positions; the
-# remaining ~78 (TPC-H variants, extra behavioral analytics, sketches)
-# follow in module order and are verified by pytest + the local
-# tools/check_oracle.py sweep.
+# (observed rounds 1-2: exactly the first 50 entries). Order therefore
+# IS coverage. Round-3 rotation (VERDICT.md next-round #1): keep 15
+# never-regress ANCHORS — one per SURVEY §2 family + one per
+# LLM-pipeline family, all hash-green in CORRECTNESS_r02 — and fill the
+# other 35 slots with queries that have NEVER had a driver row (they
+# pass pytest + the local tools/check_oracle.py sweep; the prefix slot
+# converts that into driver-grade evidence). The displaced round-2
+# entries stay registered and sweep-verified; they rotate back in
+# round 4 with the remaining 17 never-checked queries.
 _PRIORITY = (
-    # reference §2 core: scans, filters, set ops, aggs, windows
+    # --- anchors: reference §2 core (agg, filter, topk, windows, argmax)
     "q1_pricing_summary",
     "filter_project",
-    "distinct_flag_status",
-    "union_orders_split",
     "topk_orders",
-    "scalar_functions",
-    "grouped_agg_stats",
-    "having_count_filter",
-    "date_arithmetic",
-    "regexp_text_ops",
     "moving_sum_per_user",
-    "time_range_window_stats",
-    "window_lead_next_value",
     "latest_event_per_user",
-    "global_argmax_latest",
-    "grouped_mse",
-    "json_props_extract",
-    # UDxF surface + flagship grouped-ML pipeline
+    # --- anchors: UDxF surface + flagship grouped-ML pipeline
     "median_order_value",
     "bigram_explode_udtf",
     "stock_pipeline_predict",
-    # the two round-1 hash-typing fixes, early so the fix is proven
-    "q12_urgency_shipping_buckets",
-    "price_bucket_profile",
-    # sequence packing (join capability stays covered in-prefix by
-    # q12_urgency_shipping_buckets, stream_static_enrich, llm_clean)
-    "doc_pack_assign",
-    # LLM pipeline: dedup family
+    # --- anchors: one per LLM-pipeline family
     "exact_dedup",
-    "minhash_lsh_dedup",
-    "simhash_near_dups",
-    "dedup_cluster_assignments",
-    "dedup_keep_best",
-    "embedding_near_dups",
-    # LLM pipeline: similarity search family
     "knn_cosine_topk",
-    "knn_lsh_topk",
-    "knn_ivf_topk",
-    # LLM pipeline: text analysis family
     "doc_token_stats",
-    "lang_id_stopwords",
-    "doc_quality_score",
-    "tfidf_top_terms",
-    # LLM pipeline: curation family
     "pii_pseudonymize_kanon",
-    "gopher_repetition_stats",
-    "contamination_ngram_overlap",
-    # LLM pipeline: multimodal family
-    "multimodal_binary_meta",
     "multimodal_feature_extract",
-    # streaming surface (all 8 — round-1 critical fix, must show green)
     "stream_tumbling_window_counts",
-    "stream_sliding_window_counts",
-    "stream_session_windows",
-    "stream_dedup_exact",
-    "stream_stateful_user_stats",
     "stream_click_purchase_attribution",
-    "stream_static_enrich",
-    # nested-type VARIANT surface + LLM corpus e2e
-    "variant_props_stats",
-    "llm_clean_corpus_stats",
+    # --- first-timers: set ops + behavioral analytics
+    "intersect_all_item_quantities",
+    "except_all_item_quantities",
+    "nth_order_values_per_customer",
+    "funnel_conversion",
+    "cohort_retention",
+    "sequence_pattern_counts",
+    "event_type_pivot",
+    "sessionize_secondary_sort",
+    # --- first-timers: time series
+    "linreg_next_value",
+    "gap_fill_forward",
+    "asof_last_purchase",
+    "range_error_purchase_counts",
+    "user_value_features",
+    "time_rollup_multigrain",
+    "rolling_median_user_value",
+    # --- first-timers: text/fingerprint/embedding analysis
+    "doc_chunk_overlap",
+    "token_rarity_score",
+    "inverted_index_postings",
+    "bpe_token_counts",
+    "shingle_jaccard_pairs",
+    "doc_fingerprint_winnow",
+    "embedding_norm_stats",
+    "entity_blocking_pairs",
+    "label_centroid_margin",
+    # --- first-timers: dedup clustering + graph + multimodal
+    "dedup_cluster_star",
+    "triangle_count_trade",
+    "multimodal_frame_sample",
+    # --- first-timers: skew/runtime-filter/CDC machinery
+    "salted_agg_flag_stats",
+    "salted_join_user_events",
+    "bloom_pruned_urgent_revenue",
+    "cdc_orders_diff",
+    # --- first-timers: packing + streaming tail (VERDICT #7)
+    "pack_greedy_binpack",
+    "doc_pack_assign",
+    "stream_continuous_rollup",
+    "stream_heavy_hitter_users",
 )
 
 
