@@ -9,9 +9,11 @@ whole lineage and prunes/pushes across stage boundaries.
 
 Sampling and approximate aggregates are the remaining first-class
 training-data ops: at 100 TB nobody counts distincts exactly or
-samples with ORDER BY rand() LIMIT n. Both are engine-specific by
-nature (different RNG / sketch implementations than DuckDB), so they
-get rows-only driver checks plus pytest accuracy bounds.
+samples with ORDER BY rand() LIMIT n. Sketches and engine-RNG
+sampling are engine-specific (different internals than DuckDB) and
+get rows-only driver checks plus pytest accuracy bounds; the
+hash-ranked bottom-k sample and the greedy packer are deterministic,
+so they carry full oracle twins.
 """
 
 from __future__ import annotations
@@ -89,8 +91,12 @@ GROUP BY lang
 #   gets a pack alone. The capacity reset is inherently stateful (no
 #   closed window form), so it runs as a per-language applyInPandas
 #   sweep — grouped state bounded by docs-per-language partition, the
-#   same shape as the reference's grouped OLS trainer. Rows-only check;
-#   the greedy invariants are pinned in tests/test_llm_pipeline.py.
+#   same shape as the reference's grouped OLS trainer. The sequential
+#   first-fit IS still oracle-checkable: a DuckDB recursive CTE walks
+#   each language's doc_id order one row per iteration, applying the
+#   identical integer capacity-reset rule (integer arithmetic → exact
+#   equality); greedy invariants are also pinned in
+#   tests/test_llm_pipeline.py.
 #
 # Scale: one shuffle on lang each; the greedy sweep's per-group pass is
 # O(docs-in-group) with nothing driver-side. At 100 TB the lang
@@ -186,6 +192,37 @@ def pack_greedy_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequential first-fit as a recursive CTE: the working table holds one
+# in-flight row PER LANGUAGE; each iteration advances every language by
+# one doc and applies the same used>budget reset the pandas sweep does.
+# toks is MATERIALIZED so the tokenizing scan runs once, not once per
+# iteration (measured 7.5s -> 0.35s at sf0.01).
+_PACK_GREEDY_SQL = rf"""
+WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT lang, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id,
+         CAST(n_tokens AS BIGINT) AS used
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.used > 0 AND w.used + t.n_tokens > {_PACK_BUDGET}
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.used > 0 AND w.used + t.n_tokens > {_PACK_BUDGET}
+              THEN CAST(t.n_tokens AS BIGINT) ELSE w.used + t.n_tokens END
+  FROM walk w JOIN toks t ON t.lang = w.lang AND t.rn = w.rn + 1
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc
+FROM walk GROUP BY lang, pack_id
+"""
+
+
 # --- stratified sampling (rows-only: RNG is engine-specific) -----------------
 
 
@@ -199,21 +236,42 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_bottomk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic uniform k-sample: the k smallest xxhash64(doc_id)
+    """Deterministic uniform k-sample: the k smallest hash(doc_id)
     values. The scalable replacement for ORDER BY rand() LIMIT k — a
     TakeOrderedAndProject (per-partition top-k, tiny driver merge), no
     full sort, no RNG state, reproducible across runs and cluster
     layouts, and consistent across tables (the same keys win
     everywhere, which is what makes joins between sampled tables line
-    up). Hash has no DuckDB twin → rows-only; determinism and
-    uniformity are asserted in tests/test_llm_pipeline.py."""
+    up).
+
+    The scrambling key is a double-round LCG mix in plain integer
+    arithmetic — chosen over ``F.xxhash64`` (round 2) because any ANSI
+    engine evaluates it identically, which upgrades this from a
+    rows-only check to a full cross-engine hash check. A deployment
+    that never needs cross-engine replay can swap xxhash64 back in;
+    the sampling semantics (rank by deterministic pseudo-random key)
+    are unchanged. Intermediate products stay < 2^63 for ids < 2^32;
+    determinism/uniformity also asserted in tests/test_llm_pipeline.py."""
     docs = read_table(spark, sf_dir, "documents")
+    h1 = (F.col("doc_id") * 1103515245 + 12345) % 2147483648
     return (
-        docs.withColumn("__h", F.xxhash64("doc_id"))
-        .orderBy("__h")
+        docs.withColumn("__h", (h1 * 1103515245 + 12345) % 2147483648)
+        .orderBy("__h", "doc_id")
         .limit(100)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+_BOTTOMK_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, source, n_chars,
+         (((doc_id * 1103515245 + 12345) % 2147483648)
+          * 1103515245 + 12345) % 2147483648 AS hv
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM keyed ORDER BY hv, doc_id LIMIT 100
+"""
 
 
 # --- approximate aggregates (rows-only: sketch internals differ) -------------
@@ -382,4 +440,6 @@ QUERIES = {
 ORACLE = {
     "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
     "doc_pack_assign": _PACK_ASSIGN_SQL,
+    "pack_greedy_binpack": _PACK_GREEDY_SQL,
+    "sample_bottomk_docs": _BOTTOMK_SQL,
 }

@@ -178,11 +178,42 @@ SELECT event_id, user_id, event_type, value FROM events
 
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
-    running count/sum/EWMA. The EWMA recurrence is not SQL-expressible
-    → rows-only driver check; the numeric golden check against a pandas
-    recomputation lives in tests/test_stateful_streaming.py."""
+    running count/sum/EWMA. The EWMA recurrence has no closed window
+    form, but it IS oracle-checkable: a DuckDB recursive CTE replays
+    the identical per-event recurrence (same (ts, event_id) order, same
+    ``a*v + (1-a)*e`` expression tree), and IEEE doubles make the two
+    engines bit-identical — verified exact at sf0.01 and sf0.1. The
+    numeric golden check against a pandas recomputation also lives in
+    tests/test_stateful_streaming.py."""
     out = running_user_stats(stream_events(spark, sf_dir))
     return run_available_now(out, "mem_stream_stateful", output_mode="update")
+
+
+# Replays _advance_stats exactly: one working row per user advanced one
+# event per iteration. 0.2/0.8 cast to DOUBLE (DuckDB decimal literals
+# would compute in DECIMAL); Python's (1 - 0.2) == 0.8 exactly, so the
+# literal matches the recurrence's coefficient bit-for-bit.
+_STREAM_STATEFUL_SQL = """
+WITH RECURSIVE ev AS MATERIALIZED (
+  SELECT user_id, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_tot
+  FROM events
+), walk AS (
+  SELECT user_id, rn, n_tot,
+         CAST(1 AS BIGINT) AS n_events,
+         value AS value_sum,
+         value AS ewma
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.n_tot,
+         w.n_events + 1,
+         w.value_sum + e.value,
+         0.2::DOUBLE * e.value + 0.8::DOUBLE * w.ewma
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, n_events, value_sum, ewma FROM walk WHERE rn = n_tot
+"""
 
 
 def stream_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,6 +355,7 @@ ORACLE = {
     "stream_tumbling_window_counts": _STREAM_TUMBLING_SQL,
     "stream_continuous_rollup": _STREAM_ROLLUP_SQL,
     "stream_session_windows": _STREAM_SESSION_SQL,
+    "stream_stateful_user_stats": _STREAM_STATEFUL_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,
     "stream_click_purchase_attribution": _STREAM_ATTRIB_SQL,
     "stream_static_enrich": _STREAM_ENRICH_SQL,
