@@ -2,9 +2,11 @@
 
 ``multimodal_binary_meta`` is fully oracle-checked: the binary payload
 transformations that are pure SQL (encode → length / md5 digest) run on
-both engines. ``multimodal_feature_extract`` and
-``multimodal_frame_sample`` exercise the Arrow-batched mapInPandas
-plumbing (rows-only driver check; value-level tests live in
+both engines. ``multimodal_feature_extract`` runs the REAL pure-Python
+netpbm decode over JVM-built P6 PPM payloads and is hash-checked
+against an independent hex-space recomputation;
+``multimodal_frame_sample`` exercises the Arrow-batched mapInPandas
+frame plumbing the same way (value-level tests live in
 ``tests/test_multimodal.py``).
 
 Also here: ``embedding_near_dups`` — embedding-cosine near-duplicate
@@ -63,23 +65,35 @@ FROM documents
 """
 
 
-# --- Arrow-batched feature extraction (oracle-checked via hex space) --------
-# DuckDB in this build has no BLOB substring/digest functions, so the
-# independent twin works in HEX space: hex(encode(text)) is the byte
-# stream as a string, the high nibble of byte i is hex char 2i+1, and a
-# frame's bytes are a 128-char hex slice. That makes both the histogram
-# features and the sampled frame CONTENTS exactly comparable without
-# shipping raw binary through the hash (whose cross-engine bytes
-# canonicalization is not contract).
+# --- Arrow-batched feature extraction over REAL decoded pixels --------------
+# The media here are genuine P6 PPM images (attach_ppm_media builds
+# header + zero-padded raster JVM-side from the text bytes), and every
+# emitted value comes out of the pure-Python netpbm DECODER
+# (multimodal/columns.decode_netpbm): parsed width/height/maxval plus
+# the high-nibble histogram of the decoded pixel array. The DuckDB twin
+# recomputes the same statistics independently in HEX space (the raster
+# is the text bytes zero-padded to height*48; the high nibble of byte i
+# is hex char 2i+1; pad bytes land in bin 0) — a header mis-parse or
+# raster mis-slice on the Spark side breaks the hash match. DuckDB in
+# this build has no BLOB substring/digest functions, hence hex space
+# rather than raw binary.
 
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = attach_fake_media(read_table(spark, sf_dir, "documents"))
-    feats = byte_histogram_features(docs.select("doc_id", "media"))
-    # f0 = fraction of bytes with high nibble 0 (ASCII control: \n,\t);
-    # f14 = nibble 0xE (CJK UTF-8 lead bytes) — exercises multibyte text
+    from big_data_pipeline_spark.multimodal import (
+        attach_ppm_media,
+        decoded_pixel_features,
+    )
+
+    docs = attach_ppm_media(read_table(spark, sf_dir, "documents"))
+    feats = decoded_pixel_features(docs.select("doc_id", "media"))
+    # f0 = fraction of pixel bytes with high nibble 0 (ASCII control
+    # chars + zero padding); f14 = nibble 0xE (CJK UTF-8 lead bytes)
     return feats.select(
         "doc_id",
+        "width",
+        "height",
+        "maxval",
         F.col("features").getItem(0).alias("f0"),
         F.col("features").getItem(14).alias("f14"),
         F.size("features").alias("n_bins"),
@@ -91,18 +105,23 @@ WITH h AS (
   SELECT doc_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS nb
   FROM documents
+), d AS (
+  SELECT doc_id, hx, nb,
+         GREATEST(1, CAST(CEIL(nb / 48.0) AS BIGINT)) AS hgt
+  FROM h
 )
 SELECT doc_id,
-       CASE WHEN nb = 0 THEN 0.0 ELSE
-         CAST(len(list_filter(range(0, nb),
-                              i -> substring(hx, i*2+1, 1) = '0')) AS DOUBLE)
-         / nb END AS f0,
-       CASE WHEN nb = 0 THEN 0.0 ELSE
-         CAST(len(list_filter(range(0, nb),
-                              i -> substring(hx, i*2+1, 1) = 'E')) AS DOUBLE)
-         / nb END AS f14,
+       CAST(16 AS INT) AS width,
+       CAST(hgt AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(len(list_filter(range(0, nb),
+                            i -> substring(hx, i*2+1, 1) = '0'))
+            + (hgt*48 - nb) AS DOUBLE) / (hgt*48) AS f0,
+       CAST(len(list_filter(range(0, nb),
+                            i -> substring(hx, i*2+1, 1) = 'E')) AS DOUBLE)
+         / (hgt*48) AS f14,
        16 AS n_bins
-FROM h
+FROM d
 """
 
 
