@@ -132,3 +132,84 @@ def test_kmv_query_keeps_window_group_limit(spark, sf_dir):
 def test_quota_sample_keeps_window_group_limit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "source_quota_sample")
     assert "WindowGroupLimit" in plan
+
+
+# --- top-of-bench plan shapes (BENCH_DETAIL.json heavy hitters) -------------
+# Formatted plans print every node twice (tree + detail), so each
+# bound below is 2x the true operator count.
+
+
+def test_label_centroid_margin_broadcasts_centroids(spark, sf_dir):
+    """Corpus x 10 centroids must be a BROADCAST nested-loop (linear in
+    the corpus), never a shuffled cartesian."""
+    plan = _plan(spark, sf_dir, "label_centroid_margin")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_lsh_dedup_joins_on_bands_no_cartesian(spark, sf_dir):
+    """LSH candidate generation is equi-joins on band hashes — an
+    all-pairs cartesian would be the quadratic scale-killer."""
+    plan = _plan(spark, sf_dir, "minhash_lsh_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_simhash_near_dups_equi_join_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "simhash_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_cluster_star_serving_plan_is_flat(spark, sf_dir):
+    """Iterative large-star/small-star rounds are cut by localCheckpoint;
+    the RETURNED plan must be the final join only — an Exchange pile-up
+    here means lineage from N rounds leaked into the serving plan."""
+    plan = _plan(spark, sf_dir, "dedup_cluster_star")
+    assert plan.count("Exchange") <= 8
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_cluster_assignments_serves_from_checkpoint(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_cluster_assignments")
+    assert plan.count("Exchange") == 0  # fully materialized result
+
+
+def test_triangle_count_plan_bounded_exchanges(spark, sf_dir):
+    """Round-1's weak item: edge lists materialize once; the counting
+    plan keeps a constant Exchange budget (no per-join re-shuffle of a
+    recomputed edge lineage)."""
+    plan = _plan(spark, sf_dir, "triangle_count_trade")
+    assert plan.count("Exchange") <= 8
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_ml_single_shuffle_to_pandas(spark, sf_dir):
+    """The flagship grouped-map pipeline: exactly ONE exchange moves
+    rows to their group's Arrow batch — more means a redundant
+    pre-shuffle; Python must receive Arrow batches, not rows."""
+    plan = _plan(spark, sf_dir, "stock_pipeline_predict")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_pagerank_serving_plan_tiny(spark, sf_dir):
+    """Key-bounded graph goes through the driver solver (gated by
+    driver_max_edges); the served result must not carry an iterative
+    exchange chain."""
+    plan = _plan(spark, sf_dir, "pagerank_nation_trade")
+    assert plan.count("Exchange") <= 2
+
+
+@pytest.mark.parametrize("name", ["knn_cosine_topk", "knn_lsh_topk", "knn_ivf_topk"])
+def test_knn_topk_uses_window_group_limit_and_arrow(spark, sf_dir, name):
+    """All ANN variants: per-query top-k via WindowGroupLimit (partial
+    top-k before the shuffle), scoring in Arrow-batched Python, and no
+    unbounded cartesian (the exact baseline broadcasts its capped query
+    side; LSH/IVF equi-join on bucket/probe)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "WindowGroupLimit" in plan
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
