@@ -128,11 +128,12 @@ _PRIORITY = (
     # --- first-timers: text/fingerprint/embedding analysis
     "doc_chunk_overlap",
     "token_rarity_score",
-    "inverted_index_postings",
     "bpe_token_counts",
+    # --- first-timers: round-3 additions (incremental-ingest + quantile gate)
+    "incremental_dedup_new_batch",
+    "quality_quantile_gate",
     "shingle_jaccard_pairs",
     "doc_fingerprint_winnow",
-    "embedding_norm_stats",
     "entity_blocking_pairs",
     "label_centroid_margin",
     # --- first-timers: dedup clustering + graph + multimodal

@@ -89,11 +89,14 @@ def build_bloom(
     return bitmap
 
 
-def bloom_filter_rows(
+def might_contain_col(
     fact: DataFrame, key: str, bitmap: np.ndarray, num_hashes: int
-) -> DataFrame:
-    """Keep only fact rows whose key might be in the set (no false
-    negatives — every true match survives)."""
+) -> Column:
+    """Boolean column: key *might* be in the set (no false negatives).
+
+    Exposed separately from :func:`bloom_filter_rows` so callers can
+    route BOTH sides of the test — e.g. the anti-join prune, where a
+    ``false`` (definitely absent) is the useful outcome."""
     num_bits = bitmap.size * 64
     bc = fact.sparkSession.sparkContext.broadcast(bitmap)
 
@@ -106,9 +109,15 @@ def bloom_filter_rows(
         bits = (words >> (p & 63).astype(np.uint64)) & np.uint64(1)
         return pd.Series(bits.all(axis=1))
 
-    return fact.filter(
-        might_contain(bloom_positions(F.col(key), num_bits, num_hashes))
-    )
+    return might_contain(bloom_positions(F.col(key), num_bits, num_hashes))
+
+
+def bloom_filter_rows(
+    fact: DataFrame, key: str, bitmap: np.ndarray, num_hashes: int
+) -> DataFrame:
+    """Keep only fact rows whose key might be in the set (no false
+    negatives — every true match survives)."""
+    return fact.filter(might_contain_col(fact, key, bitmap, num_hashes))
 
 
 def bloom_pruned_join(
@@ -133,3 +142,46 @@ def bloom_pruned_join(
     pruned = bloom_filter_rows(fact, fact_key, bitmap, num_hashes)
     # frame-qualified references: fact_key and dim_key may share a name
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def bloom_pruned_anti_join(
+    batch: DataFrame,
+    existing: DataFrame,
+    batch_key: str,
+    existing_key: str,
+    fpp: float = 0.01,
+    n_keys: int | None = None,
+) -> DataFrame:
+    """Exact left-anti join (``batch`` rows whose key is NOT in
+    ``existing``) with a Bloom fast path for the common case.
+
+    The incremental-ingest shape: dedup a new batch against a huge
+    already-ingested corpus. A Bloom ``false`` is definitive — no false
+    negatives — so bloom-negative rows are NEW by construction and
+    bypass the join entirely (zero shuffle for, typically, the vast
+    majority of an incoming batch). Only the bloom-POSITIVE sliver —
+    true duplicates plus ~fpp false positives — pays the exact
+    ``left_anti`` shuffle that removes the false positives. Result is
+    bit-identical to the plain anti-join (oracle-checked by
+    ``incremental_dedup_new_batch``).
+
+    At 100 TB the existing side never re-shuffles: its few-MB bitmap is
+    built once (driver traffic bounded by filter size, see
+    :func:`build_bloom`) and can be persisted between ingests; the
+    anti-join input is ~``fpp × |batch| + |dupes|`` rows.
+    """
+    if n_keys is None:
+        n_keys = existing.select(existing_key).distinct().count()
+    num_bits, num_hashes = optimal_bits(n_keys, fpp)
+    bitmap = build_bloom(existing, existing_key, num_bits, num_hashes)
+    flagged = batch.withColumn(
+        "__maybe_dup", might_contain_col(batch, batch_key, bitmap, num_hashes)
+    )
+    fresh = flagged.filter(~F.col("__maybe_dup")).drop("__maybe_dup")
+    maybe = flagged.filter(F.col("__maybe_dup")).drop("__maybe_dup")
+    confirmed_new = maybe.join(
+        existing.select(F.col(existing_key).alias(batch_key)).distinct(),
+        on=batch_key,
+        how="left_anti",
+    )
+    return fresh.unionByName(confirmed_new)

@@ -420,7 +420,129 @@ SELECT l_returnflag,
 FROM sums
 """
 
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: drop new-batch docs already present in
+    the ingested corpus, then keep one representative per in-batch
+    duplicate group.
+
+    The between-runs shape every continuously-fed training pipeline
+    needs (the reference's daily-append job rewrites its whole bucket;
+    here the corpus side is touched only through its Bloom bitmap).
+    Split: ``doc_id % 5 == 0`` plays the already-ingested corpus, the
+    rest the incoming batch. Steps:
+
+    1. fingerprint = md5(text) (exact dedup key, JVM-side).
+    2. :func:`~..operators.bloom.bloom_pruned_anti_join`: bloom-negative
+       batch rows are provably new (no shuffle); only the ~fpp sliver
+       pays the exact left-anti join.
+    3. in-batch dedup: min doc_id per fingerprint (one keyed window on
+       the high-cardinality fingerprint — no low-cardinality trap).
+
+    Oracle: the plain anti-join + row_number SQL — proves the Bloom fast
+    path drops nothing and lets nothing through.
+    """
+    from big_data_pipeline_spark.operators.bloom import bloom_pruned_anti_join
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fingerprint")
+    )
+    existing = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    new_docs = bloom_pruned_anti_join(
+        batch, existing.select("fingerprint"), "fingerprint", "fingerprint"
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        new_docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "source")
+    )
+
+
+_INCR_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id, source, md5(text) AS fingerprint FROM documents
+),
+existing AS (SELECT fingerprint FROM f WHERE doc_id % 5 = 0),
+batch AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
+surv AS (
+  SELECT b.* FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fingerprint = b.fingerprint)
+),
+keep AS (
+  SELECT doc_id, fingerprint, source,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM surv
+)
+SELECT doc_id, fingerprint, source FROM keep WHERE rn = 1
+"""
+
+
+def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each language's top-quartile documents by token count, with
+    the per-language p75 threshold computed EXACTLY and distributed.
+
+    The scale trap this avoids: ``percent_rank() OVER (PARTITION BY
+    lang ...)`` sorts each language in ONE task — a few langs over
+    100 TB means a handful of straggler tasks owning terabytes. Instead
+    the quantile is found on the score HISTOGRAM: group by (lang,
+    n_tokens) — map-side combinable, output bounded by #distinct scores
+    — then a cumulative sum over that tiny aggregate picks the smallest
+    score whose cumulative count covers 75% (integer comparison
+    ``4*cum >= 3*total``, bit-exact across engines). The thresholds
+    frame (#langs rows) broadcast-joins back against the corpus, so the
+    full-size side is scanned twice and never sorted.
+    """
+    toks = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokenize("text")).alias("n_tokens")
+    )
+    hist = toks.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("lang")
+    thresholds = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("total", F.sum("cnt").over(wtot))
+        .filter(F.col("cum") * 4 >= F.col("total") * 3)
+        .groupBy("lang")
+        .agg(F.min("n_tokens").alias("lang_p75"))
+    )
+    return toks.join(F.broadcast(thresholds), "lang").filter(
+        F.col("n_tokens") >= F.col("lang_p75")
+    ).select("doc_id", "lang", "n_tokens", "lang_p75")
+
+
+_QGATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens FROM documents
+),
+hist AS (
+  SELECT lang, n_tokens, COUNT(*) AS cnt FROM toks GROUP BY lang, n_tokens
+),
+cum AS (
+  SELECT lang, n_tokens,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS total
+  FROM hist
+),
+thresholds AS (
+  SELECT lang, MIN(n_tokens) AS lang_p75 FROM cum
+  WHERE cum * 4 >= total * 3 GROUP BY lang
+)
+SELECT t.doc_id, t.lang, CAST(t.n_tokens AS INT) AS n_tokens,
+       CAST(th.lang_p75 AS INT) AS lang_p75
+FROM toks t JOIN thresholds th ON t.lang = th.lang
+WHERE t.n_tokens >= th.lang_p75
+"""
+
+
 QUERIES = {
+    "incremental_dedup_new_batch": incremental_dedup_new_batch,
+    "quality_quantile_gate": quality_quantile_gate,
     "pii_pseudonymize_kanon": pii_pseudonymize_kanon,
     "gopher_repetition_stats": gopher_repetition_stats,
     "dedup_keep_best": dedup_keep_best,
@@ -431,6 +553,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "incremental_dedup_new_batch": _INCR_DEDUP_SQL,
+    "quality_quantile_gate": _QGATE_SQL,
     "weighted_sample_docs": _WEIGHTED_SQL,
     "pii_pseudonymize_kanon": _PII_SQL,
     "gopher_repetition_stats": _GOPHER_SQL,

@@ -128,6 +128,57 @@ def test_zscore_outliers_exceed_threshold_and_match_recompute(spark):
     assert abs(z - r.zscore) < 1e-9
 
 
+def test_incremental_dedup_matches_plain_anti_join(spark):
+    out = td.incremental_dedup_new_batch(spark, SF_SMALL).cache()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source", F.md5("text").alias("fingerprint")
+    )
+    existing = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    # bloom fast path must be invisible: bit-identical to the plain plan
+    from pyspark.sql import Window
+
+    plain = (
+        batch.join(existing.select("fingerprint"), "fingerprint", "left_anti")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")),
+        )
+        .filter("rn = 1")
+        .select("doc_id", "fingerprint", "source")
+    )
+    assert out.count() == plain.count()
+    assert out.exceptAll(plain).count() == 0 and plain.exceptAll(out).count() == 0
+    # survivors are unique by fingerprint and none exist in the corpus
+    assert out.groupBy("fingerprint").count().filter("count > 1").count() == 0
+    assert out.join(existing, "fingerprint", "inner").count() == 0
+
+
+def test_quality_quantile_gate_keeps_top_quartile_exactly(spark):
+    out = td.quality_quantile_gate(spark, SF_SMALL).cache()
+    assert out.count() > 0
+    # one threshold per lang, and every kept row clears it
+    th = out.select("lang", "lang_p75").distinct()
+    assert th.count() == out.select("lang").distinct().count()
+    assert out.filter("n_tokens < lang_p75").count() == 0
+    # threshold is the exact discrete p75: per lang, kept fraction is in
+    # [25%, 25% + tie mass) and lowering the threshold by 1 would keep >25%
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from big_data_pipeline_spark.functions.text import tokenize
+
+    nt = docs.select("lang", F.size(tokenize("text")).alias("n")).toPandas()
+    kept = out.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, grp in nt.groupby("lang"):
+        n = len(grp)
+        thr = int(
+            th.filter(F.col("lang") == lang).collect()[0]["lang_p75"]
+        )
+        below = int((grp.n < thr).sum())  # strictly below threshold
+        assert below * 4 < n * 3  # removing <75%: kept >= 25%
+        assert int((grp.n <= thr).sum()) * 4 >= n * 3  # thr is minimal
+        assert kept[lang] == int((grp.n >= thr).sum())
+
+
 def test_stream_sliding_counts_each_event_twice(spark):
     from big_data_pipeline_spark.workloads import streaming_surface as ss
 
