@@ -27,6 +27,7 @@ the recurrence sees every event exactly once, in order).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -116,16 +117,61 @@ def running_user_stats(
     )
 
 
-def tws_available() -> bool:
-    """transformWithStateInPandas needs the protobuf python package for
-    its driver-side worker protocol; this container ships without it, so
-    the TWS surface is gated (import-try per the environment rules)."""
+# transformWithStateInPandas speaks a protobuf protocol between the
+# python worker and the JVM state server; the container ships no
+# installed ``protobuf`` package and pip is unavailable. The public
+# google-cloud-sdk on this image DOES bundle a pure-Python protobuf
+# runtime (6.32.0, appengine platform dir) — one minor version behind
+# the 6.33 gencode in pyspark's StateMessage_pb2, bridged via
+# protobuf's own documented escape hatch
+# (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK; wire format is stable
+# across that gap, verified by a serialize/parse round-trip in
+# tests/test_stateful_streaming.py actually exercising TWS end-to-end).
+_VENDORED_PROTOBUF_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable, borrowing a vendored
+    pure-Python runtime when no installed package exists.
+
+    Must run BEFORE the SparkSession (and thus the python-worker daemon)
+    starts: workers read PYTHONPATH at launch, so the path and the
+    version-check escape hatch are exported to the process environment,
+    not just this interpreter's ``sys.path``.
+    """
     try:
         import google.protobuf  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        pass
+    import sys
+
+    for d in _VENDORED_PROTOBUF_DIRS:
+        if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+            continue
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        if d not in sys.path:
+            sys.path.insert(0, d)
+        pp = os.environ.get("PYTHONPATH", "")
+        if d not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = d + (os.pathsep + pp if pp else "")
+        try:
+            import google.protobuf  # noqa: F401
+            from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+
+            return True
+        except Exception:  # noqa: BLE001 — any breakage means "not usable"
+            continue
+    return False
+
+
+def tws_available() -> bool:
+    """True when the runtime can execute transformWithStateInPandas
+    (an importable ``google.protobuf``, installed or vendored)."""
+    return ensure_protobuf()
 
 
 class RunningUserStatsProcessor:

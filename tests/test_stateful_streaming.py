@@ -67,13 +67,12 @@ def test_tws_matches_apply_in_pandas_with_state(spark, sf_dir):
     assert old.exceptAll(new).count() == 0
 
 
-def test_tws_raises_cleanly_when_unavailable(spark, sf_dir):
-    if tws_available():
-        pytest.skip("runtime has protobuf; gate inactive")
-    from big_data_pipeline_spark.streaming.stateful import running_user_stats_tws
+def test_tws_raises_cleanly_when_unavailable(spark, sf_dir, monkeypatch):
+    from big_data_pipeline_spark.streaming import stateful
 
+    monkeypatch.setattr(stateful, "tws_available", lambda: False)
     with pytest.raises(RuntimeError, match="protobuf"):
-        running_user_stats_tws(stream_events(spark, sf_dir))
+        stateful.running_user_stats_tws(stream_events(spark, sf_dir))
 
 
 def test_streaming_heavy_hitters_matches_replay_and_guarantee(spark, sf_dir):
