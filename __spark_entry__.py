@@ -111,15 +111,21 @@ _PRIORITY = (
     # --- first-timers: set ops + behavioral analytics
     "intersect_all_item_quantities",
     "except_all_item_quantities",
-    "nth_order_values_per_customer",
     "funnel_conversion",
     "cohort_retention",
     "sequence_pattern_counts",
-    "event_type_pivot",
     "sessionize_secondary_sort",
+    # --- first-timers: round-3 NEW operators (real codecs, k-means,
+    # quantization) — newest work accumulates driver rows immediately;
+    # the displaced entries (nth_order_values_per_customer,
+    # event_type_pivot, gap_fill_forward, bpe_token_counts) rotate in
+    # round 4 with the rest of the never-checked tail
+    "multimodal_audio_features",
+    "multimodal_resize_pixels",
+    "kmeans_assign_embeddings",
+    "embedding_quantize_int8",
     # --- first-timers: time series
     "linreg_next_value",
-    "gap_fill_forward",
     "asof_last_purchase",
     "range_error_purchase_counts",
     "user_value_features",
@@ -128,7 +134,6 @@ _PRIORITY = (
     # --- first-timers: text/fingerprint/embedding analysis
     "doc_chunk_overlap",
     "token_rarity_score",
-    "bpe_token_counts",
     # --- first-timers: round-3 additions (incremental-ingest + quantile gate)
     "incremental_dedup_new_batch",
     "quality_quantile_gate",

@@ -99,8 +99,10 @@ def candidate_pairs(
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
+        # banded is O(corpus x bands) rows; never let a size
+        # mis-estimate broadcast it (see shingle_jaccard_pairs note)
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -150,9 +152,11 @@ def minhash_dedup_pairs(
     a = sh.alias("sa")
     b = sh.alias("sb")
     inter = (
-        cands.join(a, F.col("doc_id1") == F.col("sa.doc_id"))
+        # both shingle sides are exploded-corpus-sized: same
+        # mis-estimate broadcast hazard as the band join above
+        cands.join(a.hint("shuffle_hash"), F.col("doc_id1") == F.col("sa.doc_id"))
         .join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("doc_id2") == F.col("sb.doc_id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )

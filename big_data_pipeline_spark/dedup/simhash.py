@@ -91,8 +91,10 @@ def simhash_pairs(
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
+        # chunked is O(corpus x chunks) rows; never let a size
+        # mis-estimate broadcast it (see minhash candidate_pairs note)
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),

@@ -91,3 +91,30 @@ def seq_cosine(
     return pd.Series(
         acc / (np.sqrt(a_sqn.to_numpy()) * np.sqrt(b_sqn.to_numpy()))
     )
+
+
+def l2_sq_sql(a: str, b: str, dims: int, offset: int = 0) -> str:
+    """Unrolled squared-L2-distance expression string — same fixed
+    left-association contract as ``dot_sql`` (bit-identical doubles on
+    both engines)."""
+    return " + ".join(
+        f"(CAST({a}[{i + offset}] AS DOUBLE) - CAST({b}[{i + offset}] AS DOUBLE))"
+        f" * (CAST({a}[{i + offset}] AS DOUBLE) - CAST({b}[{i + offset}] AS DOUBLE))"
+        for i in range(dims)
+    )
+
+
+@pandas_udf(T.DoubleType())
+def seq_l2_sq(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Squared L2 distance with LEFT-ASSOCIATED accumulation — the
+    Arrow-batched twin of ``l2_sq_sql`` (same last-ulp contract as
+    ``seq_cosine``): ``acc + (x_i-y_i)^2`` one dimension at a time,
+    each step one vectorized numpy op over the batch."""
+    x = np.vstack(a.to_numpy()).astype(np.float64)
+    y = np.vstack(b.to_numpy()).astype(np.float64)
+    d = x[:, 0] - y[:, 0]
+    acc = d * d
+    for i in range(1, x.shape[1]):
+        d = x[:, i] - y[:, i]
+        acc = acc + d * d
+    return pd.Series(acc)

@@ -8,15 +8,18 @@ compute (decode, resize, frame-sample, feature-extract) runs as
 Arrow-batched ``mapInPandas`` so payloads stream through Python in
 columnar batches without ever landing on the driver.
 
-Decoding: netpbm images (PGM ``P5`` / PPM ``P6`` — the classic public
-raster format) are decoded FOR REAL by a dependency-free pure-Python
-parser (``decode_netpbm``): header tokenizer (whitespace + ``#``
-comments), dimension/maxval parse, raster → numpy array. Compressed
-codecs (JPEG/PNG/audio/video) still need external libraries that are
-NOT in this environment, so ``decode_image`` falls back to a gated PIL
-import for those formats only. ``attach_ppm_media`` builds real P6
-payloads JVM-side, so the decode path runs end-to-end on actual image
-bytes and is oracle-checked (workloads/multimodal.py).
+Decoding: two public container formats are decoded FOR REAL by
+dependency-free pure-Python parsers — netpbm images (PGM ``P5`` / PPM
+``P6``: header tokenizer with ``#`` comments, dimension/maxval parse,
+raster → numpy array, ``decode_netpbm``) and RIFF/WAVE PCM audio
+(chunk walk, ``fmt ``/``data`` parse, 8/16-bit samples, ``decode_wav``).
+Compressed codecs (JPEG/PNG/MP3/video) still need external libraries
+that are NOT in this environment, so ``decode_image`` falls back to a
+gated PIL import for those formats only. ``attach_ppm_media`` /
+``attach_wav_media`` build real payloads JVM-side, so both decode paths
+run end-to-end on actual container bytes and are oracle-checked
+(workloads/multimodal.py). ``resize_image`` is a real nearest-neighbor
+resample over the decoded netpbm raster.
 
 Scale notes:
 - ``mapInPandas`` preserves partitioning — no shuffle for per-row media
@@ -104,6 +107,161 @@ def attach_ppm_media(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+_WAV_RATE = 8000  # attach_wav_media: 8 kHz mono 8-bit PCM
+
+
+def _le_hex(value, n_bytes: int):
+    """SQL expression: little-endian hex string of ``value`` (a Column)
+    over ``n_bytes`` bytes — the building block for binary container
+    headers constructed JVM-side (RIFF/WAV uses LE u16/u32 fields)."""
+    parts = [
+        F.lpad(F.hex(F.shiftright(value, 8 * i) % 256), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def attach_wav_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real RIFF/WAVE payloads built JVM-side: the canonical 44-byte PCM
+    header (RIFF size, ``fmt `` chunk: PCM, mono, 8 kHz, 8-bit, ``data``
+    chunk size) followed by the UTF-8 bytes of ``text_col`` as unsigned
+    8-bit samples. Header integers are little-endian, assembled with
+    ``_le_hex`` + ``unhex`` so every byte is genuine container format —
+    the downstream ``decode_wav`` parser must walk real chunks. Because
+    the sample data is the text bytes, an independent engine can
+    recompute any sample statistic from the text (hex space) for oracle
+    checks."""
+    raw = F.encode(F.col(text_col), "UTF-8")
+    n = F.octet_length(raw)
+    # 'RIFF' | chunk_size=36+n | 'WAVE' | 'fmt ' | 16 | PCM=1 | ch=1
+    # | rate | byte_rate | block_align=1 | bits=8 | 'data' | n
+    header = F.unhex(
+        F.concat(
+            F.lit("52494646"),            # 'RIFF'
+            _le_hex(n + F.lit(36), 4),
+            F.lit("57415645"),            # 'WAVE'
+            F.lit("666d7420"),            # 'fmt '
+            F.lit("10000000"),            # fmt chunk size 16 (LE)
+            F.lit("0100"),                # PCM
+            F.lit("0100"),                # mono
+            F.lit(f"{_WAV_RATE & 255:02X}{(_WAV_RATE >> 8) & 255:02X}0000"),
+            F.lit(f"{_WAV_RATE & 255:02X}{(_WAV_RATE >> 8) & 255:02X}0000"),
+            F.lit("0100"),                # block align
+            F.lit("0800"),                # 8 bits/sample
+            F.lit("64617461"),            # 'data'
+            _le_hex(n, 4),
+        )
+    )
+    payload = F.concat(header, raw)
+    return df.withColumns(
+        {
+            "media": payload,
+            "media_meta": F.struct(
+                F.lit("audio").alias("media_type"),
+                F.lit("wav").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.octet_length(payload).cast("long").alias("n_bytes"),
+            ),
+        }
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Dependency-free RIFF/WAVE PCM parser (public container format):
+    validates the RIFF header, walks sub-chunks (skipping unknown ones,
+    honoring the word-aligned padding rule), reads ``fmt `` fields and
+    the ``data`` raster. Supports PCM (format tag 1) at 8 or 16 bits.
+    Returns ``(channels, sample_rate, bits, samples)`` where samples is
+    uint8 (8-bit, unsigned per the WAV spec) or int16 LE (16-bit)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 != len(payload):
+        raise ValueError(f"RIFF size {riff_size} != payload {len(payload) - 8}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _byte_rate, _align, bits = fmt
+    if tag != 1:
+        raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    return channels, rate, bits, samples
+
+
+def decoded_audio_features(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """REAL audio decode path: parse each payload with ``decode_wav``
+    and emit per-clip statistics from the DECODED samples — parsed
+    channel/rate/bit-depth, duration, and exact integer sample moments
+    (sum, sum of squares, min, max) plus the mean as one IEEE division.
+    Nothing is carried from metadata, so a chunk-walk or fmt mis-parse
+    changes the output."""
+    in_cols = [c for c in df.columns if c != payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in in_cols]
+        + [
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("bits", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("sum_samples", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("sample_min", T.IntegerType()),
+            T.StructField("sample_max", T.IntegerType()),
+            T.StructField("mean_sample", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                ch, rate, bits, s = decode_wav(bytes(payload))
+                n = len(s)
+                s64 = s.astype(np.int64)
+                total = int(s64.sum())
+                rows.append(
+                    (
+                        ch,
+                        rate,
+                        bits,
+                        n,
+                        n * 1000 // rate,
+                        total,
+                        int((s64 * s64).sum()),
+                        int(s.min()) if n else None,
+                        int(s.max()) if n else None,
+                        total / n if n else None,
+                    )
+                )
+            out = pdf[in_cols].copy()
+            stats = pd.DataFrame(
+                rows,
+                columns=[f.name for f in out_schema.fields[len(in_cols):]],
+                index=out.index,
+            )
+            yield pd.concat([out, stats], axis=1)
+
+    return df.mapInPandas(extract, schema=out_schema)
 
 
 def _no_decoder() -> None:
@@ -270,7 +428,38 @@ def frame_sample(
     return df.mapInPandas(sample, schema=out_schema)
 
 
-def resize_image(df: DataFrame, payload_col: str = "media", **_kw) -> DataFrame:
-    """STUB: real resize needs a decoder. Raises at plan-build time so
-    callers fail fast rather than inside executors."""
-    _no_decoder()
+def resize_netpbm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize: decode a netpbm payload, nearest-neighbor
+    resample to ``out_w`` x ``out_h`` (source index = floor(i*src/dst),
+    the standard NN convention), re-encode as the same netpbm format.
+    Pure numpy fancy-indexing — no codec libraries."""
+    fmt, w, h, maxval, px = decode_netpbm(payload)
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    out = px[rows][:, cols]
+    header = f"{fmt}\n{out_w} {out_h}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+def resize_image(
+    df: DataFrame,
+    payload_col: str = "media",
+    out_w: int = 8,
+    out_h: int = 4,
+) -> DataFrame:
+    """Resize every image payload to ``out_w`` x ``out_h`` via the real
+    netpbm decode → nearest-neighbor → re-encode path (compressed codecs
+    would need external libraries and raise inside ``decode_netpbm``).
+    Same Arrow-batched mapInPandas plumbing as the other media ops; the
+    payload column is replaced in place."""
+    out_schema = df.schema
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[payload_col] = [
+                resize_netpbm(bytes(p), out_w, out_h) for p in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(resize, schema=out_schema)

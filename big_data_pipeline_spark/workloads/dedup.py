@@ -70,12 +70,19 @@ def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name_b"),
         "bkey",
     )
+    # The exploded key side is O(n x |name|) rows — Catalyst's size
+    # estimate comes from the compact pre-explode parquet, so the
+    # auto-broadcast threshold can misfire and try to broadcast
+    # hundreds of MB (observed at the sf1 stress run: a 416 MiB / 2.7M
+    # row single-threaded broadcast build). Force the shuffle-hash join
+    # the key cardinality actually calls for; verify BEFORE distinct so
+    # non-matches never enter the dedup shuffle.
     return (
-        a.join(b, "bkey")
+        a.join(b.hint("shuffle_hash"), "bkey")
         .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
         .select("custkey_a", "custkey_b", "name_a", "name_b")
         .distinct()
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
     )
 
 

@@ -125,6 +125,109 @@ FROM d
 """
 
 
+# --- REAL audio decode: RIFF/WAVE PCM chunk walk ----------------------------
+# attach_wav_media builds genuine 44-byte-header WAV containers JVM-side
+# (LE header ints via unhex); decode_wav walks the chunks for real and
+# the emitted statistics come from the DECODED sample array — exact
+# integer moments plus one IEEE division for the mean, so the DuckDB
+# twin (per-byte values recovered from hex space) matches bit-for-bit.
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.multimodal import (
+        attach_wav_media,
+        decoded_audio_features,
+    )
+
+    docs = attach_wav_media(read_table(spark, sf_dir, "documents"))
+    return decoded_audio_features(docs.select("doc_id", "media"))
+
+
+_AUDIO_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+), b AS (
+  SELECT doc_id, nb,
+         list_transform(range(0, nb), i ->
+           (strpos('0123456789ABCDEF', substring(hx, CAST(i*2+1 AS INT), 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substring(hx, CAST(i*2+2 AS INT), 1)) - 1
+         ) AS vals
+  FROM h
+)
+SELECT doc_id,
+       CAST(1 AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(8 AS INT) AS bits,
+       CAST(nb AS BIGINT) AS n_samples,
+       CAST(nb * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(COALESCE(list_sum(vals), 0) AS BIGINT) AS sum_samples,
+       CAST(COALESCE(list_sum(list_transform(vals, v -> v * v)), 0) AS BIGINT)
+         AS sum_sq,
+       CAST(list_aggregate(vals, 'min') AS INT) AS sample_min,
+       CAST(list_aggregate(vals, 'max') AS INT) AS sample_max,
+       CASE WHEN nb > 0
+            THEN CAST(list_sum(vals) AS DOUBLE) / nb END AS mean_sample
+FROM b
+"""
+
+
+# --- REAL image resize: decode → nearest-neighbor → re-encode ---------------
+# The Spark side decodes the P6 payload, resamples with the standard
+# floor(i*src/dst) nearest-neighbor rule, re-encodes, and emits the hex
+# of the complete resized payload. The DuckDB twin rebuilds that hex
+# from the TEXT alone: constant 'P6\\n8 4\\n255\\n' header plus, for each
+# of the 32 output pixels, the 6 hex chars of the source pixel it maps
+# to in the zero-padded raster. Any resample-index or re-encode bug on
+# the Spark side breaks the string equality.
+
+_RESIZE_W, _RESIZE_H = 8, 4
+_RESIZE_HEADER_HEX = "50360A3820340A3235350A"  # 'P6\n8 4\n255\n'
+
+
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.multimodal import attach_ppm_media, resize_image
+
+    docs = attach_ppm_media(read_table(spark, sf_dir, "documents"))
+    resized = resize_image(
+        docs.select("doc_id", "media"), out_w=_RESIZE_W, out_h=_RESIZE_H
+    )
+    return resized.select(
+        "doc_id",
+        F.hex("media").alias("media_hex"),
+        F.octet_length("media").cast("long").alias("n_bytes"),
+    )
+
+
+_RESIZE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+), d AS (
+  SELECT doc_id, hx, nb,
+         GREATEST(1, CAST(CEIL(nb / 48.0) AS BIGINT)) AS hgt
+  FROM h
+), p AS (
+  SELECT doc_id, hgt,
+         hx || repeat('00', CAST(hgt * 48 - nb AS INT)) AS px
+  FROM d
+)
+SELECT doc_id,
+       '{_RESIZE_HEADER_HEX}' || array_to_string(
+         list_transform(range(0, {_RESIZE_W * _RESIZE_H}), k ->
+           substring(px,
+                     CAST(3 * ((k // {_RESIZE_W}) * hgt // {_RESIZE_H} * 16
+                               + 2 * (k % {_RESIZE_W})) * 2 + 1 AS INT),
+                     6)),
+         '') AS media_hex,
+       CAST({len(_RESIZE_HEADER_HEX) // 2} + {_RESIZE_W * _RESIZE_H} * 3 AS BIGINT)
+         AS n_bytes
+FROM p
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_fake_media(read_table(spark, sf_dir, "documents"))
     frames = frame_sample(docs.select("doc_id", "media"), frame_bytes=64, stride=4)
@@ -201,6 +304,8 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_NEARDUP_THRESHOLD}
 QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_feature_extract": multimodal_feature_extract,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_resize_pixels": multimodal_resize_pixels,
     "multimodal_frame_sample": multimodal_frame_sample,
     "embedding_near_dups": embedding_near_dups,
 }
@@ -208,6 +313,8 @@ QUERIES = {
 ORACLE = {
     "multimodal_binary_meta": _BINARY_META_SQL,
     "multimodal_feature_extract": _FEATURE_SQL,
+    "multimodal_audio_features": _AUDIO_SQL,
+    "multimodal_resize_pixels": _RESIZE_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
     "embedding_near_dups": _NEARDUP_SQL,
 }

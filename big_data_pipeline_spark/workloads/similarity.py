@@ -262,9 +262,119 @@ FROM scored GROUP BY vec_id, label
 """
 
 
+# --- k-means assignment (oracle-checked; trainer in ml/kmeans.py) -----------
+# One deterministic Lloyd assignment: centroids = the k lowest-id
+# vectors, every vector -> nearest centroid by squared L2. Exact on
+# both engines via the left-associated l2_sq_sql/seq_l2_sq kernel pair
+# (same last-ulp contract as knn_cosine_topk), ties to the lowest
+# centroid id. The iterative trainer (broadcast-numpy argmin, one
+# groupBy shuffle per round) is ml/kmeans.kmeans_fit with convergence
+# tests — its first iteration computes exactly this query.
+
+_KMEANS_K = 8
+
+
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.functions.vectors import seq_l2_sq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.col("embedding").alias("c_vec"),
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dist_sq", seq_l2_sq(F.col("embedding"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_sq"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "dist_sq")
+    )
+
+
+def _kmeans_assign_sql() -> str:
+    from big_data_pipeline_spark.functions.vectors import l2_sq_sql
+
+    return f"""
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS cluster_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id < {_KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, c.cluster_id,
+         {l2_sq_sql("e.embedding", "c.c_vec", EMB_DIMS_DEFAULT, offset=1)}
+           AS dist_sq
+  FROM embeddings e, c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dist_sq ASC, cluster_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, cluster_id, dist_sq FROM ranked WHERE rn = 1
+"""
+
+
+# --- int8 scalar quantization (oracle-checked) ------------------------------
+# The ANN memory-reduction path: per-dimension global min/max (exact
+# aggregates, one pass), then q_i = floor((v_i - mn_i) * (255 /
+# (mx_i - mn_i))) clamped to [0, 255]. The stats row is 2 x dims
+# doubles — broadcast onto the corpus, never a shuffle. Both engines
+# evaluate the IDENTICAL expression tree, so the floors land on the
+# same integers bit-for-bit (min/max/floor/clamp are all
+# order-insensitive; the one multiply/divide chain is fixed-shape).
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = EMB_DIMS_DEFAULT
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = lambda i: F.col("embedding")[i].cast("double")  # noqa: E731
+    stats = emb.agg(
+        *[F.min(v(i)).alias(f"mn{i}") for i in range(d)],
+        *[F.max(v(i)).alias(f"mx{i}") for i in range(d)],
+    )
+
+    def quant(i: int):
+        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
+        q = F.floor((v(i) - mn) * (F.lit(255.0) / (mx - mn)))
+        q = F.least(F.lit(255).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), q))
+        return F.when(mx == mn, F.lit(0)).otherwise(q).cast("int")
+
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.array(*[quant(i) for i in range(d)]).alias("q_vec"))
+    )
+
+
+def _quantize_sql() -> str:
+    d = EMB_DIMS_DEFAULT
+    mn = [f"MIN(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(d)]
+    mx = [f"MAX(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(d)]
+    stats = ", ".join(
+        [f"{m} AS mn{i}" for i, m in enumerate(mn)]
+        + [f"{m} AS mx{i}" for i, m in enumerate(mx)]
+    )
+    elems = ", ".join(
+        f"CAST(CASE WHEN mx{i} = mn{i} THEN 0 ELSE "
+        f"LEAST(255, GREATEST(0, FLOOR((CAST(embedding[{i + 1}] AS DOUBLE) - mn{i})"
+        f" * (255.0 / (mx{i} - mn{i}))))) END AS INT)"
+        for i in range(d)
+    )
+    return f"""
+WITH s AS (SELECT {stats} FROM embeddings)
+SELECT vec_id, [{elems}] AS q_vec FROM embeddings, s
+"""
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "label_centroid_margin": label_centroid_margin,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "knn_ivf_topk": knn_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "knn_lsh_topk": knn_lsh_topk,
@@ -273,5 +383,7 @@ QUERIES = {
 ORACLE = {
     "knn_cosine_topk": _KNN_SQL,
     "label_centroid_margin": _label_margin_sql(),
+    "kmeans_assign_embeddings": _kmeans_assign_sql(),
+    "embedding_quantize_int8": _quantize_sql(),
     "embedding_norm_stats": _NORM_STATS_SQL,
 }

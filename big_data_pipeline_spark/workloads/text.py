@@ -211,8 +211,14 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
+        # the shingle side is O(corpus x doc_len) rows but Catalyst
+        # estimates it from the compact pre-explode parquet, so the
+        # auto-broadcast threshold can misfire and try to broadcast the
+        # whole exploded corpus (observed at the sf1 stress run on the
+        # analogous entity-blocking join); pin the shuffle-hash join the
+        # cardinality actually calls for
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

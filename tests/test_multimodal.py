@@ -57,8 +57,6 @@ def test_frame_sample_shapes(docs):
 def test_decoder_gates_compressed_codecs_only(docs):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        resize_image(docs)
 
 
 def test_decode_netpbm_p6_with_comments():
@@ -125,3 +123,99 @@ def test_decoded_pixel_features_from_real_bytes(docs):
     assert abs(v[6] - 300 / 336) < 1e-15
     assert abs(v[0] - 36 / 336) < 1e-15
     assert abs(v.sum() - 1.0) < 1e-12
+
+
+def test_decode_wav_walks_chunks_and_padding():
+    import struct
+
+    from big_data_pipeline_spark.multimodal import decode_wav
+
+    # hand-built container: a LIST chunk of odd size (exercises the
+    # word-alignment rule) BEFORE fmt/data, 16-bit stereo PCM
+    samples = struct.pack("<6h", -3, 7, 100, -100, 32767, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    chunks = (
+        b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    ch, rate, bits, s = decode_wav(payload)
+    assert (ch, rate, bits) == (2, 44100, 16)
+    assert s.tolist() == [-3, 7, 100, -100, 32767, -32768]
+
+
+def test_decode_wav_rejects_bad_input():
+    import struct
+
+    from big_data_pipeline_spark.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(40))
+    # size field inconsistent with payload length
+    bad = b"RIFF" + struct.pack("<I", 999) + b"WAVE"
+    with pytest.raises(ValueError, match="size"):
+        decode_wav(bad)
+
+
+def test_attach_wav_media_roundtrips_through_decoder(docs):
+    from big_data_pipeline_spark.multimodal import attach_wav_media, decode_wav
+
+    rows = attach_wav_media(docs).select("doc_id", "text", "media").collect()
+    for r in rows:
+        raw = r["text"].encode()
+        ch, rate, bits, s = decode_wav(bytes(r["media"]))
+        assert (ch, rate, bits) == (1, 8000, 8)
+        assert s.tobytes() == raw  # data chunk is exactly the text bytes
+
+
+def test_decoded_audio_features_from_real_bytes(docs):
+    from big_data_pipeline_spark.multimodal import (
+        attach_wav_media,
+        decoded_audio_features,
+    )
+
+    media = attach_wav_media(docs).select("doc_id", "media")
+    out = {r["doc_id"]: r for r in decoded_audio_features(media).collect()}
+    raw = b"hello world"
+    r = out[1]
+    assert r["n_samples"] == len(raw)
+    assert r["duration_ms"] == len(raw) * 1000 // 8000
+    assert r["sum_samples"] == sum(raw)
+    assert r["sum_sq"] == sum(b * b for b in raw)
+    assert (r["sample_min"], r["sample_max"]) == (min(raw), max(raw))
+    assert r["mean_sample"] == sum(raw) / len(raw)
+    assert out[2]["sample_min"] == out[2]["sample_max"] == ord("a")
+
+
+def test_resize_netpbm_nearest_neighbor_exact():
+    from big_data_pipeline_spark.multimodal import decode_netpbm, resize_netpbm
+
+    # 2x2 RGB: distinct corner colors; upsample to 4x4 → 2x2 blocks
+    corners = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    raster = b"".join(bytes(c) for c in corners)
+    payload = b"P6\n2 2\n255\n" + raster
+    up = resize_netpbm(payload, 4, 4)
+    fmt, w, h, mv, px = decode_netpbm(up)
+    assert (fmt, w, h, mv) == ("P6", 4, 4, 255)
+    assert tuple(px[0, 0]) == tuple(px[1, 1]) == corners[0]
+    assert tuple(px[0, 3]) == corners[1]
+    assert tuple(px[3, 0]) == corners[2]
+    assert tuple(px[3, 3]) == corners[3]
+    # downsample back: NN picks the top-left of each block
+    down = resize_netpbm(up, 2, 2)
+    assert decode_netpbm(down)[4].tobytes() == raster
+
+
+def test_resize_image_dataframe_path(docs):
+    from big_data_pipeline_spark.multimodal import (
+        attach_ppm_media,
+        decode_netpbm,
+        resize_image,
+    )
+
+    media = attach_ppm_media(docs).select("doc_id", "media")
+    out = resize_image(media, out_w=8, out_h=4).collect()
+    for r in out:
+        fmt, w, h, mv, px = decode_netpbm(bytes(r["media"]))
+        assert (fmt, w, h, mv) == ("P6", 8, 4, 255)

@@ -213,3 +213,37 @@ def test_knn_topk_uses_window_group_limit_and_arrow(spark, sf_dir, name):
     assert "WindowGroupLimit" in plan
     assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids_one_window_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "kmeans_assign_embeddings")
+    # 8 centroids must broadcast (never shuffle the corpus against them)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # argmin = one partial top-1 per vec_id, not a full sort
+    assert "WindowGroupLimit" in plan
+    # scoring is the Arrow kernel, not an interpreted 385-term chain
+    assert "ArrowEvalPython" in plan
+
+
+def test_multimodal_decode_paths_are_mapside_no_shuffle(spark, sf_dir):
+    for name in ("multimodal_audio_features", "multimodal_resize_pixels"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name  # pure per-row decode passes
+        assert "MapInPandas" in plan, name
+
+
+def test_entity_blocking_never_broadcasts_exploded_side(spark, sf_dir):
+    # regression for the sf1 stress finding: Catalyst sizes the exploded
+    # key frame from the compact pre-explode parquet and tried to
+    # broadcast a 416 MiB build side; the shuffle_hash hint pins the
+    # O(n)-safe plan at every scale
+    plan = _plan(spark, sf_dir, "entity_blocking_pairs")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_dedup_band_and_chunk_joins_shuffle_not_broadcast(spark, sf_dir):
+    for name in ("minhash_lsh_dedup", "simhash_near_dups", "shingle_jaccard_pairs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "ShuffledHashJoin" in plan, name
