@@ -121,3 +121,52 @@ def test_greedy_binpack_invariants_property(spark, sizes, budget):
         sizes_p = [n for _, n in docs]
         if len(sizes_p) > 1 and max(sizes_p) <= budget:
             assert sum(sizes_p) <= budget
+
+
+# --- pure-Python codec properties (no Spark session needed) -----------------
+
+_px_bytes = st.binary(min_size=0, max_size=4 * 4 * 3)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=6),
+    raw=st.binary(min_size=0, max_size=108),
+    ow=st.integers(min_value=1, max_value=9),
+    oh=st.integers(min_value=1, max_value=9),
+)
+def test_resize_netpbm_properties(w, h, raw, ow, oh):
+    from big_data_pipeline_spark.multimodal import decode_netpbm, resize_netpbm
+
+    n = w * h * 3
+    raster = (raw + bytes(n))[:n]
+    payload = b"P6\n%d %d\n255\n" % (w, h) + raster
+    out = resize_netpbm(payload, ow, oh)
+    fmt, rw, rh, mv, px = decode_netpbm(out)
+    assert (fmt, rw, rh, mv) == ("P6", ow, oh, 255)
+    # every output pixel is some input pixel (NN never invents values)
+    src = decode_netpbm(payload)[4]
+    for r in range(oh):
+        for c in range(ow):
+            assert tuple(px[r][c]) == tuple(src[(r * h) // oh][(c * w) // ow])
+    # identity resize is byte-exact
+    assert decode_netpbm(resize_netpbm(payload, w, h))[4].tobytes() == raster
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_wav_encode_decode_roundtrip_property(data):
+    import struct
+
+    from big_data_pipeline_spark.multimodal import decode_wav
+
+    # same canonical 44-byte header attach_wav_media builds JVM-side
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    ch, rate, bits, s = decode_wav(hdr + data)
+    assert (ch, rate, bits) == (1, 8000, 8)
+    assert s.tobytes() == data
