@@ -14,10 +14,13 @@ Per-table treatment (shift unit = max(key)+1 of the base corpus):
 - events: event_id/user_id shifted (K x users, same time range — the
   realistic direction for stream-state scaling: more keys, denser
   windows).
-- documents: doc_id shifted; replicas >0 get a ' r{i}' suffix so the
-  corpus gains NEAR-duplicates (high-Jaccard shingle overlap), which
-  keeps MinHash/SimHash candidate structure realistic instead of
-  exploding exact-dup groups; n_chars recomputed to stay consistent.
+- documents: doc_id shifted; every token gets a '~{i}' replica suffix
+  so replicas share NO shingles — the corpus gains K x more near-dup
+  clusters of the SAME size (the realistic big-corpus direction),
+  instead of K x bigger clusters whose pair counts grow ~K^2;
+  n_chars recomputed to stay consistent.
+- customer: c_name gets a 2-char replica suffix so cross-replica names
+  never collide on delete-one-char blocking keys.
 - embeddings: vec_id shifted, vectors copied (duplicate vectors only
   change scores, not kernel cost).
 
@@ -78,11 +81,31 @@ def _replica(table: str, t: pa.Table, i: int, units: dict[str, int]) -> pa.Table
             shifted = pc.add(t.column(col), i * units[unit])
             t = t.set_column(idx, t.schema.field(idx), shifted.cast(t.schema.field(idx).type))
         if table == "documents":
+            # Suffix EVERY whitespace-delimited token with a replica tag:
+            # cross-replica docs then share zero tokens (so zero 3-word
+            # shingles — Jaccard 0), while two docs inside one replica get
+            # the identical transform, preserving their mutual overlap
+            # exactly. A plain trailing " r{i}" (the first cut) left the
+            # replicas of one base doc mutual NEAR-duplicates, so near-dup
+            # cluster sizes grew with K and pair-enumeration output grew
+            # ~K^2 — a corpus artifact, not a plan property. A real 10x
+            # corpus has 10x more clusters of the same size, i.e. this.
             idx = t.schema.get_field_index("text")
-            text = pc.binary_join_element_wise(
-                t.column("text").cast(pa.string()), f" r{i}", ""
+            text = pc.replace_substring_regex(
+                t.column("text").cast(pa.string()), r"(\S+)", rf"\1~{i}"
             )
             t = t.set_column(idx, t.schema.field(idx), text)
+        if table == "customer":
+            # Same reasoning for the entity-blocking surface: a 2-char
+            # replica suffix means cross-replica names differ in >=2
+            # positions (never share a delete-one-char blocking key),
+            # while within-replica near-dup name pairs keep their exact
+            # single-char difference.
+            idx = t.schema.get_field_index("c_name")
+            name = pc.binary_join_element_wise(
+                t.column("c_name").cast(pa.string()), f"~{i}{i}", ""
+            )
+            t = t.set_column(idx, t.schema.field(idx), name)
     if table == "documents":
         nidx = t.schema.get_field_index("n_chars")
         n = pc.utf8_length(t.column("text").cast(pa.string()))
