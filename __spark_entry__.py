@@ -109,8 +109,10 @@ _PRIORITY = (
     "stream_tumbling_window_counts",
     "stream_click_purchase_attribution",
     # --- first-timers: set ops + behavioral analytics
+    # (except_all_item_quantities — the twin of the intersect-all entry —
+    # and salted_agg_flag_stats rotate in round 4; their slots fund the
+    # two brand-new mixture/split samplers below)
     "intersect_all_item_quantities",
-    "except_all_item_quantities",
     "funnel_conversion",
     "cohort_retention",
     "sequence_pattern_counts",
@@ -145,8 +147,10 @@ _PRIORITY = (
     "dedup_cluster_star",
     "triangle_count_trade",
     "multimodal_frame_sample",
+    # --- first-timers: round-3 NEW training-data samplers
+    "mixture_temperature_resample",
+    "train_split_assign",
     # --- first-timers: skew/runtime-filter/CDC machinery
-    "salted_agg_flag_stats",
     "salted_join_user_events",
     "bloom_pruned_urgent_revenue",
     "cdc_orders_diff",

@@ -18,6 +18,11 @@ workloads/dedup.py):
 - ``source_quota_sample`` — deterministic per-source quota (bounded
   rows per domain) via hash-ordered ranking, the standard mix-balancing
   step before tokenization.
+- ``mixture_temperature_resample`` — alpha=0.5 temperature rebalancing
+  of the source mixture via closed-form ``sqrt(tok_min/tok_s)``
+  acceptance rates (exact cross-engine, no RNG, two linear passes).
+- ``train_split_assign`` — reproducible 80/10/10 train/val/test split
+  by hash threshold on doc_id; new docs land in a stable split forever.
 - ``contamination_ngram_overlap`` — benchmark-contamination check:
   fraction of each candidate document's 5-gram shingles that appear in
   a held-out benchmark corpus (here: the ``src0`` slice).
@@ -540,6 +545,116 @@ WHERE t.n_tokens >= th.lang_p75
 """
 
 
+# --- mixture_temperature_resample -------------------------------------------
+
+# Uniform-in-[0,1) acceptance key from the same Knuth multiplicative
+# hash family as weighted_sample_docs: deterministic, partition-order
+# free, and evaluated identically by any ANSI engine (integers < 2^53
+# are exact in doubles; the division is by a power of two). The divisor
+# uses e-notation on purpose: `2147483648.0` parses as a DECIMAL
+# literal in both Spark and DuckDB, routing u through decimal division
+# at each engine's own scale; `2147483648e0` is a DOUBLE in both, and
+# int/2^31 double division is exact.
+_U_KEY = "((doc_id * 2654435761) % 2147483648) / 2147483648e0"
+
+
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced source mixture (alpha = 0.5), the standard
+    multilingual/multi-domain rebalancing step (mT5/XLM-R style): big
+    sources are downsampled toward token share ~ sqrt(raw share) so
+    small sources aren't drowned.
+
+    Sampling cannot upsample without replication, so the mixture is
+    anchored at the smallest source (acceptance 1.0). For alpha = 0.5
+    the per-source acceptance rate collapses in closed form to
+    ``sqrt(tok_min / tok_s)`` — the temperature weights' float
+    normalizing sum cancels, leaving one exact int64 min, one exact
+    int64->double division, and one IEEE-correctly-rounded sqrt; the
+    result is bit-identical on every engine, so the whole sampler is
+    oracle-hash-checkable (unlike pow/exp-based formulations).
+
+    Scale (100 TB): pass 1 is a map-side-combinable groupBy(source) sum
+    (output = #sources rows); rates broadcast back; pass 2 filters on
+    the per-doc hash key. Two linear scans, one kilobyte-sized shuffle,
+    no sort, no RNG state — rerunnable and resumable mid-corpus.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokenize("text")).alias("n_tokens")
+    )
+    totals = docs.groupBy("source").agg(F.sum("n_tokens").alias("tok_s"))
+    tok_min = totals.agg(F.min("tok_s").alias("tok_min"))
+    rates = totals.crossJoin(F.broadcast(tok_min)).select(
+        "source",
+        F.sqrt(F.col("tok_min").cast("double") / F.col("tok_s")).alias(
+            "accept_rate"
+        ),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.expr(_U_KEY) < F.col("accept_rate"))
+        .select("doc_id", "source", "n_tokens", "accept_rate")
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens FROM documents
+),
+tot AS (SELECT source, SUM(n_tokens) AS tok_s FROM tok GROUP BY source),
+m AS (SELECT MIN(tok_s) AS tok_min FROM tot),
+rates AS (
+  SELECT source, sqrt(CAST(tok_min AS DOUBLE) / tok_s) AS accept_rate
+  FROM tot CROSS JOIN m
+)
+SELECT t.doc_id, t.source, CAST(t.n_tokens AS INT) AS n_tokens,
+       r.accept_rate
+FROM tok t JOIN rates r ON t.source = r.source
+WHERE {_U_KEY} < r.accept_rate
+"""
+
+# --- train_split_assign ------------------------------------------------------
+
+
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by hash of doc_id,
+    reported as per-(split, lang) doc and token counts.
+
+    Hash-threshold assignment is how production pipelines hold out
+    evaluation data: membership is a pure function of the key, so it
+    survives reruns, backfills, and corpus growth (new docs land in the
+    right split without reshuffling old ones) — none of which is true
+    of rand()-based splits. Single scan + one map-side-combinable
+    groupBy on a 3 x #langs key space.
+    """
+    u = F.expr(_U_KEY)
+    split = (
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        split.alias("split"),
+        "lang",
+        F.size(tokenize("text")).alias("n_tokens"),
+    )
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN {_U_KEY} < 0.8 THEN 'train'
+            WHEN {_U_KEY} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "incremental_dedup_new_batch": incremental_dedup_new_batch,
     "quality_quantile_gate": quality_quantile_gate,
@@ -548,11 +663,15 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "source_quota_sample": source_quota_sample,
     "weighted_sample_docs": weighted_sample_docs,
+    "mixture_temperature_resample": mixture_temperature_resample,
+    "train_split_assign": train_split_assign,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "lineitem_regression_stats": lineitem_regression_stats,
 }
 
 ORACLE = {
+    "mixture_temperature_resample": _MIXTURE_SQL,
+    "train_split_assign": _SPLIT_SQL,
     "incremental_dedup_new_batch": _INCR_DEDUP_SQL,
     "quality_quantile_gate": _QGATE_SQL,
     "weighted_sample_docs": _WEIGHTED_SQL,

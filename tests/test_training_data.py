@@ -186,3 +186,59 @@ def test_stream_sliding_counts_each_event_twice(spark):
     total = out.agg(F.sum("n_events")).collect()[0][0]
     n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
     assert total == 2 * n_events
+
+
+def test_mixture_resample_rates_and_realized_mixture(spark):
+    out = td.mixture_temperature_resample(spark, SF_SMALL).cache()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from big_data_pipeline_spark.functions.text import tokenize
+
+    tok = (
+        docs.select("source", F.size(tokenize("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tok_s"))
+        .toPandas()
+        .set_index("source")["tok_s"]
+    )
+    rates = (
+        out.select("source", "accept_rate").distinct().toPandas()
+        .set_index("source")["accept_rate"]
+    )
+    # closed form: rate_s = sqrt(tok_min / tok_s); smallest source is
+    # never downsampled
+    tok_min = tok.min()
+    for s, r in rates.items():
+        assert abs(r - np.sqrt(tok_min / tok[s])) < 1e-12
+        assert 0.0 < r <= 1.0
+    assert abs(rates[tok.idxmin()] - 1.0) < 1e-15
+    # every source survives, no doc appears twice, output is a subset
+    assert set(rates.index) == set(tok.index)
+    ids = out.select("doc_id").toPandas()["doc_id"]
+    assert ids.is_unique
+    # realized per-source token share moves toward the alpha=0.5 target:
+    # expected kept tokens ~ rate_s * tok_s = sqrt(tok_min * tok_s)
+    kept = (
+        out.groupBy("source").agg(F.sum("n_tokens").alias("k"))
+        .toPandas().set_index("source")["k"]
+    )
+    for s in tok.index:
+        expect = np.sqrt(float(tok_min) * float(tok[s]))
+        assert abs(kept[s] - expect) / expect < 0.35  # hash-sample noise
+
+
+def test_train_split_assign_partitions_every_doc_once(spark):
+    out = td.train_split_assign(spark, SF_SMALL).toPandas()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n = docs.count()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert out["n_docs"].sum() == n
+    # 80/10/10 by hash: loose bounds, deterministic given the corpus
+    frac = out.groupby("split")["n_docs"].sum() / n
+    assert 0.7 < frac.get("train", 0) < 0.9
+    assert 0.03 < frac.get("val", 0) < 0.2
+    assert 0.03 < frac.get("test", 0) < 0.2
+    # deterministic: a second run is identical
+    again = td.train_split_assign(spark, SF_SMALL).toPandas()
+    a = out.sort_values(["split", "lang"]).reset_index(drop=True)
+    b = again.sort_values(["split", "lang"]).reset_index(drop=True)
+    assert a.equals(b)
