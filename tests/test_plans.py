@@ -247,3 +247,24 @@ def test_dedup_band_and_chunk_joins_shuffle_not_broadcast(spark, sf_dir):
     for name in ("minhash_lsh_dedup", "simhash_near_dups", "shingle_jaccard_pairs"):
         plan = _plan(spark, sf_dir, name)
         assert "ShuffledHashJoin" in plan, name
+
+
+def test_mixture_resample_broadcasts_rates_single_doc_join(spark, sf_dir):
+    """The per-source rates frame (#sources rows) must broadcast back
+    onto the corpus — a shuffled join would move the 100 TB side for a
+    kilobyte of rates — and the corpus-sized side joins exactly once."""
+    plan = _plan(spark, sf_dir, "mixture_temperature_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_train_split_assign_is_one_pass_partial_agg(spark, sf_dir):
+    """Split assignment is a pure projection; the rollup must be a
+    partial+final hash aggregate (one exchange on the tiny split x lang
+    key), with no window or sort anywhere."""
+    plan = _plan(spark, sf_dir, "train_split_assign")
+    assert plan.count("Exchange") <= 2  # partial->final agg (+AQE read)
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+    assert "HashAggregate" in plan
