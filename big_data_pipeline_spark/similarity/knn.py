@@ -203,6 +203,63 @@ def lsh_topk(
     return _rank_topk(pairs, k)
 
 
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS via symmetric LSH bucketing — the
+    scale path next to the exact all-pairs baseline
+    (workloads/multimodal.embedding_near_dups, which is slice-capped
+    because all-pairs is quadratic).
+
+    Candidate pairs must share a (table, signature) bucket; uniques are
+    then exact-cosine verified, so every emitted pair truly clears the
+    threshold (precision 1.0 — approximation only costs recall, and
+    identical/near-identical vectors collide with probability ~1).
+
+    Scale shape: both exploded sides are corpus-sized, so the collision
+    join is pinned to a shuffle-hash equi-join on (table_id, sig) —
+    Catalyst sizes the exploded frames from the compact parquet and
+    would otherwise try to broadcast them — and it carries ids only;
+    vectors join back once per unique surviving pair. With b-bit
+    signatures, bucket population ~ n/2^b per table keeps in-bucket
+    pair counts linear for dispersed corpora; boilerplate-heavy buckets
+    are the usual skew source and AQE skew-split handles them.
+    """
+    planes = _hyperplanes(n_tables, bits, EMB_DIMS, seed)
+    sig_fn = _signatures_udf(planes)
+    signed = vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sig_fn(F.col(vec_col))).alias("table_id", "sig"),
+    )
+    a = signed.select(
+        F.col("id").alias("id_a"), "table_id", "sig"
+    )
+    b = signed.select(
+        F.col("id").alias("id_b"), "table_id", "sig"
+    )
+    pair_ids = (
+        a.join(b.hint("shuffle_hash"), ["table_id", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        pair_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", _cosine_udf(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def _kmeans_centroids(
     sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
