@@ -17,8 +17,13 @@ against the exact baseline is asserted in tests.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from big_data_pipeline_spark.functions.vectors import (
     EMB_DIMS_DEFAULT,
@@ -322,32 +327,51 @@ SELECT vec_id, cluster_id, dist_sq FROM ranked WHERE rn = 1
 # --- int8 scalar quantization (oracle-checked) ------------------------------
 # The ANN memory-reduction path: per-dimension global min/max (exact
 # aggregates, one pass), then q_i = floor((v_i - mn_i) * (255 /
-# (mx_i - mn_i))) clamped to [0, 255]. The stats row is 2 x dims
-# doubles — broadcast onto the corpus, never a shuffle. Both engines
-# evaluate the IDENTICAL expression tree, so the floors land on the
-# same integers bit-for-bit (min/max/floor/clamp are all
-# order-insensitive; the one multiply/divide chain is fixed-shape).
+# (mx_i - mn_i))) clamped to [0, 255]. Stats come from a posexplode +
+# groupBy(dim) — a 64-group map-side-combinable aggregation — and are
+# collected to the driver (2 x dims doubles: a MODEL, like the IVF
+# centroids, never row data); the quantize map is then one Arrow/numpy
+# pass with the mins/scales closed over as constants. The first cut
+# instead built a 128-wide agg + a 64-element when-chain projection:
+# correct, but Spark spent ~3s *compiling* that expression tree at
+# every scale (sf0.1 and sf1 timed identically — pure codegen
+# overhead). numpy evaluates the same fixed-shape IEEE chain
+# (subtract, multiply-by-inverse-scale, floor, clamp), so the ints
+# still match the DuckDB oracle bit-for-bit.
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = EMB_DIMS_DEFAULT
     emb = read_table(spark, sf_dir, "embeddings")
-    v = lambda i: F.col("embedding")[i].cast("double")  # noqa: E731
-    stats = emb.agg(
-        *[F.min(v(i)).alias(f"mn{i}") for i in range(d)],
-        *[F.max(v(i)).alias(f"mx{i}") for i in range(d)],
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .collect()
     )
+    if not stats:
+        return emb.select(
+            "vec_id", F.lit(None).cast("array<int>").alias("q_vec")
+        ).where(F.lit(False))
+    mn = np.empty(d)
+    mx = np.empty(d)
+    for r in stats:
+        mn[r.dim], mx[r.dim] = r.mn, r.mx
+    flat = mx == mn
+    scale = np.where(flat, 1.0, 255.0 / np.where(flat, 1.0, mx - mn))
 
-    def quant(i: int):
-        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
-        q = F.floor((v(i) - mn) * (F.lit(255.0) / (mx - mn)))
-        q = F.least(F.lit(255).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), q))
-        return F.when(mx == mn, F.lit(0)).otherwise(q).cast("int")
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def quantize(embs: pd.Series) -> pd.Series:
+        x = np.vstack(embs.to_numpy()).astype(np.float64)
+        q = np.floor((x - mn) * scale)
+        q = np.clip(q, 0.0, 255.0).astype(np.int32)
+        q[:, flat] = 0
+        return pd.Series(list(q))
 
-    return (
-        emb.crossJoin(F.broadcast(stats))
-        .select("vec_id", F.array(*[quant(i) for i in range(d)]).alias("q_vec"))
-    )
+    return emb.select("vec_id", quantize(F.col("embedding")).alias("q_vec"))
 
 
 def _quantize_sql() -> str:

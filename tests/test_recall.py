@@ -126,3 +126,33 @@ def test_lsh_near_dup_pairs_on_planted_duplicates(spark):
     # recall: near-identical vectors collide with probability ~1
     recall = len(truth & found) / len(truth)
     assert recall >= 0.95, recall
+
+
+def test_quantize_int8_empty_input_and_range(spark, sf_dir, tmp_path):
+    """The collect-stats quantizer must survive an empty corpus (round-3
+    rewrite collects the 2 x dims stats model driver-side) and always
+    emit ints in [0, 255] with the full range used at the extremes."""
+    from big_data_pipeline_spark.workloads.similarity import (
+        embedding_quantize_int8,
+    )
+
+    out = embedding_quantize_int8(spark, sf_dir)
+    import numpy as np
+
+    q = np.vstack([r.q_vec for r in out.collect()])
+    assert q.min() >= 0 and q.max() <= 255
+    # the full range is used at the extremes: the max element of a dim
+    # lands on 255 — or 254 when (mx-mn)*(255/(mx-mn)) rounds just
+    # under 255 (inherent to the formula; the DuckDB oracle agrees
+    # cell-exact) — and the min element lands on 0
+    assert (q.max(axis=0) >= 254).all()
+    assert (q.min(axis=0) == 0).all()
+
+    # empty corpus -> empty result, schema intact, no divide-by-zero
+    empty_dir = tmp_path / "empty"
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(empty_dir / "embeddings.parquet"))
+    out2 = embedding_quantize_int8(spark, str(empty_dir))
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == ["vec_id", "q_vec"]
