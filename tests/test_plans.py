@@ -139,13 +139,16 @@ def test_quota_sample_keeps_window_group_limit(spark, sf_dir):
 # bound below is 2x the true operator count.
 
 
-def test_label_centroid_margin_broadcasts_centroids(spark, sf_dir):
-    """Corpus x 10 centroids must be a BROADCAST nested-loop (linear in
-    the corpus), never a shuffled cartesian."""
+def test_label_centroid_margin_serves_one_scan_no_shuffle(spark, sf_dir):
+    """Round-3 shape: centroids are a collected model, so the SERVING
+    plan is scan -> mapInPandas — no join of any kind and no exchange
+    on the corpus side (the round-2 broadcast-crossjoin materialized
+    corpus x |labels| rows and re-folded them through a corpus-sized
+    groupBy shuffle)."""
     plan = _plan(spark, sf_dir, "label_centroid_margin")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_minhash_lsh_dedup_joins_on_bands_no_cartesian(spark, sf_dir):
