@@ -115,7 +115,6 @@ _PRIORITY = (
     "intersect_all_item_quantities",
     "funnel_conversion",
     "cohort_retention",
-    "sequence_pattern_counts",
     "sessionize_secondary_sort",
     # --- first-timers: round-3 NEW operators (real codecs, k-means,
     # quantization) — newest work accumulates driver rows immediately;
@@ -136,8 +135,11 @@ _PRIORITY = (
     # --- first-timers: text/fingerprint/embedding analysis
     "doc_chunk_overlap",
     "token_rarity_score",
-    # --- first-timers: round-3 additions (incremental-ingest + quantile gate)
+    # --- first-timers: round-3 additions (incremental-ingest + quantile
+    # gate; sequence_pattern_counts moved to the round-4 rotation to
+    # fund the new incremental near-dedup slot)
     "incremental_dedup_new_batch",
+    "incremental_neardup_batch",
     "quality_quantile_gate",
     "shingle_jaccard_pairs",
     "doc_fingerprint_winnow",

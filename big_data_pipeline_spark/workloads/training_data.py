@@ -545,6 +545,102 @@ WHERE t.n_tokens >= th.lang_p75
 """
 
 
+# --- incremental_neardup_batch ----------------------------------------------
+
+_NEARDUP_JACCARD = 0.5
+
+
+def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: find new-batch docs whose 3-word-shingle
+    Jaccard against some already-ingested corpus doc clears 0.5 —
+    without re-clustering the corpus.
+
+    The companion to ``incremental_dedup_new_batch`` (same
+    ``doc_id % 5`` corpus/batch split) one level up the dedup ladder:
+    exact fingerprints catch byte-identical re-crawls, this catches the
+    re-crawl with a new boilerplate header. The asymmetry is the whole
+    point at 100 TB: a Bloom bitmap over the BATCH's shingles (the
+    small side — a few MB regardless of batch size) prunes the corpus
+    shingle stream map-side, so the only corpus rows that reach the
+    shuffle are those sharing a shingle with the incoming batch;
+    everything else never moves. Candidates then pay the exact
+    count/Jaccard verify, so output pairs are exactly the plain-join
+    answer (oracle-checked) — the Bloom stage can only add ~fpp wasted
+    shuffle rows, never drop a match. In production the corpus-side
+    shingle table is the persisted output of prior ingests.
+    """
+    from big_data_pipeline_spark.operators.bloom import (
+        bloom_filter_rows,
+        build_bloom,
+        optimal_bits,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    is_corpus = F.col("doc_id") % 5 == 0
+    # the batch shingle set feeds three consumers (bloom sizing, bloom
+    # build, the verify join) — materialize once, same trade as the
+    # minhash/simhash fingerprint reuse (on a cluster: persist or an
+    # intermediate table)
+    batch_sh = sh.filter(~is_corpus).localCheckpoint(eager=True)
+    n_keys = max(1, batch_sh.select("shingle").distinct().count())
+    num_bits, num_hashes = optimal_bits(n_keys, 0.01)
+    bitmap = build_bloom(batch_sh, "shingle", num_bits, num_hashes)
+    corpus_pruned = bloom_filter_rows(
+        sh.filter(is_corpus), "shingle", bitmap, num_hashes
+    )
+    inter = (
+        batch_sh.alias("b")
+        # both sides are exploded-shingle-sized: pin the shuffle-hash
+        # join (see shingle_jaccard_pairs — Catalyst sizes exploded
+        # frames from the compact parquet and may try to broadcast)
+        .join(
+            corpus_pruned.alias("c").hint("shuffle_hash"),
+            F.col("b.shingle") == F.col("c.shingle"),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sb, sc = sizes.alias("sb"), sizes.alias("sc")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("sb.n") + F.col("sc.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sb), F.col("batch_id") == F.col("sb.doc_id"))
+        .join(F.broadcast(sc), F.col("corpus_id") == F.col("sc.doc_id"))
+        .filter(jacc >= _NEARDUP_JACCARD)
+        .select("batch_id", "corpus_id", "n_common", jacc.alias("jaccard"))
+    )
+
+
+_INCR_NEARDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS n_common
+  FROM sh b JOIN sh c ON b.shingle = c.shingle
+  WHERE b.doc_id % 5 <> 0 AND c.doc_id % 5 = 0
+  GROUP BY 1, 2
+)
+SELECT batch_id, corpus_id, n_common,
+       CAST(n_common AS DOUBLE) / (sb.n + sc.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sb ON sb.doc_id = batch_id
+JOIN sizes sc ON sc.doc_id = corpus_id
+WHERE CAST(n_common AS DOUBLE) / (sb.n + sc.n - n_common)
+      >= {_NEARDUP_JACCARD}
+"""
+
 # --- mixture_temperature_resample -------------------------------------------
 
 # Uniform-in-[0,1) acceptance key from the same Knuth multiplicative
@@ -657,6 +753,7 @@ GROUP BY 1, 2
 
 QUERIES = {
     "incremental_dedup_new_batch": incremental_dedup_new_batch,
+    "incremental_neardup_batch": incremental_neardup_batch,
     "quality_quantile_gate": quality_quantile_gate,
     "pii_pseudonymize_kanon": pii_pseudonymize_kanon,
     "gopher_repetition_stats": gopher_repetition_stats,
@@ -670,6 +767,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "incremental_neardup_batch": _INCR_NEARDUP_SQL,
     "mixture_temperature_resample": _MIXTURE_SQL,
     "train_split_assign": _SPLIT_SQL,
     "incremental_dedup_new_batch": _INCR_DEDUP_SQL,

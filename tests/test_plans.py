@@ -271,3 +271,15 @@ def test_train_split_assign_is_one_pass_partial_agg(spark, sf_dir):
     assert "Window" not in plan
     assert "Sort" not in plan.replace("SortAggregate", "")
     assert "HashAggregate" in plan
+
+
+def test_incremental_neardup_shuffle_hash_no_broadcast_explode(spark, sf_dir):
+    """The batch x corpus shingle verify must be a shuffled equi-join —
+    never a broadcast of an exploded-corpus-sized side or a cartesian —
+    and the corpus stream passes the Arrow bloom-probe filter before
+    the exchange."""
+    plan = _plan(spark, sf_dir, "incremental_neardup_batch")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pythonUDF" in plan or "ArrowEvalPython" in plan  # bloom probe
