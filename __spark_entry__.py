@@ -142,7 +142,9 @@ _PRIORITY = (
     "incremental_neardup_batch",
     "quality_quantile_gate",
     "shingle_jaccard_pairs",
-    "doc_fingerprint_winnow",
+    # (doc_fingerprint_winnow -> round-4 rotation; its slot funds the
+    # new watermark-gated outer interval join below)
+    "stream_unattributed_purchases",
     "entity_blocking_pairs",
     "label_centroid_margin",
     # --- first-timers: dedup clustering + graph + multimodal

@@ -176,8 +176,9 @@ def stream_stream_interval_join(
     max_lag: str = "2 hours",
     left_watermark: str = "1 hour",
     right_watermark: str = "3 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join with a time-range condition.
+    """Watermarked stream-stream join with a time-range condition.
 
     Matches right rows that precede the left row on the same key by at
     most ``max_lag``. Both sides carry watermarks, so the join state is
@@ -189,6 +190,15 @@ def stream_stream_interval_join(
     The right watermark should cover ``max_lag`` plus the left
     watermark, or late-but-admitted left rows could find their right
     match already evicted (Spark drops state strictly by watermark).
+
+    ``how="left_outer"`` adds the watermark-gated null rows: a left row
+    with no match emits (right-side nulls) only once the RIGHT
+    watermark passes its timestamp — before that, a matching right row
+    could still arrive. Dually, right-side match state is evicted by
+    the LEFT watermark (+ lag): a one-shot drain that must not lose
+    matches across micro-batches wants a large left delay, and tight
+    null emission wants a small right delay — see
+    ``stream_unattributed_purchases`` for the oracle-exact recipe.
     """
     if left_ts == right_ts:
         raise ValueError(
@@ -205,4 +215,4 @@ def stream_stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return lw.join(rw, cond).drop(f"_r_{key}")
+    return lw.join(rw, cond, how).drop(f"_r_{key}")

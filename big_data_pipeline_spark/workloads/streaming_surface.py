@@ -259,6 +259,96 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked interval join — attribution including the
+    purchases with NO preceding click. The outer side is the genuinely
+    stateful part: a null row may only emit once the click-side
+    watermark guarantees no matching click can still arrive, so
+    "unmatched" is a statement about event-time progress, not batch
+    completeness.
+
+    Oracle-exactness recipe (this is the subtle bit): a left row's
+    null result emits only when the GLOBAL watermark strictly passes
+    its timestamp, and under the default multipleWatermarkPolicy=min
+    that watermark is the MINIMUM over both inputs — a generous delay
+    on either side drags it back and withholds every null (measured:
+    a 3650-day purchase delay emitted exactly zero outer rows).
+    With 0-second delays on both sides, the final no-data batch of the
+    availableNow drain advances the watermark to
+    ``least(max purchase ts, max click ts)``, so the
+    guaranteed-resolved region is exactly ``p_ts < least(...)`` — BOTH
+    the drained stream and the batch LEFT JOIN oracle restrict to it,
+    making the comparison cell-exact whatever Spark does on the
+    boundary itself. The 0-second delays are correct for the one-shot
+    drain because the corpus arrives in a single data micro-batch (no
+    cross-batch match to lose); a continuously running deployment
+    picks both delays from its real lateness SLO instead (the 1h/3h
+    defaults) and accepts null emission lagging by that SLO.
+
+    Scale: same bounded state as the inner attribution join; the outer
+    rows add no state, only an emit-on-eviction.
+    """
+    events = stream_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        "user_id",
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+        "user_id",
+    )
+    joined = stream_stream_interval_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        max_lag="2 hours",
+        left_watermark="0 seconds",
+        right_watermark="0 seconds",
+        how="left_outer",
+    ).select(
+        "user_id",
+        "p_event_id",
+        "p_ts",
+        "c_event_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    drained = run_available_now(
+        joined, "mem_stream_unattrib", output_mode="append"
+    )
+    from big_data_pipeline_spark.io import read_table as _read
+
+    horizon = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg(F.min("mx"))
+        .collect()[0][0]
+    )
+    return drained.filter(F.col("p_ts") < F.lit(horizon)).drop("p_ts")
+
+
+_STREAM_UNATTRIB_SQL = """
+SELECT p.user_id,
+       p.event_id AS p_event_id,
+       c.event_id AS c_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+  AND p.ts < (SELECT LEAST(
+                MAX(CASE WHEN event_type = 'click' THEN ts END),
+                MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+              FROM events)
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: each streamed event enriched with a batch
     profile of its user (per-user lifetime count/sum computed from the
@@ -347,6 +437,7 @@ QUERIES = {
     "stream_dedup_exact": stream_dedup_exact,
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "stream_click_purchase_attribution": stream_click_purchase_attribution,
+    "stream_unattributed_purchases": stream_unattributed_purchases,
     "stream_static_enrich": stream_static_enrich,
 }
 
@@ -358,5 +449,6 @@ ORACLE = {
     "stream_stateful_user_stats": _STREAM_STATEFUL_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,
     "stream_click_purchase_attribution": _STREAM_ATTRIB_SQL,
+    "stream_unattributed_purchases": _STREAM_UNATTRIB_SQL,
     "stream_static_enrich": _STREAM_ENRICH_SQL,
 }

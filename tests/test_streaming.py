@@ -78,3 +78,49 @@ def test_interval_join_stream_equals_batch(spark, sf_dir):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_outer_interval_join_stream_equals_batch(spark, sf_dir):
+    """The watermark-gated LEFT OUTER interval join must equal the
+    batch left join on the resolved region (p_ts < min-side max ts) —
+    matched rows AND the null rows that only emit once the global
+    watermark passes them. Regression pin for the
+    multipleWatermarkPolicy=min trap: a generous delay on either input
+    drags the global watermark back and silently withholds every null
+    row."""
+    from big_data_pipeline_spark.workloads.streaming_surface import (
+        stream_unattributed_purchases,
+    )
+
+    got = stream_unattributed_purchases(spark, sf_dir).cache()
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'")
+    c = ev.filter("event_type = 'click'")
+    horizon = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(F.max("ts").alias("mx"))
+        .agg(F.min("mx")).collect()[0][0]
+    )
+    want = (
+        p.alias("p")
+        .join(
+            c.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("c.ts") <= F.col("p.ts")),
+            "left_outer",
+        )
+        .filter(F.col("p.ts") < F.lit(horizon))
+        .select(
+            F.col("p.user_id"),
+            F.col("p.event_id").alias("p_event_id"),
+            F.col("c.event_id").alias("c_event_id"),
+            (F.unix_micros("p.ts") - F.unix_micros("c.ts")).alias("lag_us"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # both classes are present: true matches and watermark-resolved nulls
+    assert got.filter("c_event_id IS NULL").count() > 0
+    assert got.filter("c_event_id IS NOT NULL").count() > 0
