@@ -96,12 +96,57 @@ FROM customer a JOIN customer b
 """
 
 
+def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive entity resolution: the blocking-pair candidates
+    chained into clusters (A~B and B~C put A, B, C in one entity even
+    when A and C differ in two positions). Reuses the SAME distributed
+    connected-components machinery as the document-dedup clustering —
+    entity resolution and near-dedup are one graph problem at scale —
+    and the same recursive-CTE oracle shape proves the iterative
+    label-propagation result cell-exact."""
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.dedup.clusters import connected_components
+
+    pairs = entity_blocking_pairs(spark, sf_dir).select(
+        "custkey_a", "custkey_b"
+    )
+    return connected_components(pairs, "custkey_a", "custkey_b").select(
+        F.col("id").alias("custkey"), "cluster_id"
+    )
+
+
+_ENTITY_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND length(a.c_name) = length(b.c_name)
+   AND levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (
+  SELECT ka AS a, kb AS b FROM pairs
+  UNION
+  SELECT kb AS a, ka AS b FROM pairs
+),
+reach(id, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS custkey, MIN(label) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "entity_blocking_pairs": entity_blocking_pairs,
+    "entity_clusters": entity_clusters,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_near_dups": simhash_near_dups,
 }
 
 ORACLE: dict[str, str] = {
     "entity_blocking_pairs": _ENTITY_SQL,
+    "entity_clusters": _ENTITY_CLUSTERS_SQL,
 }
