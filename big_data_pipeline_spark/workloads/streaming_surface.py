@@ -160,6 +160,67 @@ GROUP BY user_id, session_id
 """
 
 
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` with a PER-EVENT gap expression (purchases
+    hold a session open 30 minutes, everything else 10) — the Spark
+    3.2+ dynamic-gap API the fixed-gap query can't exercise.
+
+    The oracle needs real interval-union logic: with variable gaps the
+    session end is ``MAX(ts + gap)`` over the merged events (a later
+    short-gap event does NOT shrink the window a purchase opened), and
+    a new session starts only when ts exceeds the RUNNING MAX of all
+    preceding window ends — the fixed-gap lag(ts) shortcut is wrong
+    here. Merge inclusivity (ts == running end still merges) matches
+    the fixed-gap oracle already proven hash-green.
+    """
+    events = stream_events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "mem_stream_dynsessions", output_mode="complete")
+
+
+_STREAM_DYNSESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+                   ELSE INTERVAL 10 MINUTE END AS w_end
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id, w_end,
+         MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+  FROM g
+),
+n AS (
+  SELECT user_id, ts, w_end,
+         SUM(CASE WHEN prev_max IS NULL OR ts > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT MIN(ts) AS session_start,
+       MAX(w_end) AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM n GROUP BY user_id, sid
+"""
+
+
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark`` over event_id. The fixture's
     event_ids are unique, so the checked semantic is pass-through — the
@@ -434,6 +495,7 @@ QUERIES = {
     "stream_continuous_rollup": stream_continuous_rollup,
     "stream_heavy_hitter_users": stream_heavy_hitter_users,
     "stream_session_windows": stream_session_windows,
+    "stream_session_dynamic_gap": stream_session_dynamic_gap,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "stream_click_purchase_attribution": stream_click_purchase_attribution,
@@ -446,6 +508,7 @@ ORACLE = {
     "stream_tumbling_window_counts": _STREAM_TUMBLING_SQL,
     "stream_continuous_rollup": _STREAM_ROLLUP_SQL,
     "stream_session_windows": _STREAM_SESSION_SQL,
+    "stream_session_dynamic_gap": _STREAM_DYNSESSION_SQL,
     "stream_stateful_user_stats": _STREAM_STATEFUL_SQL,
     "stream_dedup_exact": _STREAM_DEDUP_SQL,
     "stream_click_purchase_attribution": _STREAM_ATTRIB_SQL,
