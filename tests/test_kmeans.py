@@ -98,3 +98,29 @@ def test_kmeans_keeps_empty_cluster_centroid(spark):
     assigned = assign_clusters_np(df, cents)
     n_used = assigned.select("cluster_id").distinct().count()
     assert n_used == 2  # one centroid stays empty but intact
+
+
+def test_zca_whitening_identity_covariance(spark, sf_dir):
+    """Whitened output must have identity covariance (the statistical
+    contract), preserve row count/ids, and the fit must come from one
+    aggregate pass — no row data on the driver."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import read_table
+    from big_data_pipeline_spark.ml.whiten import whiten_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = whiten_embeddings(emb).cache()
+    assert out.count() == emb.count()
+    pdf = out.select("vec_id", "whitened").toPandas()
+    z = np.vstack(pdf["whitened"].to_numpy())
+    cov = np.cov(z, rowvar=False, bias=True)
+    d = z.shape[1]
+    assert np.abs(cov - np.eye(d)).max() < 1e-6
+    # mean is removed
+    assert np.abs(z.mean(axis=0)).max() < 1e-9
+    # deterministic ids preserved
+    assert sorted(pdf["vec_id"]) == sorted(
+        r.vec_id for r in emb.select("vec_id").collect()
+    )
