@@ -88,7 +88,9 @@ _MODULES = (
 # pass pytest + the local tools/check_oracle.py sweep; the prefix slot
 # converts that into driver-grade evidence). The displaced round-2
 # entries stay registered and sweep-verified; they rotate back in
-# round 4 with the remaining 17 never-checked queries.
+# round 4 with the remaining never-checked queries (incl. the late
+# round-3 additions boilerplate_span_strip / semdedup_prune /
+# knn_matryoshka_rerank, added after this window was frozen).
 _PRIORITY = (
     # --- anchors: reference §2 core (agg, filter, topk, windows, argmax)
     "q1_pricing_summary",

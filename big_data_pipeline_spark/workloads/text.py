@@ -546,8 +546,118 @@ GROUP BY doc_id
 """
 
 
+# --- boilerplate_span_strip: corpus-level repeated-span removal -------------
+# The C4/RefinedWeb "remove lines repeated across documents" gate,
+# re-expressed for a corpus without line structure: each document is cut
+# into NON-overlapping _BP_W-token spans; a span whose text occurs in at
+# least _BP_DF_FRAC of all documents is boilerplate (navigation chrome,
+# cookie banners, license headers at web scale), and the document is
+# re-emitted with those spans removed, plus audit counts. Reference has
+# no analog (its 630-row stock feed has no corpus-frequency concept);
+# the operator exists for the LLM-training-data surface.
+#
+# Scale (100 TB): span counting is ONE map-side-combinable
+# groupBy(span_text) distinct-doc count (internally two-phase over
+# (span_text, doc_id)); the qualifying span set is bounded by the
+# document-frequency threshold — at a fixed fraction of N docs, at most
+# vocab-bounded thousands of spans qualify — so it broadcasts back onto
+# the span stream, and reassembly is one groupBy(doc_id). Two bounded
+# shuffles total; nothing quadratic, nothing driver-side.
+
+_BP_W = 2  # span width in tokens (non-overlapping)
+_BP_DF_FRAC = 0.04  # span is boilerplate when present in >= 4% of docs
+
+
+def boilerplate_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    n_spans = F.ceil(F.size("t") / F.lit(float(_BP_W)))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (n_spans - 1).cast("bigint"))
+        ).alias("span_id"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "span_id",
+        F.concat_ws(
+            " ", F.slice("t", F.col("span_id") * _BP_W + 1, F.lit(_BP_W))
+        ).alias("span_text"),
+    )
+    total = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        spans.groupBy("span_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("df") >= F.col("n_docs") * _BP_DF_FRAC)
+        .select("span_text", F.lit(True).alias("is_boiler"))
+    )
+    flagged = spans.join(F.broadcast(boiler), "span_text", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("is_boiler"), F.struct("span_id", "span_text")
+            )
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("is_boiler").cast("int")).alias("n_boiler_spans"),
+        (
+            F.sum(F.col("is_boiler").cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("boiler_frac"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["span_text"])
+        ).alias("clean_text"),
+    )
+
+
+_BOILER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, span_id,
+         array_to_string(
+           t[span_id * {_BP_W} + 1 : span_id * {_BP_W} + {_BP_W}], ' ')
+           AS span_text
+  FROM (
+    SELECT doc_id, t,
+           UNNEST(range(0, CAST(CEIL(len(t) / {_BP_W}.0) AS BIGINT)))
+             AS span_id
+    FROM toks
+  )
+),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+boiler AS (
+  SELECT span_text FROM spans, total
+  GROUP BY span_text, n_docs
+  HAVING COUNT(DISTINCT doc_id) >= n_docs * {_BP_DF_FRAC}
+),
+flagged AS (
+  SELECT s.doc_id, s.span_id, s.span_text,
+         b.span_text IS NOT NULL AS is_boiler
+  FROM spans s LEFT JOIN boiler b USING (span_text)
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_spans,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS boiler_frac,
+       COALESCE(
+         string_agg(CASE WHEN NOT is_boiler THEN span_text END, ' '
+                    ORDER BY span_id), '') AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
+    "boilerplate_span_strip": boilerplate_span_strip,
     "token_rarity_score": token_rarity_score,
     "inverted_index_postings": inverted_index_postings,
     "doc_token_stats": doc_token_stats,
@@ -562,6 +672,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_chunk_overlap": _CHUNK_SQL,
+    "boilerplate_span_strip": _BOILER_SQL,
     "token_rarity_score": _RARITY_SQL,
     "inverted_index_postings": _INVERTED_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,

@@ -1,0 +1,97 @@
+"""Property tests for the round-3 corpus-curation operators:
+boilerplate span stripping, SemDeDup pruning, matryoshka rerank.
+(Cross-engine cell-exactness is covered by the oracle sweep; these pin
+the semantic invariants that survive fixture regeneration.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.workloads.similarity import (
+    _K,
+    _MRL_SHORTLIST,
+    kmeans_assign_embeddings,
+    knn_cosine_topk,
+    knn_matryoshka_rerank,
+    semdedup_prune,
+)
+from big_data_pipeline_spark.workloads.text import boilerplate_span_strip
+
+
+def test_boilerplate_counts_and_text(spark, sf_dir):
+    out = boilerplate_span_strip(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_boiler_spans <= r.n_spans
+        assert abs(r.boiler_frac - r.n_boiler_spans / r.n_spans) < 1e-12
+        # clean text keeps exactly the non-boiler spans' tokens
+        n_clean_toks = len(r.clean_text.split()) if r.clean_text else 0
+        # every span has <= _BP_W tokens; kept spans are non-empty
+        assert n_clean_toks <= r.n_spans * 2
+        if r.n_boiler_spans == 0:
+            assert n_clean_toks > 0
+
+
+def test_boilerplate_strips_corpus_frequent_spans(spark, sf_dir):
+    # at least one document must actually lose a span at this fixture's
+    # frequency profile (threshold tuned against it), proving the gate
+    # isn't vacuously passing everything through
+    out = boilerplate_span_strip(spark, sf_dir)
+    assert out.filter(F.col("n_boiler_spans") > 0).count() > 0
+
+
+def test_semdedup_lowest_id_survives_each_cluster(spark, sf_dir):
+    pruned = semdedup_prune(spark, sf_dir)
+    assign = kmeans_assign_embeddings(spark, sf_dir).select(
+        "vec_id", "cluster_id"
+    )
+    # rows and clusters agree with the standalone assignment query
+    joined = pruned.alias("p").join(
+        assign.alias("a"), "vec_id"
+    )
+    assert joined.filter(
+        F.col("p.cluster_id") != F.col("a.cluster_id")
+    ).count() == 0
+    # the minimum vec_id of every cluster can have no lower-id neighbor
+    mins = pruned.groupBy("cluster_id").agg(F.min("vec_id").alias("vec_id"))
+    assert (
+        pruned.join(mins, ["cluster_id", "vec_id"])
+        .filter(~F.col("kept"))
+        .count()
+        == 0
+    )
+    # every dropped row names a lower-id duplicate in the SAME cluster
+    dropped = pruned.filter(~F.col("kept"))
+    bad = dropped.alias("d").join(
+        pruned.alias("k"), F.col("d.dup_of") == F.col("k.vec_id")
+    ).filter(
+        (F.col("d.cluster_id") != F.col("k.cluster_id"))
+        | (F.col("d.dup_of") >= F.col("d.vec_id"))
+    )
+    assert bad.count() == 0
+
+
+def test_matryoshka_rerank_subset_of_exact_shortlist(spark, sf_dir):
+    exact = knn_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("exact_cos")
+    )
+    mrl = knn_matryoshka_rerank(spark, sf_dir)
+    rows = mrl.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pre_rank").alias("max_pre")
+    )
+    for r in rows.collect():
+        assert r.n == _K
+        assert r.max_pre <= _MRL_SHORTLIST
+    # where the reranked result intersects the exact top-k, the full-dim
+    # scores must agree exactly (same kernel, same association order)
+    overlap = mrl.join(exact, ["query_id", "neighbor_id"])
+    assert overlap.filter(
+        F.abs(F.col("cos_sim") - F.col("exact_cos")) > 0
+    ).count() == 0
+    # recall@k of the cheap-first-stage pipeline should be high on this
+    # corpus — the prefix carries most of the signal
+    n_q = mrl.select("query_id").distinct().count()
+    recall = overlap.count() / (n_q * _K)
+    assert recall >= 0.5, recall
