@@ -55,6 +55,89 @@ def llm_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- curation_pipeline_v2: the round-3 stages chained in one plan -----------
+# Second flagship composite, built from the round-3 curation operators:
+# corpus boilerplate stripping → cleaned-token quality gate → SemDeDup
+# semantic pruning → per-source acceptance report. As with
+# llm_clean_corpus_stats, the point is that each stage is the SAME
+# operator exposed standalone (boilerplate_span_strip, semdedup_prune)
+# and they compose into ONE declarative plan — Catalyst sees the whole
+# lineage, and no stage forces a materialization barrier. Docs without
+# an embedding row pass the semantic stage by definition (LEFT join +
+# coalesce(kept, true)), which keeps the pipeline total-preserving.
+#
+# Scale: inherits each stage's shuffle budget (two for the strip, one
+# pair join for SemDeDup, one final groupBy(source)); nothing new.
+
+_CUR_MAX_BOILER = 0.2
+_CUR_MIN_TOKENS = 20
+
+
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.oracle import exact_avg
+    from big_data_pipeline_spark.workloads.similarity import semdedup_prune
+    from big_data_pipeline_spark.workloads.text import boilerplate_span_strip
+
+    docs = read_table(spark, sf_dir, "documents")
+    bp = boilerplate_span_strip(spark, sf_dir)
+    sem = semdedup_prune(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("sem_kept")
+    )
+    enriched = (
+        docs.select("doc_id", "source")
+        .join(bp, "doc_id")
+        .withColumn("n_clean_tokens", F.size(tokenize("clean_text")))
+        .join(sem, "doc_id", "left")
+        .withColumn("sem_kept", F.coalesce("sem_kept", F.lit(True)))
+        .withColumn(
+            "accepted",
+            (F.col("boiler_frac") <= _CUR_MAX_BOILER)
+            & (F.col("n_clean_tokens") >= _CUR_MIN_TOKENS)
+            & F.col("sem_kept"),
+        )
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("accepted").cast("int")).alias("n_accepted"),
+        F.sum(
+            F.when(F.col("accepted"), F.col("n_clean_tokens")).otherwise(0)
+        ).alias("accepted_tokens"),
+        exact_avg("boiler_frac", "avg_boiler_frac"),
+    )
+
+
+def _curation_v2_sql() -> str:
+    from big_data_pipeline_spark.oracle import exact_avg_sql
+    from big_data_pipeline_spark.workloads.similarity import _semdedup_sql
+    from big_data_pipeline_spark.workloads.text import _BOILER_SQL
+
+    return rf"""
+WITH bp AS ({_BOILER_SQL}),
+sem AS ({_semdedup_sql()}),
+enriched AS (
+  SELECT d.source, b.boiler_frac,
+         len(regexp_split_to_array(trim(b.clean_text), '\s+'))
+           AS n_clean_tokens,
+         COALESCE(s.kept, TRUE) AS sem_kept
+  FROM documents d JOIN bp b USING (doc_id)
+  LEFT JOIN sem s ON d.doc_id = s.vec_id
+),
+flagged AS (
+  SELECT *, (boiler_frac <= {_CUR_MAX_BOILER}
+             AND n_clean_tokens >= {_CUR_MIN_TOKENS}
+             AND sem_kept) AS accepted
+  FROM enriched
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accepted,
+       CAST(SUM(CASE WHEN accepted THEN n_clean_tokens ELSE 0 END) AS BIGINT)
+         AS accepted_tokens,
+       {exact_avg_sql("boiler_frac", "avg_boiler_frac")}
+FROM flagged GROUP BY source
+"""
+
+
 _LLM_CLEAN_SQL = rf"""
 WITH deduped AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -427,6 +510,7 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
+    "curation_pipeline_v2": curation_pipeline_v2,
     "doc_pack_assign": doc_pack_assign,
     "pack_greedy_binpack": pack_greedy_binpack,
     "approx_theta_overlap": approx_theta_overlap,
@@ -439,6 +523,7 @@ QUERIES = {
 
 ORACLE = {
     "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
+    "curation_pipeline_v2": _curation_v2_sql(),
     "doc_pack_assign": _PACK_ASSIGN_SQL,
     "pack_greedy_binpack": _PACK_GREEDY_SQL,
     "sample_bottomk_docs": _BOTTOMK_SQL,

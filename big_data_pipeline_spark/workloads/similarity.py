@@ -438,13 +438,17 @@ SELECT vec_id, [{elems}] AS q_vec FROM embeddings, s
 # naming the lowest-id duplicate that caused the drop.
 #
 # Scale (100 TB): this is the whole point of SemDeDup — the quadratic
-# pair search is confined to clusters, and k grows with the corpus so
-# cluster size stays bounded (|C|²/k pairs total vs |C|² all-pairs).
-# The pair join is an equi-join on cluster_id (one shuffle); cosine
+# pair search is confined to clusters, and k GROWS WITH THE CORPUS
+# (k = max(8, ceil(N / _SEM_CLUSTER_TARGET)), computed inside the plan
+# from COUNT(*) — identically on both engines, no driver action), so
+# expected cluster size stays ~_SEM_CLUSTER_TARGET and total pair work
+# is ~N·target/2, linear in N, vs the N² all-pairs a fixed k degrades
+# to. The pair join is an equi-join on cluster_id (one shuffle); cosine
 # runs in the Arrow seq_cosine kernel; the drop decision is one
 # groupBy(higher_id) MIN aggregation.
 
 _SEM_TAU = 0.45
+_SEM_CLUSTER_TARGET = 512  # target mean cluster population
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,9 +457,20 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").withColumn(
         "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
     )
-    cent = emb.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cluster_id"),
-        F.col("embedding").alias("c_vec"),
+    k = emb.select(
+        F.greatest(
+            F.lit(_KMEANS_K),
+            F.ceil(F.count(F.lit(1)) / _SEM_CLUSTER_TARGET),
+        ).alias("k")
+    )
+    cent = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(
+            F.col("vec_id").cast("int").alias("cluster_id"),
+            F.col("embedding").alias("c_vec"),
+        )
     )
     scored = (
         emb.select("vec_id", "embedding")
@@ -519,9 +534,15 @@ WITH e AS (
          {sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=1)} AS sqn
   FROM embeddings
 ),
+kv AS (
+  SELECT GREATEST({_KMEANS_K},
+                  CAST(CEIL(COUNT(*) / {_SEM_CLUSTER_TARGET}.0) AS BIGINT))
+           AS k
+  FROM embeddings
+),
 c AS (
   SELECT CAST(vec_id AS INT) AS cluster_id, embedding AS c_vec
-  FROM embeddings WHERE vec_id < {_KMEANS_K}
+  FROM embeddings, kv WHERE vec_id < k
 ),
 scored AS (
   SELECT e.vec_id, c.cluster_id,
@@ -674,10 +695,100 @@ SELECT query_id, "rank", neighbor_id, cos_sim, pre_rank FROM (
 """
 
 
+# --- embedding_pq_codes: product quantization (Jégou et al., PAMI'11) -------
+# The other ANN compression path next to int8 scalar quantization: the
+# 64-dim vector is cut into _PQ_M contiguous subvectors; each subvector
+# is replaced by the id of its nearest codeword in that subspace's
+# codebook (here: the deterministic codebook of the _PQ_CODES lowest-id
+# vectors' subvectors — k-means-refined codebooks are a drop-in swap,
+# ml/kmeans.py). 64 floats (256 B) become _PQ_M uint8 codes (8 B), the
+# 32x shrink that lets a 100 TB embedding corpus serve ANN from memory.
+# Output keeps the per-subspace residual distances (ordered array, no
+# float summation) so downstream can bound reconstruction error.
+#
+# Scale: the codebook is MODEL-sized and rides the broadcast join; the
+# subspace explode is a map-side x_PQ_M fan-out of 8-float rows; the
+# only shuffle is the per-(vector, subspace) argmin window. Assignment
+# arithmetic is the same left-associated kernel pair as k-means, so
+# codes and distances are bit-identical to the SQL oracle.
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = EMB_DIMS_DEFAULT // _PQ_M  # dims per subspace
+_PQ_CODES = 16  # codewords per subspace
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.functions.vectors import seq_l2_sq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    subs = F.array(
+        *[F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB) for m in range(_PQ_M)]
+    )
+    vec_subs = emb.select(
+        "vec_id", F.posexplode(subs).alias("m", "subvec")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    codebook = (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .select(F.col("vec_id").cast("int").alias("code_id"),
+                F.posexplode(subs).alias("m", "codevec"))
+    )
+    scored = vec_subs.join(F.broadcast(codebook), "m").withColumn(
+        "dist_sq", seq_l2_sq(F.col("subvec"), F.col("codevec"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("dist_sq"), F.asc("code_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    packed = F.array_sort(
+        F.collect_list(F.struct("m", "code_id", "dist_sq"))
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(packed, lambda s: s["code_id"]).alias("codes"),
+        F.transform(packed, lambda s: s["dist_sq"]).alias("sub_dists"),
+    )
+
+
+def _pq_sql() -> str:
+    from big_data_pipeline_spark.functions.vectors import l2_sq_sql
+
+    return f"""
+WITH vec_subs AS (
+  SELECT vec_id, m,
+         embedding[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS subvec
+  FROM embeddings, range({_PQ_M}) r(m)
+),
+codebook AS (
+  SELECT CAST(vec_id AS INT) AS code_id, m,
+         embedding[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS codevec
+  FROM embeddings, range({_PQ_M}) r(m)
+  WHERE vec_id < {_PQ_CODES}
+),
+scored AS (
+  SELECT v.vec_id, v.m, c.code_id,
+         {l2_sq_sql("v.subvec", "c.codevec", _PQ_SUB, offset=1)} AS dist_sq
+  FROM vec_subs v JOIN codebook c USING (m)
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist_sq ASC, code_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       array_agg(code_id ORDER BY m) AS codes,
+       array_agg(dist_sq ORDER BY m) AS sub_dists
+FROM best GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "semdedup_prune": semdedup_prune,
     "knn_matryoshka_rerank": knn_matryoshka_rerank,
+    "embedding_pq_codes": embedding_pq_codes,
     "label_centroid_margin": label_centroid_margin,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -690,6 +801,7 @@ ORACLE = {
     "knn_cosine_topk": _KNN_SQL,
     "semdedup_prune": _semdedup_sql(),
     "knn_matryoshka_rerank": _MRL_SQL,
+    "embedding_pq_codes": _pq_sql(),
     "label_centroid_margin": _label_margin_sql(),
     "kmeans_assign_embeddings": _kmeans_assign_sql(),
     "embedding_quantize_int8": _quantize_sql(),

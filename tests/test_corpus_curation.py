@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 from big_data_pipeline_spark.workloads.similarity import (
     _K,
     _MRL_SHORTLIST,
+    _PQ_CODES,
+    _PQ_M,
+    embedding_pq_codes,
     kmeans_assign_embeddings,
     knn_cosine_topk,
     knn_matryoshka_rerank,
@@ -71,6 +74,20 @@ def test_semdedup_lowest_id_survives_each_cluster(spark, sf_dir):
         | (F.col("d.dup_of") >= F.col("d.vec_id"))
     )
     assert bad.count() == 0
+
+
+def test_pq_codes_shape_and_self_coding(spark, sf_dir):
+    out = embedding_pq_codes(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert len(r.codes) == _PQ_M and len(r.sub_dists) == _PQ_M
+        assert all(0 <= c < _PQ_CODES for c in r.codes)
+        assert all(d >= 0.0 for d in r.sub_dists)
+    # codebook donors reconstruct themselves exactly in every subspace
+    for r in rows:
+        if r.vec_id < _PQ_CODES:
+            assert all(d == 0.0 for d in r.sub_dists), r
 
 
 def test_matryoshka_rerank_subset_of_exact_shortlist(spark, sf_dir):

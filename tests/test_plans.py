@@ -283,3 +283,32 @@ def test_incremental_neardup_shuffle_hash_no_broadcast_explode(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "pythonUDF" in plan or "ArrowEvalPython" in plan  # bloom probe
+
+
+def test_boilerplate_strip_broadcasts_span_set(spark, sf_dir):
+    """The qualifying boilerplate span set is threshold-bounded and must
+    broadcast onto the span stream; the only wide movement is the span
+    count agg and the per-doc reassembly (no SMJ, no cartesian)."""
+    plan = _plan(spark, sf_dir, "boilerplate_span_strip")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_broadcasts_centroids_only(spark, sf_dir):
+    """Centroids (k rows) broadcast for assignment; the quadratic pair
+    search must be confined to the cluster_id equi-join — never a
+    cartesian across the corpus."""
+    plan = _plan(spark, sf_dir, "semdedup_prune")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_broadcast_codebook_single_window_shuffle(spark, sf_dir):
+    """The PQ codebook is model-sized and must ride a broadcast join;
+    the per-(vector, subspace) argmin is the single wide stage."""
+    plan = _plan(spark, sf_dir, "embedding_pq_codes")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
