@@ -448,7 +448,7 @@ SELECT vec_id, [{elems}] AS q_vec FROM embeddings, s
 # groupBy(higher_id) MIN aggregation.
 
 _SEM_TAU = 0.45
-_SEM_CLUSTER_TARGET = 512  # target mean cluster population
+_SEM_CLUSTER_TARGET = 250  # target mean cluster population
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
