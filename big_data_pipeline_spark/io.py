@@ -430,3 +430,67 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def build_file_stats_index(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Manifest-style file-skipping index: per-file row count + min/max
+    for ``cols`` (the Delta/Iceberg add-file stats pattern, engine-side).
+
+    Built with one column-pruned scan grouped by ``_metadata.file_path``
+    — map-side combinable, output is |files| rows (metadata-sized). At
+    100 TB the index is computed once per ingest/compaction and stored
+    next to the data; queries consult it instead of listing+footer-
+    probing every file. Pairs with ``zorder_write``: clustering is what
+    makes per-file ranges tight enough to skip.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file"), *cols)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    )
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    index: DataFrame | None = None,
+):
+    """Range read that opens ONLY files whose [min, max] envelope
+    intersects [lo, hi], per the stats index (built on the fly if not
+    supplied — callers at scale pass the persisted index).
+
+    Returns ``(df, n_files_read, n_files_total)`` so callers/tests can
+    assert skipping actually happened. The surviving-file list is a
+    driver-side collect of METADATA (|files| strings — same budget
+    class as Spark's own file listing), never row data. The residual
+    predicate is still applied (and pushed to the parquet scan) because
+    envelopes overapproximate.
+    """
+    idx = index if index is not None else build_file_stats_index(spark, path, [col])
+    files = [r["file"] for r in idx.select("file").collect()]
+    keep = [
+        r["file"]
+        for r in idx.filter(
+            ~((F.col(f"max_{col}") < lo) | (F.col(f"min_{col}") > hi))
+        )
+        .select("file")
+        .collect()
+    ]
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, len(files)
+    df = (
+        spark.read.parquet(*keep)
+        .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    )
+    return df, len(keep), len(files)

@@ -318,3 +318,50 @@ def test_write_audit_publish_gates_bad_data(spark, tmp_path):
     residue = [p.name for p in tmp_path.iterdir() if "staging" in p.name
                or "retired" in p.name]
     assert residue == []
+
+
+def test_file_stats_index_and_skipping_read(spark, tmp_path, sf_dir):
+    """The stats index must (a) cover every file with true envelopes and
+    (b) let a narrow range read open strictly fewer files on clustered
+    data, returning exactly the rows a full filtered scan returns."""
+    from big_data_pipeline_spark.io import (
+        build_file_stats_index,
+        read_table,
+        read_with_skipping,
+        zorder_write,
+    )
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    path = str(tmp_path / "li_zorder")
+    zorder_write(li, path, ["l_quantity", "l_extendedprice"], n_files=8)
+
+    idx = build_file_stats_index(spark, path, ["l_quantity"])
+    rows = idx.collect()
+    assert len(rows) == 8
+    assert sum(r.n_rows for r in rows) == li.count()
+
+    lo, hi = 1.0, 5.0
+    pruned, n_read, n_total = read_with_skipping(
+        spark, path, "l_quantity", lo, hi, index=idx
+    )
+    assert n_total == 8
+    assert 0 < n_read < n_total  # clustering made skipping real
+    expect = (
+        spark.read.parquet(path)
+        .filter((F.col("l_quantity") >= lo) & (F.col("l_quantity") <= hi))
+    )
+    assert pruned.count() == expect.count()
+    assert (
+        pruned.agg(F.sum("l_orderkey")).first()[0]
+        == expect.agg(F.sum("l_orderkey")).first()[0]
+    )
+
+    # empty-intersection range: zero files opened, schema preserved
+    empty, n_read0, _ = read_with_skipping(
+        spark, path, "l_quantity", 1e9, 2e9, index=idx
+    )
+    assert n_read0 == 0 and empty.count() == 0
+    assert empty.columns == expect.columns
