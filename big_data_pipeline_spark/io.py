@@ -494,3 +494,80 @@ def read_with_skipping(
         .filter((F.col(col) >= lo) & (F.col(col) <= hi))
     )
     return df, len(keep), len(files)
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Append-only versioned snapshots with an atomic latest pointer —
+    time-travel-lite (the table-format commit pattern without a
+    metastore): each write lands in ``path/v=N`` (N monotonically
+    increasing), then ``path/_LATEST`` is atomically replaced to point
+    at it. Readers pinned to a version see immutable data forever;
+    readers of "latest" flip from N-1 to N in one metadata op and never
+    observe a half-written snapshot (the pointer moves only after the
+    snapshot write completes). Returns the new version number.
+
+    Retention is the caller's policy: old ``v=K`` directories stay
+    readable until explicitly vacuumed with ``vacuum_versions``. At
+    100 TB this is exactly the Delta/Iceberg commit discipline —
+    snapshot dirs are the data files, ``_LATEST`` is the (single-writer)
+    commit log; swap in a real table format for multi-writer commits.
+    """
+    import os
+    import tempfile
+
+    import re
+
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    # next version clears BOTH the committed pointer and any orphaned
+    # uncommitted snapshot dir a dead writer left behind
+    on_disk = [
+        int(m.group(1))
+        for p in root.iterdir()
+        if (m := re.fullmatch(r"v=(\d+)", p.name))
+    ]
+    version = max([latest_version(path), *on_disk], default=0) + 1
+    df.write.mode("errorifexists").parquet(str(root / f"v={version}"))
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_LATEST_")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, str(root / "_LATEST"))
+    return version
+
+
+def latest_version(path: str) -> int:
+    """Current committed version per the pointer; 0 if none committed.
+    Uncommitted ``v=K`` dirs (a writer died before moving the pointer)
+    are invisible, exactly like an uncommitted table-format snapshot."""
+    marker = Path(path) / "_LATEST"
+    if not marker.exists():
+        return 0
+    return int(marker.read_text().strip())
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot (``version=N``) or the committed latest."""
+    v = latest_version(path) if version is None else version
+    if v <= 0:
+        raise ValueError(f"no committed version at {path}")
+    return spark.read.parquet(str(Path(path) / f"v={v}"))
+
+
+def vacuum_versions(path: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` committed snapshots (never the
+    current one). Returns the removed version numbers."""
+    import re
+    import shutil
+
+    cur = latest_version(path)
+    versions = sorted(
+        int(m.group(1))
+        for p in Path(path).iterdir()
+        if (m := re.fullmatch(r"v=(\d+)", p.name)) and int(m.group(1)) <= cur
+    )
+    drop = [v for v in versions[:-keep] if v != cur] if keep > 0 else []
+    for v in drop:
+        shutil.rmtree(str(Path(path) / f"v={v}"))
+    return drop

@@ -365,3 +365,47 @@ def test_file_stats_index_and_skipping_read(spark, tmp_path, sf_dir):
     )
     assert n_read0 == 0 and empty.count() == 0
     assert empty.columns == expect.columns
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path, sf_dir):
+    from big_data_pipeline_spark.io import (
+        latest_version,
+        read_table,
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "versioned")
+    nation = read_table(spark, sf_dir, "nation")
+    v1 = write_versioned(nation.filter(F.col("n_nationkey") < 10), path)
+    v2 = write_versioned(nation, path)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(path) == 2
+    # pinned reads are immutable; latest follows the pointer
+    assert read_versioned(spark, path, 1).count() == 10
+    assert read_versioned(spark, path).count() == nation.count()
+
+    # an orphaned uncommitted snapshot dir neither blocks the next
+    # writer nor becomes visible
+    import pathlib
+
+    orphan = pathlib.Path(path) / "v=3"
+    orphan.mkdir()
+    v4 = write_versioned(nation.limit(1), path)
+    assert v4 == 4 and latest_version(path) == 4
+    assert read_versioned(spark, path).count() == 1
+
+    removed = vacuum_versions(path, keep=2)
+    assert 1 in removed
+    assert read_versioned(spark, path, 4).count() == 1  # current survives
+
+
+def test_versioned_read_requires_commit(spark, tmp_path):
+    import pytest as _pytest
+
+    from big_data_pipeline_spark.io import read_versioned
+
+    with _pytest.raises(ValueError):
+        read_versioned(spark, str(tmp_path / "nothing"))
