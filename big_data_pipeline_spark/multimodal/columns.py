@@ -463,3 +463,49 @@ def resize_image(
             yield pdf
 
     return df.mapInPandas(resize, schema=out_schema)
+
+
+def image_ahash(
+    df: DataFrame, payload_col: str = "media", grid: int = 8
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images — the classic
+    near-duplicate signature for image corpora (aHash: downsample to a
+    ``grid``×``grid`` luminance grid, threshold each cell against the
+    image mean, read the bits row-major). Everything is integer
+    arithmetic — cell luminance is the channel SUM at the
+    nearest-neighbor source pixel (floor(i·src/dst), the same rule as
+    ``resize_netpbm``) and the threshold comparison is
+    ``cells² · cell > total`` — so the bitstring is exactly
+    reproducible by the hex-space SQL oracle. One narrow Arrow pass,
+    no shuffle; the payload column prunes away immediately after.
+    """
+    in_cols = [c for c in df.columns if c != payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in in_cols]
+        + [
+            T.StructField("ahash", T.StringType()),
+            T.StructField("n_bright", T.IntegerType()),
+        ]
+    )
+    n_cells = grid * grid
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, brights = [], []
+            for payload in pdf[payload_col]:
+                _, w, h, _, px = decode_netpbm(bytes(payload))
+                if px.ndim == 2:  # P5: treat gray as a single channel
+                    px = px[:, :, None]
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                cells = px[ys][:, xs].astype(np.int64).sum(axis=2)
+                total = int(cells.sum())
+                bits = (n_cells * cells > total).reshape(-1)
+                hashes.append("".join("1" if b else "0" for b in bits))
+                brights.append(int(bits.sum()))
+            out = pdf[in_cols].copy()
+            out["ahash"] = hashes
+            out["n_bright"] = brights
+            yield out
+
+    return df.mapInPandas(extract, schema=out_schema)

@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.functions.vectors import (
@@ -228,6 +228,76 @@ FROM p
 """
 
 
+# --- image perceptual hash (aHash) near-dup signatures ----------------------
+# The image-side member of the dedup family: REAL P6 decode →
+# nearest-neighbor 8x8 luminance grid (integer channel sums, the same
+# floor(i*src/dst) rule as the resize op) → threshold vs the image mean
+# (64*cell > total, integer-exact) → 64-bit signature, plus how many
+# images share it. The DuckDB twin recomputes every bit from hex space
+# with the identical index arithmetic, so a decode, sampling, or
+# threshold bug on the Spark side breaks the hash equality. At corpus
+# scale near-dup grouping on the signature is an exact groupBy (or a
+# hamming-ball LSH over signature chunks — the SimHash pigeonhole
+# machinery in dedup/simhash.py applies unchanged).
+
+_AHASH_GRID = 8
+
+
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.multimodal import attach_ppm_media, image_ahash
+
+    docs = attach_ppm_media(read_table(spark, sf_dir, "documents"))
+    hashed = image_ahash(
+        docs.select("doc_id", "media"), grid=_AHASH_GRID
+    )
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id", "ahash", "n_bright", F.count(F.lit(1)).over(w).alias("n_same_hash")
+    )
+
+
+def _ahash_sql() -> str:
+    g = _AHASH_GRID
+    hexmap = "strpos('0123456789ABCDEF', substring(px, CAST(({o})*2+{c} AS INT), 1)) - 1"
+    byte = (
+        f"(({hexmap.format(o='{o}', c=1)}) * 16 + ({hexmap.format(o='{o}', c=2)}))"
+    )
+    o_base = f"3*((k // {g}) * hgt // {g} * 16 + 2 * (k % {g}))"
+    cell = " + ".join(byte.format(o=f"{o_base} + {j}") for j in range(3))
+    return f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+), d AS (
+  SELECT doc_id, hx, nb,
+         GREATEST(1, CAST(CEIL(nb / 48.0) AS BIGINT)) AS hgt
+  FROM h
+), p AS (
+  SELECT doc_id, hgt,
+         hx || repeat('00', CAST(hgt * 48 - nb AS INT)) AS px
+  FROM d
+), cells AS (
+  SELECT doc_id,
+         list_transform(range(0, {g * g}), k -> {cell}) AS gvals
+  FROM p
+), tot AS (
+  SELECT doc_id, gvals, list_sum(gvals) AS total FROM cells
+), sig AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(gvals,
+             v -> CASE WHEN {g * g} * v > total
+                       THEN '1' ELSE '0' END), '') AS ahash
+  FROM tot
+)
+SELECT doc_id, ahash,
+       CAST(length(replace(ahash, '0', '')) AS INT) AS n_bright,
+       COUNT(*) OVER (PARTITION BY ahash) AS n_same_hash
+FROM sig
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_fake_media(read_table(spark, sf_dir, "documents"))
     frames = frame_sample(docs.select("doc_id", "media"), frame_bytes=64, stride=4)
@@ -307,6 +377,7 @@ QUERIES = {
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_resize_pixels": multimodal_resize_pixels,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_image_ahash": multimodal_image_ahash,
     "embedding_near_dups": embedding_near_dups,
 }
 
@@ -316,5 +387,6 @@ ORACLE = {
     "multimodal_audio_features": _AUDIO_SQL,
     "multimodal_resize_pixels": _RESIZE_SQL,
     "multimodal_frame_sample": _FRAME_SQL,
+    "multimodal_image_ahash": _ahash_sql(),
     "embedding_near_dups": _NEARDUP_SQL,
 }

@@ -219,3 +219,25 @@ def test_resize_image_dataframe_path(docs):
     for r in out:
         fmt, w, h, mv, px = decode_netpbm(bytes(r["media"]))
         assert (fmt, w, h, mv) == ("P6", 8, 4, 255)
+
+
+def test_image_ahash_groups_planted_duplicates(spark):
+    from big_data_pipeline_spark.multimodal import image_ahash
+
+    def ppm(seed: int) -> bytes:
+        raster = bytes(((i * 31 + seed * 97) % 251) for i in range(16 * 4 * 3))
+        return b"P6\n16 4\n255\n" + raster
+
+    rows = [
+        (1, ppm(1)),
+        (2, ppm(1)),  # exact duplicate of 1
+        (3, ppm(2)),
+        (4, ppm(3)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r.doc_id: r for r in image_ahash(df).collect()}
+    assert out[1].ahash == out[2].ahash
+    assert out[1].ahash != out[3].ahash or out[1].ahash != out[4].ahash
+    for r in out.values():
+        assert len(r.ahash) == 64 and set(r.ahash) <= {"0", "1"}
+        assert r.n_bright == r.ahash.count("1")
