@@ -784,11 +784,160 @@ FROM best GROUP BY vec_id
 """
 
 
+# --- hard_negative_mining: cross-label nearest neighbors --------------------
+# Contrastive-training data prep: for each query vector, the most
+# similar vectors carrying a DIFFERENT label are the "hard negatives"
+# worth training against (easy negatives are random; hard ones move the
+# model). Same exact-kernel sweep as knn_cosine_topk with the label
+# predicate applied BEFORE ranking, so the top-k is the top-k of the
+# cross-label candidate set. Scale shape is identical to the kNN
+# baseline (and inherits its LSH/IVF scale paths); the label filter
+# drops candidates map-side, before any window state.
+
+_HN_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sqn").alias("q_sqn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("c_vec"),
+        F.col("sqn").alias("c_sqn"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .withColumn(
+            "cos_sim",
+            seq_cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_sqn"), F.col("c_sqn")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("query_id", "q_label", "rank", "neighbor_id", "n_label", "cos_sim")
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         {sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=1)} AS sqn
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, label AS q_label, embedding AS q_vec,
+         sqn AS q_sqn
+  FROM e WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS n_label, embedding AS c_vec,
+         sqn AS c_sqn
+  FROM e
+),
+scored AS (
+  SELECT query_id, q_label, neighbor_id, n_label,
+         ({dot_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, offset=1)})
+           / (sqrt(q_sqn) * sqrt(c_sqn)) AS cos_sim
+  FROM q, c WHERE q_label <> n_label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)
+              AS "rank"
+  FROM scored
+)
+SELECT query_id, q_label, "rank", neighbor_id, n_label, cos_sim
+FROM ranked WHERE "rank" <= {_HN_K}
+"""
+
+
+# --- contrastive_negative_pairs: RNG-free hash-ring negative sampling -------
+# The random-negative half of contrastive pair generation, with the
+# repo's no-RNG discipline: negative j for a document is the row whose
+# id equals a Knuth multiplicative mix of (id, j) mod N — deterministic
+# across retries/engines (pure integer arithmetic, no engine RNG), and
+# uniform enough for training mixes. N comes from COUNT(*) inside the
+# plan. One map-side explode (k rows per doc) + one equi-join on the
+# target id — no cartesian at any scale; self-collisions are filtered.
+
+_NEG_K = 4
+_MIX_A = 2654435761  # Knuth multiplicative constant
+_MIX_B = 40503
+
+
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = emb.select(F.count(F.lit(1)).alias("n_vecs"))
+    anchors = (
+        emb.crossJoin(F.broadcast(n))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_NEG_K - 1))
+            ).alias("j"),
+            F.col("n_vecs"),
+        )
+        .withColumn(
+            "neg_id",
+            (
+                F.col("anchor_id") * F.lit(_MIX_A)
+                + F.col("j") * F.lit(_MIX_B)
+            )
+            % F.col("n_vecs"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+    )
+    negs = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return anchors.join(negs, "neg_id").select(
+        "anchor_id",
+        "j",
+        "neg_id",
+        "anchor_label",
+        "neg_label",
+        (F.col("anchor_label") == F.col("neg_label")).alias("label_collision"),
+    )
+
+
+_CONTRASTIVE_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, j, n_vecs,
+         (vec_id * {_MIX_A} + j * {_MIX_B}) % n_vecs AS neg_id
+  FROM embeddings, n, range(0, {_NEG_K}) r(j)
+),
+negs AS (SELECT vec_id AS neg_id, label AS neg_label FROM embeddings)
+SELECT anchor_id, j, neg_id, anchor_label, neg_label,
+       anchor_label = neg_label AS label_collision
+FROM anchors JOIN negs USING (neg_id)
+WHERE neg_id <> anchor_id
+"""
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "semdedup_prune": semdedup_prune,
     "knn_matryoshka_rerank": knn_matryoshka_rerank,
     "embedding_pq_codes": embedding_pq_codes,
+    "hard_negative_mining": hard_negative_mining,
+    "contrastive_negative_pairs": contrastive_negative_pairs,
     "label_centroid_margin": label_centroid_margin,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -802,6 +951,8 @@ ORACLE = {
     "semdedup_prune": _semdedup_sql(),
     "knn_matryoshka_rerank": _MRL_SQL,
     "embedding_pq_codes": _pq_sql(),
+    "hard_negative_mining": _HARD_NEG_SQL,
+    "contrastive_negative_pairs": _CONTRASTIVE_SQL,
     "label_centroid_margin": _label_margin_sql(),
     "kmeans_assign_embeddings": _kmeans_assign_sql(),
     "embedding_quantize_int8": _quantize_sql(),

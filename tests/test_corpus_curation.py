@@ -112,3 +112,32 @@ def test_matryoshka_rerank_subset_of_exact_shortlist(spark, sf_dir):
     n_q = mrl.select("query_id").distinct().count()
     recall = overlap.count() / (n_q * _K)
     assert recall >= 0.5, recall
+
+
+def test_hard_negatives_are_cross_label_topk(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.similarity import (
+        _HN_K,
+        hard_negative_mining,
+    )
+
+    out = hard_negative_mining(spark, sf_dir)
+    assert out.filter(F.col("q_label") == F.col("n_label")).count() == 0
+    per_q = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")
+    )
+    for r in per_q.collect():
+        assert r.n == _HN_K and r.mx == _HN_K
+
+
+def test_contrastive_negatives_deterministic_and_bounded(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.similarity import (
+        _NEG_K,
+        contrastive_negative_pairs,
+    )
+
+    a = contrastive_negative_pairs(spark, sf_dir)
+    per_anchor = a.groupBy("anchor_id").count().collect()
+    assert all(1 <= r["count"] <= _NEG_K for r in per_anchor)
+    # deterministic: two independent evaluations produce identical pairs
+    b = contrastive_negative_pairs(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
