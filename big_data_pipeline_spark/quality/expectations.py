@@ -81,3 +81,44 @@ def run_expectations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
         "n_rows",
         (F.col("r.violations") == 0).alias("passed"),
     )
+
+
+def schema_drift_report(
+    spark, old_path: str, new_path: str
+) -> "DataFrame":
+    """Schema + volume drift between two table snapshots (e.g. two
+    ``io.write_versioned`` versions): added / removed / type-changed
+    columns and the row-count delta. Schema comparison is metadata-only
+    (parquet footers); the row counts are the only data-touching
+    aggregates. The report is the pre-publish gate a pipeline runs
+    before promoting a snapshot — pair with ``io.write_audit_publish``
+    to block on unexpected drift.
+    """
+    from pyspark.sql import Row
+
+    old_df = spark.read.parquet(old_path)
+    new_df = spark.read.parquet(new_path)
+    old_t = {f.name: f.dataType.simpleString() for f in old_df.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new_df.schema.fields}
+    rows = []
+    for c in sorted(set(old_t) | set(new_t)):
+        if c not in old_t:
+            rows.append(Row(column=c, kind="added", old_type=None, new_type=new_t[c]))
+        elif c not in new_t:
+            rows.append(Row(column=c, kind="removed", old_type=old_t[c], new_type=None))
+        elif old_t[c] != new_t[c]:
+            rows.append(
+                Row(column=c, kind="type_changed", old_type=old_t[c], new_type=new_t[c])
+            )
+    n_old, n_new = old_df.count(), new_df.count()
+    rows.append(
+        Row(
+            column="__rows__",
+            kind="row_delta",
+            old_type=str(n_old),
+            new_type=str(n_new),
+        )
+    )
+    return spark.createDataFrame(
+        rows, "column string, kind string, old_type string, new_type string"
+    )

@@ -54,3 +54,34 @@ def test_all_pass_on_clean_table(spark):
     rep = run_expectations(df, [expect_not_null("k"), expect_unique("k"),
                                 expect_between("v", 0.0, 10.0)])
     assert all(r.passed for r in rep.collect())
+
+
+def test_schema_drift_report(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import read_table, write_versioned
+    from big_data_pipeline_spark.quality.expectations import (
+        schema_drift_report,
+    )
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "t")
+    write_versioned(nation, path)
+    evolved = (
+        nation.drop("n_name")
+        .withColumn("n_regionkey", F.col("n_regionkey").cast("bigint"))
+        .withColumn("ingested_at", F.lit("2026-01-01"))
+        .limit(10)
+    )
+    write_versioned(evolved, path)
+    rep = {
+        r.column: r
+        for r in schema_drift_report(
+            spark, f"{path}/v=1", f"{path}/v=2"
+        ).collect()
+    }
+    assert rep["ingested_at"].kind == "added"
+    assert rep["n_name"].kind == "removed"
+    assert rep["n_regionkey"].kind == "type_changed"
+    assert rep["__rows__"].old_type == str(nation.count())
+    assert rep["__rows__"].new_type == "10"
