@@ -208,3 +208,58 @@ def test_rate_limiter_spaces_requests():
     assert rl.wait(1.0) == 1.0  # second waits the full interval
     t["now"] += 5.0  # long gap — no wait, no debt accumulation
     assert rl.wait(1.0) == 0.0
+
+
+def test_ticker_stream_reader_drains_to_batch_equality(spark, tmp_path):
+    """The streaming ticker source must deliver exactly the rows the
+    batch reader produces for the same configuration — across multiple
+    micro-batches (bars_per_batch < periods forces several) — and a
+    restarted drain must deliver nothing new (offsets checkpointed)."""
+    from big_data_pipeline_spark.sources.ticker import register_ticker_source
+
+    register_ticker_source(spark)
+    out = str(tmp_path / "bars")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(periods: int):
+        q = (
+            spark.readStream.format("ticker")
+            .option("symbols", "AAPL,MSFT")
+            .option("periods", str(periods))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(60)
+    assert spark.read.parquet(out).count() == 120
+    # history grew: the next drain resumes from the checkpointed offset
+    # and ingests ONLY bars [60, 120) — incremental, not reload
+    drain(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 240
+    # incremental catch-up == one-shot full reload (prefix-stable feed)
+    out2, ckpt2 = str(tmp_path / "bars2"), str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("ticker")
+        .option("symbols", "AAPL,MSFT")
+        .option("periods", "120")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    full = spark.read.parquet(out2)
+    assert full.count() == 240
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    # no new history: a replayed drain adds nothing (exactly-once)
+    drain(120)
+    assert spark.read.parquet(out).count() == 240
