@@ -4,6 +4,7 @@
     python -m big_data_pipeline_spark pipeline --base-dir /tmp/lake
     python -m big_data_pipeline_spark pipeline --base-dir D --stage transform
     python -m big_data_pipeline_spark query q1_pricing_summary [--sf-dir D]
+    python -m big_data_pipeline_spark sql "SELECT count(*) FROM lineitem"
     python -m big_data_pipeline_spark list
 
 One SparkSession per invocation; an external scheduler (or cron) can
@@ -48,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sub.add_parser("list", help="list registered queries")
+
+    p_sql = sub.add_parser("sql", help="run ad-hoc SQL over the corpus tables")
+    p_sql.add_argument("statement")
+    p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_sql.add_argument("--limit", type=int, default=20)
 
     args = p.parse_args(argv)
 
@@ -101,6 +107,16 @@ def main(argv: list[str] | None = None) -> int:
         preds = spark.read.parquet(cfg.layer("predictions"))
         for row in preds.collect():
             print(row.asDict())
+        return 0
+
+    if args.cmd == "sql":
+        from big_data_pipeline_spark.io import register_views
+
+        names = register_views(spark, args.sf_dir)
+        if not names:
+            print(f"no corpus tables found in {args.sf_dir}", file=sys.stderr)
+            return 2
+        spark.sql(args.statement).show(args.limit, truncate=False)
         return 0
 
     queries = entrymod.queries()

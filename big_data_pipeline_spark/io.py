@@ -571,3 +571,18 @@ def vacuum_versions(path: str, keep: int = 2) -> list[int]:
     for v in drop:
         shutil.rmtree(str(Path(path) / f"v={v}"))
     return drop
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose every corpus table present in ``sf_dir`` as a temp view so
+    ad-hoc ``spark.sql`` works against the lake by name — the EP3
+    programmatic surface for users who think in SQL. Returns the
+    registered names. Views are lazy scans; all pushdown/pruning
+    applies as if the DataFrame API had been used."""
+    registered = []
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            spark.read.parquet(str(p)).createOrReplaceTempView(t)
+            registered.append(t)
+    return registered

@@ -27,3 +27,27 @@ def test_cli_pipeline(capsys, spark, tmp_path):
     )
     out = capsys.readouterr().out
     assert "predicted_close" in out
+
+
+def test_cli_sql_verb(capsys):
+    from big_data_pipeline_spark.__main__ import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT COUNT(*) AS n FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "n" in out
+
+
+def test_register_views_lists_tables(spark):
+    from big_data_pipeline_spark.io import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "documents" in names
+    assert spark.sql("SELECT COUNT(*) FROM nation").first()[0] == 25
