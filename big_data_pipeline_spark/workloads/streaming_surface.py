@@ -489,8 +489,56 @@ GROUP BY date_trunc('hour', ts) - o * INTERVAL 1 HOUR, event_type
 """
 
 
+# --- stream_windowed_topk: streamed aggregate + serving-layer rank ----------
+# "Top event types per hour" over a stream. Window RANKING functions
+# are not allowed on a streaming DataFrame (state would be unbounded
+# until the window closes), so the production pattern is exactly what
+# runs here: the stream maintains the per-(window, key) aggregate —
+# bounded state under the watermark — and the top-k rank runs on the
+# DRAINED/maintained table at serving time (same division of labor as
+# the continuous rollup). WindowGroupLimit applies to the serving rank,
+# so only k rows per window survive each partition before its shuffle.
+
+
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    drained = run_available_now(agg, "mem_stream_topk", output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n_events")
+    )
+
+
+_STREAM_TOPK_SQL = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, "rank", event_type, n_events FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type ASC)
+              AS "rank"
+  FROM agg
+) WHERE "rank" <= 3
+"""
+
+
 QUERIES = {
     "stream_sliding_window_counts": stream_sliding_window_counts,
+    "stream_windowed_topk": stream_windowed_topk,
     "stream_tumbling_window_counts": stream_tumbling_window_counts,
     "stream_continuous_rollup": stream_continuous_rollup,
     "stream_heavy_hitter_users": stream_heavy_hitter_users,
@@ -505,6 +553,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_sliding_window_counts": _STREAM_SLIDING_SQL,
+    "stream_windowed_topk": _STREAM_TOPK_SQL,
     "stream_tumbling_window_counts": _STREAM_TUMBLING_SQL,
     "stream_continuous_rollup": _STREAM_ROLLUP_SQL,
     "stream_session_windows": _STREAM_SESSION_SQL,
