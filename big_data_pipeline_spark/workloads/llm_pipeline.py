@@ -55,6 +55,89 @@ def llm_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- length_bucket_batches: padding-efficient dataloader batching -----------
+# The batching step every training loader runs after packing/curation:
+# bucket documents by power-of-two token length so same-bucket batches
+# pad to the bucket size, not the global max, and report the padding
+# waste per batch. The power-of-two bucket is integer-exact on both
+# engines (bit-length via binary-string length, never float log2);
+# within-bucket batch ids come from the sharded prefix sum — buckets
+# are LOW-cardinality (~log2(max_len) groups), exactly the
+# single-task-window trap the operator exists for (SCALE.md §4c).
+# One bounded shuffle (the prefix-sum exchange) + the final grouped agg.
+
+_BATCH_DOCS = 16
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    nbits = F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2))
+    pow_prev = F.pow(F.lit(2.0), (nbits - 1).cast("double")).cast("long")
+    toks = toks.withColumn(
+        "bucket",
+        F.when(F.col("n_tokens") == pow_prev, F.col("n_tokens")).otherwise(
+            pow_prev * 2
+        ),
+    )
+    rn = sharded_running_sum(toks, ["bucket"], "doc_id", F.lit(1), "rn")
+    batched = rn.withColumn(
+        "batch_id", F.floor((F.col("rn") - 1) / _BATCH_DOCS)
+    )
+    agg = batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    return agg.select(
+        "bucket",
+        "batch_id",
+        "n_docs",
+        "sum_tokens",
+        (F.col("bucket") * F.col("n_docs")).alias("padded_tokens"),
+        (
+            F.lit(1.0)
+            - F.col("sum_tokens").cast("double")
+            / (F.col("bucket") * F.col("n_docs"))
+        ).alias("waste_frac"),
+    )
+
+
+_LENGTH_BUCKET_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens =
+                   CAST(POWER(2, length(format('{{:b}}', n_tokens)) - 1)
+                        AS BIGINT)
+              THEN n_tokens
+              ELSE CAST(POWER(2, length(format('{{:b}}', n_tokens)))
+                        AS BIGINT)
+         END AS bucket
+  FROM toks
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM b
+),
+bat AS (
+  SELECT bucket, (rn - 1) // {_BATCH_DOCS} AS batch_id, n_tokens FROM rn
+)
+SELECT bucket, batch_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       bucket * COUNT(*) AS padded_tokens,
+       1 - CAST(SUM(n_tokens) AS DOUBLE) / (bucket * COUNT(*)) AS waste_frac
+FROM bat GROUP BY bucket, batch_id
+"""
+
+
 # --- curation_pipeline_v2: the round-3 stages chained in one plan -----------
 # Second flagship composite, built from the round-3 curation operators:
 # corpus boilerplate stripping → cleaned-token quality gate → SemDeDup
@@ -511,6 +594,7 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
     "curation_pipeline_v2": curation_pipeline_v2,
+    "length_bucket_batches": length_bucket_batches,
     "doc_pack_assign": doc_pack_assign,
     "pack_greedy_binpack": pack_greedy_binpack,
     "approx_theta_overlap": approx_theta_overlap,
@@ -524,6 +608,7 @@ QUERIES = {
 ORACLE = {
     "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
     "curation_pipeline_v2": _curation_v2_sql(),
+    "length_bucket_batches": _LENGTH_BUCKET_SQL,
     "doc_pack_assign": _PACK_ASSIGN_SQL,
     "pack_greedy_binpack": _PACK_GREEDY_SQL,
     "sample_bottomk_docs": _BOTTOMK_SQL,

@@ -146,3 +146,30 @@ def test_pack_greedy_binpack_invariants(spark, sf_dir):
     for lang in {d.lang for d in docs}:
         n_packs = sum(1 for (lg, _p) in packed if lg == lang)
         assert n_packs == 1 + max(p for (lg, p) in packed if lg == lang)
+
+
+def test_length_bucket_batches_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.workloads.llm_pipeline import (
+        _BATCH_DOCS,
+        length_bucket_batches,
+    )
+
+    out = length_bucket_batches(spark, sf_dir).collect()
+    assert out
+    by_bucket = {}
+    for r in out:
+        # power-of-two bucket, batches at most _BATCH_DOCS docs, waste
+        # consistent with the padded size
+        assert r.bucket & (r.bucket - 1) == 0
+        assert 1 <= r.n_docs <= _BATCH_DOCS
+        assert r.padded_tokens == r.bucket * r.n_docs
+        assert abs(r.waste_frac - (1 - r.sum_tokens / r.padded_tokens)) < 1e-12
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rows in by_bucket.items():
+        # only the LAST batch of a bucket may be short
+        short = [r for r in rows if r.n_docs < _BATCH_DOCS]
+        assert len(short) <= 1
+        if short:
+            assert short[0].batch_id == max(r.batch_id for r in rows)
