@@ -138,6 +138,65 @@ FROM bat GROUP BY bucket, batch_id
 """
 
 
+# --- dataset_card_stats: the release-artifact summary row -------------------
+# Every corpus release ships a dataset card; this is its numbers block
+# computed in ONE aggregation pass over the corpus (plus the joined
+# embedding count): volume, vocabulary-bearing token mass, language and
+# source diversity, exact-duplicate rate, and coverage of the embedding
+# store. COUNT(DISTINCT md5) and COUNT(DISTINCT lang/source) are
+# map-side-combinable two-phase aggs; nothing is driver-side.
+
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("fp"),
+        F.size(tokenize("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    ).join(
+        emb.select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_emb")),
+        "doc_id",
+        "left",
+    )
+    return enriched.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("fp").cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+        (
+            F.sum(F.coalesce("has_emb", F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("embedding_coverage"),
+    )
+
+
+_DATASET_CARD_SQL = r"""
+WITH enriched AS (
+  SELECT d.doc_id, d.lang, d.source, md5(d.text) AS fp,
+         len(regexp_split_to_array(trim(d.text), '\s+')) AS n_tokens,
+         length(d.text) AS n_chars,
+         CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS has_emb
+  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       1 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS exact_dup_rate,
+       CAST(SUM(has_emb) AS DOUBLE) / COUNT(*) AS embedding_coverage
+FROM enriched
+"""
+
+
 # --- curation_pipeline_v2: the round-3 stages chained in one plan -----------
 # Second flagship composite, built from the round-3 curation operators:
 # corpus boilerplate stripping → cleaned-token quality gate → SemDeDup
@@ -595,6 +654,7 @@ QUERIES = {
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
     "curation_pipeline_v2": curation_pipeline_v2,
     "length_bucket_batches": length_bucket_batches,
+    "dataset_card_stats": dataset_card_stats,
     "doc_pack_assign": doc_pack_assign,
     "pack_greedy_binpack": pack_greedy_binpack,
     "approx_theta_overlap": approx_theta_overlap,
@@ -609,6 +669,7 @@ ORACLE = {
     "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
     "curation_pipeline_v2": _curation_v2_sql(),
     "length_bucket_batches": _LENGTH_BUCKET_SQL,
+    "dataset_card_stats": _DATASET_CARD_SQL,
     "doc_pack_assign": _PACK_ASSIGN_SQL,
     "pack_greedy_binpack": _PACK_GREEDY_SQL,
     "sample_bottomk_docs": _BOTTOMK_SQL,
