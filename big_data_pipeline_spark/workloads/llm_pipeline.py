@@ -197,6 +197,80 @@ FROM enriched
 """
 
 
+# --- source_mix_drift: data-drift check between corpus halves ---------------
+# The data-side companion to quality/expectations.schema_drift_report:
+# has the SOURCE MIX shifted between two corpus slices (here: the
+# doc_id median splits the corpus into an "old" and "new" half — in
+# production the two slices are two snapshot versions)? Per-source
+# token share in each slice plus the absolute share delta; the release
+# gate thresholds on max drift. Shares are exact-decimal sums divided
+# once, so the doubles are engine-identical. Two aggregation passes
+# (per-slice-and-source, then the 1-row totals broadcast back) — no
+# window, no driver data.
+
+def source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    half = docs.select(F.floor(F.max("doc_id") / 2).alias("mid"))
+    toks = (
+        docs.crossJoin(F.broadcast(half))
+        .select(
+            "source",
+            (F.col("doc_id") <= F.col("mid")).alias("is_old"),
+            F.size(tokenize("text")).alias("n_tokens"),
+        )
+    )
+    per = toks.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("is_old"), F.col("n_tokens")).otherwise(0)
+        ).alias("tok_old"),
+        F.sum(
+            F.when(~F.col("is_old"), F.col("n_tokens")).otherwise(0)
+        ).alias("tok_new"),
+    )
+    tot = per.agg(
+        F.sum("tok_old").alias("tot_old"), F.sum("tok_new").alias("tot_new")
+    )
+    so = F.col("tok_old").cast("double") / F.col("tot_old")
+    sn = F.col("tok_new").cast("double") / F.col("tot_new")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        so.alias("share_old"),
+        sn.alias("share_new"),
+        F.abs(so - sn).alias("share_drift"),
+    )
+
+
+_SOURCE_DRIFT_SQL = r"""
+WITH half AS (
+  SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS mid FROM documents
+),
+toks AS (
+  SELECT source, doc_id <= mid AS is_old,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents, half
+),
+per AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN is_old THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tok_old,
+         CAST(SUM(CASE WHEN NOT is_old THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tok_new
+  FROM toks GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(tok_old) AS BIGINT) AS tot_old,
+         CAST(SUM(tok_new) AS BIGINT) AS tot_new
+  FROM per
+)
+SELECT source,
+       CAST(tok_old AS DOUBLE) / tot_old AS share_old,
+       CAST(tok_new AS DOUBLE) / tot_new AS share_new,
+       ABS(CAST(tok_old AS DOUBLE) / tot_old
+           - CAST(tok_new AS DOUBLE) / tot_new) AS share_drift
+FROM per, tot
+"""
+
+
 # --- curation_pipeline_v2: the round-3 stages chained in one plan -----------
 # Second flagship composite, built from the round-3 curation operators:
 # corpus boilerplate stripping → cleaned-token quality gate → SemDeDup
@@ -655,6 +729,7 @@ QUERIES = {
     "curation_pipeline_v2": curation_pipeline_v2,
     "length_bucket_batches": length_bucket_batches,
     "dataset_card_stats": dataset_card_stats,
+    "source_mix_drift": source_mix_drift,
     "doc_pack_assign": doc_pack_assign,
     "pack_greedy_binpack": pack_greedy_binpack,
     "approx_theta_overlap": approx_theta_overlap,
@@ -670,6 +745,7 @@ ORACLE = {
     "curation_pipeline_v2": _curation_v2_sql(),
     "length_bucket_batches": _LENGTH_BUCKET_SQL,
     "dataset_card_stats": _DATASET_CARD_SQL,
+    "source_mix_drift": _SOURCE_DRIFT_SQL,
     "doc_pack_assign": _PACK_ASSIGN_SQL,
     "pack_greedy_binpack": _PACK_GREEDY_SQL,
     "sample_bottomk_docs": _BOTTOMK_SQL,
