@@ -312,3 +312,22 @@ def test_pq_codes_broadcast_codebook_single_window_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_curation_v2_single_plan_no_cartesian(spark, sf_dir):
+    """The composite must stay ONE declarative plan: broadcast joins for
+    the model-sized sides, no cartesian, and the SemDeDup pair search
+    confined to an equi-join."""
+    plan = _plan(spark, sf_dir, "curation_pipeline_v2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_length_bucket_batches_no_global_window(spark, sf_dir):
+    """Batch ids must come from the sharded prefix sum — a plain
+    cumulative window over ~10 buckets would serialize each bucket
+    into one task."""
+    plan = _plan(spark, sf_dir, "length_bucket_batches")
+    assert "partial_row_number" not in plan.lower()
+    # the sharded path shows the offsets broadcast, not a bucket-window
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
