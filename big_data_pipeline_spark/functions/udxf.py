@@ -85,3 +85,24 @@ class BigramEmitter:
         toks = [t for t in _TOKEN_RE.split(text or "") if t != ""]
         for i in range(len(toks) - 1):
             yield i, toks[i] + " " + toks[i + 1]
+
+
+def exact_quantile_udaf(q: float):
+    """Factory for exact-quantile GROUPED_AGG UDAFs at arbitrary q, with
+    the same pinned quantile_cont interpolation as ``exact_p90`` (the
+    a*(1-frac) + b*frac form, bit-identical to DuckDB)."""
+
+    @pandas_udf(T.DoubleType())
+    def _q(v: pd.Series) -> float:
+        x = v.to_numpy(dtype=float)
+        x = np.sort(x[~np.isnan(x)])
+        n = len(x)
+        if n == 0:
+            return None
+        h = (n - 1) * q
+        k = int(h)
+        frac = h - k
+        a, b = x[k], x[min(k + 1, n - 1)]
+        return float(a * (1.0 - frac) + b * frac)
+
+    return _q

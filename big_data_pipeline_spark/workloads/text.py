@@ -655,9 +655,65 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# --- token_cooccurrence_topk: corpus-level co-occurrence mining -------------
+# Which token pairs travel together across documents? (The
+# market-basket/collocation primitive behind phrase mining and topic
+# seeding.) Per document: DISTINCT tokens, sorted, capped at
+# _COOC_CAP — the cap bounds the per-doc pair fan-out at
+# cap*(cap-1)/2 no matter how degenerate a document is (the quadratic
+# guard; identical in the oracle, so results still hash-match). Pair
+# counting is one map-side-combinable groupBy; the global top-k is
+# TakeOrderedAndProject (no global sort). At real corpus scale the
+# exact count would be preceded by the Misra-Gries sketch
+# (functions/sketches.py) to prune the pair-key space.
+
+_COOC_CAP = 64
+_COOC_TOPK = 25
+
+
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.slice(
+            F.array_sort(F.array_distinct(tokenize("text"))), 1, _COOC_CAP
+        ).alias("ts"),
+    )
+    a = toks.select("doc_id", F.explode("ts").alias("t1"))
+    b = toks.select("doc_id", F.explode("ts").alias("t2"))
+    pairs = a.join(b, "doc_id").filter(F.col("t1") < F.col("t2"))
+    counts = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return counts.orderBy(
+        F.desc("n_docs"), F.asc("t1"), F.asc("t2")
+    ).limit(_COOC_TOPK)
+
+
+_COOC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct({_TOKS_SQL}))[1:{_COOC_CAP}] AS ts
+  FROM documents
+),
+a AS (SELECT doc_id, UNNEST(ts) AS t1 FROM toks),
+b AS (SELECT doc_id, UNNEST(ts) AS t2 FROM toks),
+counts AS (
+  SELECT t1, t2, COUNT(*) AS n_docs
+  FROM a JOIN b USING (doc_id)
+  WHERE t1 < t2
+  GROUP BY t1, t2
+)
+SELECT t1, t2, n_docs FROM counts
+ORDER BY n_docs DESC, t1 ASC, t2 ASC
+LIMIT {_COOC_TOPK}
+"""
+
+
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
     "boilerplate_span_strip": boilerplate_span_strip,
+    "token_cooccurrence_topk": token_cooccurrence_topk,
     "token_rarity_score": token_rarity_score,
     "inverted_index_postings": inverted_index_postings,
     "doc_token_stats": doc_token_stats,
@@ -673,6 +729,7 @@ QUERIES = {
 ORACLE = {
     "doc_chunk_overlap": _CHUNK_SQL,
     "boilerplate_span_strip": _BOILER_SQL,
+    "token_cooccurrence_topk": _COOC_SQL,
     "token_rarity_score": _RARITY_SQL,
     "inverted_index_postings": _INVERTED_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,

@@ -40,6 +40,65 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --- winsorized robust aggregate --------------------------------------------
+# Outlier-robust group statistics: clamp each order's value to its
+# group's exact [p05, p95] band, then average — the robust mean a
+# quality dashboard prefers over AVG when a few fat-finger rows skew a
+# group. The per-group band comes from the exact-quantile UDAF factory
+# (pinned quantile_cont interpolation, DuckDB-bit-identical); the band
+# frame is |groups| rows and broadcasts back; the clamped average is
+# the exact-decimal route. Group count is small here (5 priorities) so
+# the holistic UDAF's task-per-group cost is bounded — the 100 TB
+# escape hatch for high-cardinality groups is the score-histogram
+# quantile of quality_quantile_gate (training_data.py).
+
+_P_LO, _P_HI = 0.05, 0.95
+
+
+def winsorized_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.functions.udxf import exact_quantile_udaf
+    from big_data_pipeline_spark.oracle import exact_avg
+
+    p05 = exact_quantile_udaf(_P_LO)
+    p95 = exact_quantile_udaf(_P_HI)
+    orders = read_table(spark, sf_dir, "orders")
+    band = orders.groupBy("o_orderpriority").agg(
+        p05("o_totalprice").alias("p05"),
+        p95("o_totalprice").alias("p95"),
+    )
+    clamped = orders.join(F.broadcast(band), "o_orderpriority").withColumn(
+        "clamped", F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.first("p05").alias("p05"),
+        F.first("p95").alias("p95"),
+        exact_avg("o_totalprice", "raw_avg"),
+        exact_avg("clamped", "winsorized_avg"),
+    )
+
+
+def _winsorized_sql() -> str:
+    from big_data_pipeline_spark.oracle import exact_avg_sql
+
+    return f"""
+WITH band AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, {_P_LO}) AS p05,
+         quantile_cont(o_totalprice, {_P_HI}) AS p95
+  FROM orders GROUP BY o_orderpriority
+),
+clamped AS (
+  SELECT o.o_orderpriority, o.o_totalprice, b.p05, b.p95,
+         LEAST(GREATEST(o.o_totalprice, b.p05), b.p95) AS clamped
+  FROM orders o JOIN band b USING (o_orderpriority)
+)
+SELECT o_orderpriority, ANY_VALUE(p05) AS p05, ANY_VALUE(p95) AS p95,
+       {exact_avg_sql("o_totalprice", "raw_avg")},
+       {exact_avg_sql("clamped", "winsorized_avg")}
+FROM clamped GROUP BY o_orderpriority
+"""
+
+
 def bigram_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via lateralJoin: one doc row → one row per adjacent
     token pair. Doc subset keeps the check bounded; the plan is the
@@ -119,12 +178,14 @@ FROM events
 
 QUERIES = {
     "median_order_value": median_order_value,
+    "winsorized_priority_revenue": winsorized_priority_revenue,
     "bigram_explode_udtf": bigram_explode_udtf,
     "rolling_median_user_value": rolling_median_user_value,
 }
 
 ORACLE = {
     "median_order_value": _MEDIAN_SQL,
+    "winsorized_priority_revenue": _winsorized_sql(),
     "bigram_explode_udtf": _BIGRAM_SQL,
     "rolling_median_user_value": _ROLLING_MEDIAN_SQL,
 }
