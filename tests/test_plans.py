@@ -331,3 +331,9 @@ def test_length_bucket_batches_no_global_window(spark, sf_dir):
     assert "partial_row_number" not in plan.lower()
     # the sharded path shows the offsets broadcast, not a bucket-window
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cooccurrence_topk_takeordered_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "token_cooccurrence_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
