@@ -88,9 +88,14 @@ _MODULES = (
 # pass pytest + the local tools/check_oracle.py sweep; the prefix slot
 # converts that into driver-grade evidence). The displaced round-2
 # entries stay registered and sweep-verified; they rotate back in
-# round 4 with the remaining never-checked queries (incl. the late
-# round-3 additions boilerplate_span_strip / semdedup_prune /
-# knn_matryoshka_rerank, added after this window was frozen).
+# round 4 with the remaining never-checked queries — prioritize the
+# late round-3 curation batch added after this window was frozen
+# (all hash-green in the local sweep): boilerplate_span_strip,
+# semdedup_prune, knn_matryoshka_rerank, embedding_pq_codes,
+# curation_pipeline_v2, multimodal_image_ahash, hard_negative_mining,
+# contrastive_negative_pairs, stream_windowed_topk,
+# length_bucket_batches, dataset_card_stats, source_mix_drift,
+# winsorized_priority_revenue, token_cooccurrence_topk.
 _PRIORITY = (
     # --- anchors: reference §2 core (agg, filter, topk, windows, argmax)
     "q1_pricing_summary",
