@@ -146,14 +146,81 @@ LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour_ts = h.hour_ts
 """
 
 
+# --- seasonal_residual_outliers: seasonal-profile anomaly detection ---------
+# Additive seasonal decomposition with a fixed daily period: the
+# (event_type, hour-of-day) mean is the seasonal profile; events whose
+# residual |value − seasonal_mean| exceeds 2 profile-sigmas are
+# anomalies AGAINST THEIR TIME-OF-DAY NORM — the detector that catches
+# a quiet-hour spike a global z-score (zscore_outlier_orders) dilutes
+# away. Two-pass shape: one map-side-combinable moment aggregation per
+# (type, hour) — 24×|types| rows — broadcast back, residual computed
+# row-side from a SHARED formula text. The value sums route through
+# DECIMAL(38,6) (order-insensitive) and both engines evaluate the same
+# expression string, so flags and residual doubles hash-match.
+
+_SEAS = "(value - s / n)"
+_SEAS_SIG = "sqrt((ss - s * s / n) / n)"
+_SEAS_K = 2.0
+
+
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.oracle import DEC
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.hour("ts").alias("hod")
+    )
+    prof = events.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC))
+        .cast("double")
+        .alias("ss"),
+    )
+    return (
+        events.join(F.broadcast(prof), ["event_type", "hod"])
+        .withColumn("seasonal_mean", F.expr("s / n"))
+        .withColumn("residual", F.expr(_SEAS))
+        .filter(F.expr(f"ABS({_SEAS}) > {_SEAS_K} * {_SEAS_SIG}"))
+        .select(
+            "event_id", "event_type", "hod", "value", "seasonal_mean", "residual"
+        )
+    )
+
+
+def _seasonal_sql() -> str:
+    from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+    s = _dec_to_double_sql("SUM(CAST(value AS DECIMAL(38,6)))")
+    ss = _dec_to_double_sql("SUM(CAST(value * value AS DECIMAL(38,6)))")
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type, value, hour(ts) AS hod FROM events
+),
+prof AS (
+  SELECT event_type, hod,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {s} AS s,
+         {ss} AS ss
+  FROM e GROUP BY event_type, hod
+)
+SELECT event_id, e.event_type, e.hod, value,
+       s / n AS seasonal_mean,
+       {_SEAS} AS residual
+FROM e JOIN prof p ON e.event_type = p.event_type AND e.hod = p.hod
+WHERE ABS({_SEAS}) > {_SEAS_K} * {_SEAS_SIG}
+"""
+
+
 QUERIES = {
     "gap_fill_forward": gap_fill_forward,
     "asof_last_purchase": asof_last_purchase,
     "range_error_purchase_counts": range_error_purchase_counts,
+    "seasonal_residual_outliers": seasonal_residual_outliers,
 }
 
 ORACLE = {
     "gap_fill_forward": _GAP_FILL_SQL,
     "asof_last_purchase": _ASOF_SQL,
     "range_error_purchase_counts": _RANGE_SQL,
+    "seasonal_residual_outliers": _seasonal_sql(),
 }
