@@ -183,13 +183,93 @@ WHERE len(regexp_extract_all(seq,
 """
 
 
+# --- attribution_latency_stats: click→purchase conversion-time profile ------
+# The batch companion to the streaming attribution join: the same
+# per-user ≤2h interval match, then the distribution of conversion
+# latency by purchase hour-of-day — the report a marketing/behavior
+# dashboard actually serves ("how fast do morning vs evening purchases
+# convert?"). Latencies are integer microseconds; the holistic
+# median/p90 come from the exact-quantile GROUPED_AGG UDAFs (24
+# bounded groups; interpolated midpoints of integers are exact
+# doubles, DuckDB-bit-identical). The interval join shuffles once on
+# user_id; the bounded ±lag predicate is applied post-join (the
+# streaming twin bounds the same state with watermarks).
+
+_ATTR_LAG_US = 2 * 3600 * 1_000_000
+
+
+def attribution_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.functions.udxf import (
+        exact_median,
+        exact_p90,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.hour("ts").alias("hod"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = (
+        purchases.join(clicks, "user_id")
+        .withColumn(
+            "lag_us", F.unix_micros("p_ts") - F.unix_micros("c_ts")
+        )
+        .filter((F.col("lag_us") >= 0) & (F.col("lag_us") <= _ATTR_LAG_US))
+        .withColumn("lag_s", F.col("lag_us").cast("double") / 1e6)
+    )
+    # GROUPED_AGG pandas UDFs can't mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT, same constraint as
+    # median_order_value) — two grouped passes over the 24-row key,
+    # joined back
+    jvm = pairs.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )
+    holistic = pairs.groupBy("hod").agg(
+        exact_median("lag_s").alias("median_lag_s"),
+        exact_p90("lag_s").alias("p90_lag_s"),
+    )
+    return jvm.join(holistic, "hod").select(
+        "hod", "n_pairs", "min_lag_s", "max_lag_s", "median_lag_s", "p90_lag_s"
+    )
+
+
+_ATTR_LATENCY_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, hour(ts) AS hod FROM events
+  WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT hod,
+         CAST(epoch_us(p_ts) - epoch_us(c_ts) AS DOUBLE) / 1e6 AS lag_s
+  FROM purchases JOIN clicks USING (user_id)
+  WHERE epoch_us(p_ts) - epoch_us(c_ts) BETWEEN 0 AND {_ATTR_LAG_US}
+)
+SELECT hod, COUNT(*) AS n_pairs,
+       MIN(lag_s) AS min_lag_s, MAX(lag_s) AS max_lag_s,
+       median(lag_s) AS median_lag_s,
+       quantile_cont(lag_s, 0.9) AS p90_lag_s
+FROM pairs GROUP BY hod
+"""
+
+
 QUERIES = {
+    "attribution_latency_stats": attribution_latency_stats,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "sequence_pattern_counts": sequence_pattern_counts,
 }
 
 ORACLE = {
+    "attribution_latency_stats": _ATTR_LATENCY_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "sequence_pattern_counts": _SEQ_SQL,

@@ -113,11 +113,80 @@ WHERE ABS({_Z}) > {_Z_THRESHOLD}
 """
 
 
+# --- join_fanout_audit: pre-join blowup / hot-key sanity check --------------
+# The pre-flight a 100 TB pipeline runs before an expensive join:
+# per-key multiplicity on BOTH sides predicts the exact output
+# cardinality (sum over keys of l_count*r_count), surfaces the max
+# fan-out and how many hot keys exceed a threshold (salting
+# candidates), and counts orphans on each side (referential leaks).
+# Two map-side-combinable per-key counts + one full-outer equi-join on
+# the key space + one global fold — all integer-exact.
+
+_FANOUT_HOT = 8
+
+
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    lkeys = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    rkeys = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    both = lkeys.join(rkeys, "key", "full_outer").select(
+        F.coalesce("lc", F.lit(0)).alias("lc"),
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+    )
+    return both.agg(
+        F.sum((F.col("lc") > 0).cast("long")).alias("n_left_keys"),
+        F.sum((F.col("rc") > 0).cast("long")).alias("n_right_keys"),
+        F.sum(F.col("lc") * F.col("rc")).alias("predicted_join_rows"),
+        F.max(F.col("lc") * F.col("rc")).alias("max_key_fanout"),
+        F.sum(
+            ((F.col("lc") * F.col("rc")) >= _FANOUT_HOT).cast("long")
+        ).alias("n_hot_keys"),
+        F.sum(((F.col("rc") == 0)).cast("long")).alias("n_left_orphan_keys"),
+        F.sum(((F.col("lc") == 0)).cast("long")).alias("n_right_orphan_keys"),
+    )
+
+
+_FANOUT_SQL = f"""
+WITH lkeys AS (
+  SELECT o_orderkey AS key, COUNT(*) AS lc FROM orders GROUP BY o_orderkey
+),
+rkeys AS (
+  SELECT l_orderkey AS key, COUNT(*) AS rc FROM lineitem GROUP BY l_orderkey
+),
+keymult AS (
+  SELECT COALESCE(lc, 0) AS lc, COALESCE(rc, 0) AS rc
+  FROM lkeys FULL OUTER JOIN rkeys USING (key)
+)
+SELECT CAST(SUM(CASE WHEN lc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left_keys,
+       CAST(SUM(CASE WHEN rc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right_keys,
+       CAST(SUM(lc * rc) AS BIGINT) AS predicted_join_rows,
+       CAST(MAX(lc * rc) AS BIGINT) AS max_key_fanout,
+       CAST(SUM(CASE WHEN lc * rc >= {_FANOUT_HOT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hot_keys,
+       CAST(SUM(CASE WHEN rc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_left_orphan_keys,
+       CAST(SUM(CASE WHEN lc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_right_orphan_keys
+FROM keymult
+"""
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
     "zscore_outlier_orders": zscore_outlier_orders,
+    "join_fanout_audit": join_fanout_audit,
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
     "zscore_outlier_orders": _ZSCORE_SQL,
+    "join_fanout_audit": _FANOUT_SQL,
 }
