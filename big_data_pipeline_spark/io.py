@@ -586,3 +586,47 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
             spark.read.parquet(str(p)).createOrReplaceTempView(t)
             registered.append(t)
     return registered
+
+
+def cascade_delete(
+    spark: SparkSession,
+    paths: list[str],
+    key_col: str,
+    keys_df: DataFrame,
+) -> list[tuple[str, int]]:
+    """Right-to-be-forgotten propagation: remove every row whose
+    ``key_col`` appears in ``keys_df`` from each parquet layer in
+    ``paths``, atomically per layer. Returns ``(path, n_deleted)``.
+
+    Mechanics per layer: broadcast anti-join against the (small) key
+    set — the 100 TB shape: the delete set is always tiny relative to
+    the table, so no shuffle of the table side — then an atomic
+    swap-in of the rewritten layer (write to staging, rename over,
+    like write_audit_publish). Layers that lack ``key_col`` are
+    skipped with a count of -1 (caller decides if that's an error).
+    On a partitioned layout, pair with ``overwrite_partitions`` to
+    rewrite only the partitions containing hits; a table format
+    (Delta/Iceberg) would turn the rewrite into a commit of delete
+    files — the anti-join semantics are identical.
+    """
+    import shutil
+    import uuid
+
+    keys = keys_df.select(F.col(key_col)).distinct()
+    out: list[tuple[str, int]] = []
+    for path in paths:
+        df = spark.read.parquet(path)
+        if key_col not in df.columns:
+            out.append((path, -1))
+            continue
+        before = df.count()
+        kept = df.join(F.broadcast(keys), key_col, "left_anti")
+        staging = f"{path}__gdpr_{uuid.uuid4().hex[:8]}"
+        kept.write.parquet(staging)
+        n_kept = spark.read.parquet(staging).count()
+        old = f"{path}__retired_{uuid.uuid4().hex[:8]}"
+        Path(path).rename(old)
+        Path(staging).rename(path)
+        shutil.rmtree(old)
+        out.append((path, before - n_kept))
+    return out

@@ -409,3 +409,33 @@ def test_versioned_read_requires_commit(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_versioned(spark, str(tmp_path / "nothing"))
+
+
+def test_cascade_delete_propagates_across_layers(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import cascade_delete, read_table
+
+    events = read_table(spark, sf_dir, "events")
+    layer_a = str(tmp_path / "raw")
+    layer_b = str(tmp_path / "derived")
+    layer_c = str(tmp_path / "no_key")
+    events.write.parquet(layer_a)
+    events.groupBy("user_id").count().write.parquet(layer_b)
+    events.select("event_type").distinct().write.parquet(layer_c)
+
+    doomed = events.select("user_id").distinct().limit(3)
+    doomed_vals = {r.user_id for r in doomed.collect()}
+    expect_a = events.filter(~F.col("user_id").isin(doomed_vals)).count()
+
+    report = dict(
+        cascade_delete(spark, [layer_a, layer_b, layer_c], "user_id", doomed)
+    )
+    assert report[layer_c] == -1  # layer without the key is skipped
+    assert report[layer_b] == 3  # one row per deleted user
+    a = spark.read.parquet(layer_a)
+    assert a.count() == expect_a == events.count() - report[layer_a]
+    assert a.filter(F.col("user_id").isin(doomed_vals)).count() == 0
+    # idempotent: a second pass deletes nothing
+    report2 = dict(cascade_delete(spark, [layer_a, layer_b], "user_id", doomed))
+    assert report2[layer_a] == 0 and report2[layer_b] == 0
