@@ -261,8 +261,65 @@ FROM pairs GROUP BY hod
 """
 
 
+# --- event_transition_matrix: first-order behavioral Markov chain -----------
+# The transition-probability matrix behind next-action prediction and
+# journey visualization: for each user's time-ordered event stream
+# (order pinned by (ts, event_id)), count from→to adjacencies and
+# normalize by the from-state's outgoing total. One window shuffle on
+# user_id (lead), one tiny groupBy; probabilities are exact integer
+# divisions. |event_types|² output rows — model-sized at any corpus.
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    outgoing = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_out")
+    )
+    return counts.join(F.broadcast(outgoing), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("n_out")).alias(
+            "p_transition"
+        ),
+    )
+
+
+_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+outgoing AS (
+  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_out
+  FROM counts GROUP BY from_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE) / n_out AS p_transition
+FROM counts JOIN outgoing USING (from_type)
+"""
+
+
 QUERIES = {
     "attribution_latency_stats": attribution_latency_stats,
+    "event_transition_matrix": event_transition_matrix,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "sequence_pattern_counts": sequence_pattern_counts,
@@ -270,6 +327,7 @@ QUERIES = {
 
 ORACLE = {
     "attribution_latency_stats": _ATTR_LATENCY_SQL,
+    "event_transition_matrix": _TRANSITION_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "sequence_pattern_counts": _SEQ_SQL,

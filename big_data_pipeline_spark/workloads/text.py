@@ -710,10 +710,80 @@ LIMIT {_COOC_TOPK}
 """
 
 
+# --- quality_rank_normalize: per-source quantile transform ------------------
+# Feature normalization for heterogeneous sources: a raw quality score
+# is not comparable across sources with different length/style
+# profiles, so curation thresholds use the WITHIN-SOURCE percentile
+# instead. Rank = deterministic row_number by (quality, doc_id) — the
+# doc_id tiebreak makes tied scores well-defined — computed with the
+# sharded prefix sum (sources are LOW-cardinality: the single-task
+# window trap, SCALE.md §4c); pct = (rank-1)/(n-1), exact integer
+# division to double on both engines.
+
+
+def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    en_hits = stopword_hits(toks, LANG_STOPWORDS["en"])
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score(
+            F.length("text").cast("double"),
+            F.size(toks).cast("double"),
+            (en_hits.cast("double") / F.size(toks)),
+        ).alias("quality"),
+    )
+    ranked = sharded_running_sum(
+        scored,
+        ["source"],
+        "quality",
+        F.lit(1),
+        "rank",
+        tiebreak_cols=["doc_id"],
+    )
+    n = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return ranked.join(F.broadcast(n), "source").select(
+        "doc_id",
+        "source",
+        "quality",
+        F.col("rank").cast("long").alias("rank"),
+        (
+            (F.col("rank") - 1).cast("double")
+            / F.greatest(F.col("n_src") - 1, F.lit(1))
+        ).alias("pct_rank"),
+    )
+
+
+_RANK_NORM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round((least(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+              + least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 60.0, 1.0)
+              + (1.0 - abs(CAST(len(list_filter({_TOKS_SQL},
+                    t -> t IN ({_EN_LIST}))) AS DOUBLE)
+                  / len({_TOKS_SQL}) - 0.4))) / 3.0, 6) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY quality, doc_id) AS "rank",
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM scored
+)
+SELECT doc_id, source, quality, "rank",
+       CAST("rank" - 1 AS DOUBLE) / GREATEST(n_src - 1, 1) AS pct_rank
+FROM ranked
+"""
+
+
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
     "boilerplate_span_strip": boilerplate_span_strip,
     "token_cooccurrence_topk": token_cooccurrence_topk,
+    "quality_rank_normalize": quality_rank_normalize,
     "token_rarity_score": token_rarity_score,
     "inverted_index_postings": inverted_index_postings,
     "doc_token_stats": doc_token_stats,
@@ -730,6 +800,7 @@ ORACLE = {
     "doc_chunk_overlap": _CHUNK_SQL,
     "boilerplate_span_strip": _BOILER_SQL,
     "token_cooccurrence_topk": _COOC_SQL,
+    "quality_rank_normalize": _RANK_NORM_SQL,
     "token_rarity_score": _RARITY_SQL,
     "inverted_index_postings": _INVERTED_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
