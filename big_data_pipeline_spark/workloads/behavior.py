@@ -317,9 +317,122 @@ FROM counts JOIN outgoing USING (from_type)
 """
 
 
+# --- rfm_user_segments: recency/frequency/monetary quintile scoring ---------
+# The classic customer-value segmentation, built scale-first: each
+# metric's global equal-depth quintile comes from a GLOBAL rank — the
+# canonical single-task-window trap — computed with the sharded prefix
+# sum over a constant partition (32-way parallel, identical integers).
+# Bucket = ((rank-1)*5) // n + 1 (the deterministic equal-depth rule,
+# stated identically in the oracle — NTILE's remainder placement
+# differs, so the formula IS the contract). R is inverted (recent =
+# high score). Monetary sums route through exact decimals; ordering
+# ties break on user_id, so ranks are total and engine-identical.
+
+_RFM_BUCKETS = 5
+
+
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+    from big_data_pipeline_spark.oracle import DEC
+
+    events = read_table(spark, sf_dir, "events")
+    maxd = events.select(F.max(F.to_date("ts")).alias("maxd"))
+    base = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("frequency"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff("maxd", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary",
+            F.lit(0).alias("g"),
+        )
+    )
+    n = base.select(F.count(F.lit(1)).alias("n_users"))
+    ranked = base
+    for metric, out in (
+        ("recency_days", "r_rank"),
+        ("frequency", "f_rank"),
+        ("monetary", "m_rank"),
+    ):
+        ranked = sharded_running_sum(
+            ranked, ["g"], metric, F.lit(1), out, tiebreak_cols=["user_id"]
+        )
+    b = _RFM_BUCKETS
+    bucket = lambda c: ((F.col(c) - 1) * b / F.col("n_users")).cast(  # noqa: E731
+        "long"
+    ) + 1
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            (F.lit(b + 1) - bucket("r_rank")).alias("r_score"),
+            bucket("f_rank").alias("f_score"),
+            bucket("m_rank").alias("m_score"),
+        )
+        .withColumn(
+            "rfm_segment",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ),
+        )
+    )
+
+
+_RFM_SQL = f"""
+WITH maxd AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+base AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(ts AS DATE)), maxd) AS recency_days,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS frequency,
+         CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(38,6))
+                            ELSE 0 END) AS VARCHAR) AS DOUBLE) AS monetary
+  FROM events, maxd GROUP BY user_id, maxd
+),
+n AS (SELECT COUNT(*) AS n_users FROM base),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY recency_days, user_id) AS r_rank,
+         ROW_NUMBER() OVER (ORDER BY frequency, user_id) AS f_rank,
+         ROW_NUMBER() OVER (ORDER BY monetary, user_id) AS m_rank
+  FROM base
+)
+SELECT user_id, recency_days, frequency, monetary,
+       {_RFM_BUCKETS + 1} - ((r_rank - 1) * {_RFM_BUCKETS} // n_users + 1)
+         AS r_score,
+       (f_rank - 1) * {_RFM_BUCKETS} // n_users + 1 AS f_score,
+       (m_rank - 1) * {_RFM_BUCKETS} // n_users + 1 AS m_score,
+       CAST({_RFM_BUCKETS + 1} - ((r_rank - 1) * {_RFM_BUCKETS} // n_users + 1)
+            AS VARCHAR)
+         || CAST((f_rank - 1) * {_RFM_BUCKETS} // n_users + 1 AS VARCHAR)
+         || CAST((m_rank - 1) * {_RFM_BUCKETS} // n_users + 1 AS VARCHAR)
+         AS rfm_segment
+FROM ranked, n
+"""
+
+
 QUERIES = {
     "attribution_latency_stats": attribution_latency_stats,
     "event_transition_matrix": event_transition_matrix,
+    "rfm_user_segments": rfm_user_segments,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "sequence_pattern_counts": sequence_pattern_counts,
@@ -328,6 +441,7 @@ QUERIES = {
 ORACLE = {
     "attribution_latency_stats": _ATTR_LATENCY_SQL,
     "event_transition_matrix": _TRANSITION_SQL,
+    "rfm_user_segments": _RFM_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "sequence_pattern_counts": _SEQ_SQL,

@@ -152,6 +152,54 @@ FROM t
 """
 
 
+# --- lang_id_confusion: classifier evaluation matrix ------------------------
+# The eval step after any heuristic classifier ships: labeled vs
+# predicted language counts (the confusion matrix) plus per-cell share
+# of the labeled class (row-normalized recall). Reuses lang_id's exact
+# argmax; one tiny groupBy over |langs|² keys + a broadcast-back of
+# row totals. The diagnostic a curation pipeline gates lang-ID changes
+# on — a falling diagonal share is a regression.
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = lang_id_stopwords(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    counts = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("n_labeled")
+    )
+    return counts.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_labeled")).alias(
+            "recall_share"
+        ),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias("correct"),
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_sql()}),
+counts AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY labeled_lang, predicted_lang
+),
+totals AS (
+  SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS n_labeled
+  FROM counts GROUP BY labeled_lang
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+       CAST(n_docs AS DOUBLE) / n_labeled AS recall_share,
+       labeled_lang = predicted_lang AS correct
+FROM counts JOIN totals USING (labeled_lang)
+"""
+
+
 # --- lang_stats: per-language aggregates ------------------------------------
 
 
@@ -784,6 +832,7 @@ QUERIES = {
     "boilerplate_span_strip": boilerplate_span_strip,
     "token_cooccurrence_topk": token_cooccurrence_topk,
     "quality_rank_normalize": quality_rank_normalize,
+    "lang_id_confusion": lang_id_confusion,
     "token_rarity_score": token_rarity_score,
     "inverted_index_postings": inverted_index_postings,
     "doc_token_stats": doc_token_stats,
@@ -801,6 +850,7 @@ ORACLE = {
     "boilerplate_span_strip": _BOILER_SQL,
     "token_cooccurrence_topk": _COOC_SQL,
     "quality_rank_normalize": _RANK_NORM_SQL,
+    "lang_id_confusion": _lang_confusion_sql(),
     "token_rarity_score": _RARITY_SQL,
     "inverted_index_postings": _INVERTED_SQL,
     "doc_token_stats": _TOKEN_STATS_SQL,
