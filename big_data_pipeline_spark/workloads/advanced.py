@@ -696,8 +696,81 @@ FROM v GROUP BY o_custkey
 """
 
 
+# --- nation_revenue_share: ratio-to-report contribution analysis ------------
+# The BI "percent of total / percent of parent" shape: per-nation
+# revenue with its share of the region and of the grand total. Shares
+# come from broadcast-joined re-aggregations of the 25-row nation
+# frame (NOT ratio-of-sums windows over fact rows — the aggregate is
+# tiny, windows over it would be fine too, but re-aggregation keeps
+# the formula text shared and the fact table is touched exactly once).
+# Revenue sums route through exact decimals, divisions are engine-
+# identical doubles.
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(exact_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.sum(F.col("revenue").cast(DEC)).cast("double").alias("region_rev")
+    )
+    total = per_nation.agg(
+        F.sum(F.col("revenue").cast(DEC)).cast("double").alias("total_rev")
+    )
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            "revenue",
+            (F.col("revenue") / F.col("region_rev")).alias("share_of_region"),
+            (F.col("revenue") / F.col("total_rev")).alias("share_of_total"),
+        )
+    )
+
+
+def _nation_share_sql() -> str:
+    from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+    redec = _dec_to_double_sql("SUM(CAST(revenue AS DECIMAL(38,6)))")
+    return f"""
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         {exact_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+),
+per_region AS (
+  SELECT r_name, {redec} AS region_rev FROM per_nation GROUP BY r_name
+),
+total AS (
+  SELECT {redec} AS total_rev FROM per_nation
+)
+SELECT r_name, n_name, revenue,
+       revenue / region_rev AS share_of_region,
+       revenue / total_rev AS share_of_total
+FROM per_nation JOIN per_region USING (r_name), total
+"""
+
+
 QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
+    "nation_revenue_share": nation_revenue_share,
     "intersect_all_item_quantities": intersect_all_item_quantities,
     "except_all_item_quantities": except_all_item_quantities,
     "nth_order_values_per_customer": nth_order_values_per_customer,
@@ -724,6 +797,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "nation_revenue_share": _nation_share_sql(),
     "anti_join_no_orders": _ANTI_SQL,
     "intersect_all_item_quantities": _INTERSECT_ALL_SQL,
     "except_all_item_quantities": _EXCEPT_ALL_SQL,
