@@ -768,9 +768,107 @@ FROM per_nation JOIN per_region USING (r_name), total
 """
 
 
+# --- customer_revenue_pareto: concentration / 80-20 analysis ----------------
+# "How many customers cover 50/80/90% of revenue?" — the concentration
+# question behind account tiering and risk. Needs a GLOBAL revenue-
+# ordered cumulative sum — the single-task-window trap — so the
+# running total comes from the sharded prefix sum over a constant
+# partition. Revenue is integerized to cents first (deterministic
+# ROUND on both engines): integer cumsums are association-free, so the
+# sharded two-phase total equals the oracle's sequential window SUM
+# exactly; shares divide two exact integers.
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+        .withColumn("neg", -F.col("cents"))
+        .withColumn("g", F.lit(0))
+    )
+    ranked = sharded_running_sum(
+        per_cust, ["g"], "neg", F.col("cents"), "cum_cents",
+        tiebreak_cols=["o_custkey"],
+    )
+    ranked = sharded_running_sum(
+        ranked, ["g"], "neg", F.lit(1), "rank", tiebreak_cols=["o_custkey"]
+    )
+    tot = per_cust.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    joined = ranked.crossJoin(F.broadcast(tot))
+    rows = []
+    for t in (0.5, 0.8, 0.9):
+        rows.append(
+            joined.agg(
+                F.lit(t).alias("threshold"),
+                F.min(
+                    F.when(
+                        F.col("cum_cents").cast("double")
+                        >= F.lit(t) * F.col("total_cents"),
+                        F.col("rank"),
+                    )
+                ).alias("customers_needed"),
+                F.first("n_cust").alias("n_customers"),
+            )
+        )
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.select(
+        "threshold",
+        F.col("customers_needed").cast("long").alias("customers_needed"),
+        "n_customers",
+        (
+            F.col("customers_needed").cast("double") / F.col("n_customers")
+        ).alias("frac_of_customers"),
+    )
+
+
+_PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS "rank"
+  FROM per_cust
+),
+tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+         COUNT(*) AS n_cust
+  FROM per_cust
+),
+thresholds AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                              CAST(0.9 AS DOUBLE)]) AS threshold)
+SELECT threshold,
+       MIN(CASE WHEN CAST(cum_cents AS DOUBLE) >= threshold * total_cents
+                THEN "rank" END) AS customers_needed,
+       ANY_VALUE(n_cust) AS n_customers,
+       CAST(MIN(CASE WHEN CAST(cum_cents AS DOUBLE)
+                          >= threshold * total_cents
+                     THEN "rank" END) AS DOUBLE) / ANY_VALUE(n_cust)
+         AS frac_of_customers
+FROM ranked, tot, thresholds
+GROUP BY threshold
+"""
+
+
 QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
     "nation_revenue_share": nation_revenue_share,
+    "customer_revenue_pareto": customer_revenue_pareto,
     "intersect_all_item_quantities": intersect_all_item_quantities,
     "except_all_item_quantities": except_all_item_quantities,
     "nth_order_values_per_customer": nth_order_values_per_customer,
@@ -798,6 +896,7 @@ QUERIES = {
 
 ORACLE = {
     "nation_revenue_share": _nation_share_sql(),
+    "customer_revenue_pareto": _PARETO_SQL,
     "anti_join_no_orders": _ANTI_SQL,
     "intersect_all_item_quantities": _INTERSECT_ALL_SQL,
     "except_all_item_quantities": _EXCEPT_ALL_SQL,
