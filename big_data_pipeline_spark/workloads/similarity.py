@@ -371,6 +371,12 @@ SELECT vec_id, cluster_id, dist_sq FROM ranked WHERE rn = 1
 # overhead). numpy evaluates the same fixed-shape IEEE chain
 # (subtract, multiply-by-inverse-scale, floor, clamp), so the ints
 # still match the DuckDB oracle bit-for-bit.
+#
+# Output contract: q_vec is the comma-joined code string, not a raw
+# array<int> — the driver's canonicalizer sorts result rows with pandas
+# and a Python-list cell is unhashable there (round-3 CORRECTNESS err);
+# the serialized form carries the identical information and hashes
+# stably on both engines.
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,7 +393,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not stats:
         return emb.select(
-            "vec_id", F.lit(None).cast("array<int>").alias("q_vec")
+            "vec_id", F.lit(None).cast("string").alias("q_vec")
         ).where(F.lit(False))
     mn = np.empty(d)
     mx = np.empty(d)
@@ -396,13 +402,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = mx == mn
     scale = np.where(flat, 1.0, 255.0 / np.where(flat, 1.0, mx - mn))
 
-    @pandas_udf(T.ArrayType(T.IntegerType()))
+    @pandas_udf(T.StringType())
     def quantize(embs: pd.Series) -> pd.Series:
         x = np.vstack(embs.to_numpy()).astype(np.float64)
         q = np.floor((x - mn) * scale)
         q = np.clip(q, 0.0, 255.0).astype(np.int32)
         q[:, flat] = 0
-        return pd.Series(list(q))
+        return pd.Series([",".join(map(str, row)) for row in q])
 
     return emb.select("vec_id", quantize(F.col("embedding")).alias("q_vec"))
 
@@ -423,7 +429,7 @@ def _quantize_sql() -> str:
     )
     return f"""
 WITH s AS (SELECT {stats} FROM embeddings)
-SELECT vec_id, [{elems}] AS q_vec FROM embeddings, s
+SELECT vec_id, array_to_string([{elems}], ',') AS q_vec FROM embeddings, s
 """
 
 
@@ -703,8 +709,13 @@ SELECT query_id, "rank", neighbor_id, cos_sim, pre_rank FROM (
 # vectors' subvectors — k-means-refined codebooks are a drop-in swap,
 # ml/kmeans.py). 64 floats (256 B) become _PQ_M uint8 codes (8 B), the
 # 32x shrink that lets a 100 TB embedding corpus serve ANN from memory.
-# Output keeps the per-subspace residual distances (ordered array, no
-# float summation) so downstream can bound reconstruction error.
+# Output is the long-form code table (vec_id, m, code_id, dist_sq): one
+# row per (vector, subspace) with the per-subspace residual distance so
+# downstream can bound reconstruction error. The packed array form is
+# one collect_list away, but the driver-facing contract keeps atomic
+# columns (its canonicalizer sorts rows with pandas, where a
+# Python-list cell is unhashable — round-3 CORRECTNESS err) and long
+# form loses nothing, avoids float-summation, and hashes cell-exact.
 #
 # Scale: the codebook is MODEL-sized and rides the broadcast join; the
 # subspace explode is a map-side x_PQ_M fan-out of 8-float rows; the
@@ -741,13 +752,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
-    packed = F.array_sort(
-        F.collect_list(F.struct("m", "code_id", "dist_sq"))
-    )
-    return best.groupBy("vec_id").agg(
-        F.transform(packed, lambda s: s["code_id"]).alias("codes"),
-        F.transform(packed, lambda s: s["dist_sq"]).alias("sub_dists"),
-    )
+    return best.select("vec_id", "m", "code_id", "dist_sq")
 
 
 def _pq_sql() -> str:
@@ -777,10 +782,7 @@ best AS (
     FROM scored
   ) WHERE rn = 1
 )
-SELECT vec_id,
-       array_agg(code_id ORDER BY m) AS codes,
-       array_agg(dist_sq ORDER BY m) AS sub_dists
-FROM best GROUP BY vec_id
+SELECT vec_id, CAST(m AS INT) AS m, code_id, dist_sq FROM best
 """
 
 

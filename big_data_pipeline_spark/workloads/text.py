@@ -432,6 +432,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-like tokens are the skew risk; the cap bounds both memory
     and output, and a production index would range-bucket doc_ids per
     token (the salting pattern in operators/skew.py).
+
+    The posting list is emitted comma-joined (string), not array<long>:
+    the driver's canonicalizer sorts result rows with pandas, where a
+    Python-list cell is unhashable (round-3 CORRECTNESS err on the int8
+    quantizer) — the serialized form is information-identical and
+    hashes stably on both engines.
     """
     docs = read_table(spark, sf_dir, "documents")
     pairs = docs.select(
@@ -441,8 +447,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP
+                ).cast("array<string>"),
+                ",",
             ).alias("postings"),
         )
         .filter(F.col("df") >= 2)
@@ -455,7 +464,7 @@ WITH pairs AS (
   FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
 )
 SELECT token, COUNT(*) AS df,
-       (list(doc_id ORDER BY doc_id))[1:{_POSTING_CAP}] AS postings
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{_POSTING_CAP}], ',') AS postings
 FROM pairs
 GROUP BY token
 HAVING COUNT(*) >= 2

@@ -80,14 +80,18 @@ def test_pq_codes_shape_and_self_coding(spark, sf_dir):
     out = embedding_pq_codes(spark, sf_dir)
     rows = out.collect()
     assert len(rows) > 0
+    per_vec: dict = {}
     for r in rows:
-        assert len(r.codes) == _PQ_M and len(r.sub_dists) == _PQ_M
-        assert all(0 <= c < _PQ_CODES for c in r.codes)
-        assert all(d >= 0.0 for d in r.sub_dists)
+        assert 0 <= r.m < _PQ_M
+        assert 0 <= r.code_id < _PQ_CODES
+        assert r.dist_sq >= 0.0
+        per_vec.setdefault(r.vec_id, set()).add(r.m)
+    # long form covers every (vector, subspace) pair exactly once
+    assert all(ms == set(range(_PQ_M)) for ms in per_vec.values())
     # codebook donors reconstruct themselves exactly in every subspace
     for r in rows:
         if r.vec_id < _PQ_CODES:
-            assert all(d == 0.0 for d in r.sub_dists), r
+            assert r.dist_sq == 0.0, r
 
 
 def test_matryoshka_rerank_subset_of_exact_shortlist(spark, sf_dir):

@@ -139,7 +139,9 @@ def test_quantize_int8_empty_input_and_range(spark, sf_dir, tmp_path):
     out = embedding_quantize_int8(spark, sf_dir)
     import numpy as np
 
-    q = np.vstack([r.q_vec for r in out.collect()])
+    q = np.vstack(
+        [[int(x) for x in r.q_vec.split(",")] for r in out.collect()]
+    )
     assert q.min() >= 0 and q.max() <= 255
     # the full range is used at the extremes: the max element of a dim
     # lands on 255 — or 254 when (mx-mn)*(255/(mx-mn)) rounds just

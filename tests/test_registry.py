@@ -49,6 +49,29 @@ def test_queries_run_at_smallest_sf(spark, sf_dir):
         df.limit(1).collect()  # forces plan execution
 
 
+def test_no_complex_output_columns(spark, sf_dir):
+    """Driver contract: results must carry only atomic columns.
+
+    The driver's canonicalizer sorts result rows with pandas (lexsort
+    over every column); an array/map/struct cell is an unhashable
+    Python object there and crashes the compare (round-3 CORRECTNESS
+    err on embedding_quantize_int8). Queries serialize complex values
+    (comma-joined strings, long-form rows) instead.
+    """
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in fn(spark, sf_dir).schema.fields
+            if f.dataType.simpleString().startswith(
+                ("array<", "map<", "struct<")
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
 def test_oracle_sql_parses_in_duckdb(name, sf_dir):
     """Each oracle statement must be valid DuckDB SQL over the views."""

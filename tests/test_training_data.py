@@ -110,8 +110,9 @@ def test_inverted_index_postings_sorted_and_capped(spark):
     assert rows
     for r in rows:
         assert r.df >= 2
-        assert len(r.postings) == min(r.df, text_wl._POSTING_CAP)
-        assert r.postings == sorted(r.postings)
+        postings = [int(x) for x in r.postings.split(",")]
+        assert len(postings) == min(r.df, text_wl._POSTING_CAP)
+        assert postings == sorted(postings)
 
 
 def test_zscore_outliers_exceed_threshold_and_match_recompute(spark):
