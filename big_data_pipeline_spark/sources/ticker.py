@@ -15,8 +15,12 @@ apply per task, not per pipeline:
 
 The fetch backend is pluggable (``option("backend", ...)``):
 
-- ``synthetic`` (default): the deterministic generator
-  (pipeline.synthetic_bars) — offline, reproducible.
+- ``synthetic`` (default): the deterministic counter-based generator
+  (synthetic_bar_range below) — offline, reproducible, and shared with
+  the streaming reader, so ``read.format("ticker")`` and an
+  ``availableNow`` drain of ``readStream.format("ticker")`` with the
+  same options return the SAME rows (tests/test_sources.py pins the
+  equality).
 - ``http``: GET ``option("endpoint")`` with ``{symbol}``/``{periods}``
   substituted, expecting a JSON array of bar objects — the generic
   stand-in for the reference's market-API fetch
@@ -137,22 +141,23 @@ class _TickerReader(DataSourceReader):
 
     @staticmethod
     def _read_synthetic(partition: _SymbolPartition) -> Iterator[tuple]:
-        # runs on executors; import inside to keep the driver light
-        from big_data_pipeline_spark.pipeline import synthetic_bars
-
-        pdf = synthetic_bars(partition.symbol, partition.periods, partition.seed)
+        # Same prefix-stable counter-based generator as the streaming
+        # reader, so a batch read equals an availableNow drain of the
+        # stream with identical options (pinned in tests/test_sources.py).
+        pdf = synthetic_bar_range(
+            partition.symbol, partition.seed, 0, partition.periods
+        )
         if pdf.empty:  # S3 empty-fetch guard (stock_ingestor.py:25-27)
             return
-        sym = partition.symbol
         for row in pdf.itertuples(index=False):
             yield (
                 row.Datetime,
-                float(getattr(row, f"Open_{sym}")),
-                float(getattr(row, f"High_{sym}")),
-                float(getattr(row, f"Low_{sym}")),
-                float(getattr(row, f"Close_{sym}")),
-                int(getattr(row, f"Volume_{sym}")),
-                sym,
+                float(row.Open),
+                float(row.High),
+                float(row.Low),
+                float(row.Close),
+                int(row.Volume),
+                partition.symbol,
             )
 
     @staticmethod

@@ -96,17 +96,17 @@ def test_kafka_stream_gated_without_connector(spark):
 def _bars_json(symbol: str, periods: int) -> bytes:
     import json
 
-    from big_data_pipeline_spark.pipeline import synthetic_bars
+    from big_data_pipeline_spark.sources.ticker import synthetic_bar_range
 
-    pdf = synthetic_bars(symbol, periods, seed=42)
+    pdf = synthetic_bar_range(symbol, 42, 0, periods)
     out = [
         {
             "Datetime": row.Datetime,
-            "Open": float(getattr(row, f"Open_{symbol}")),
-            "High": float(getattr(row, f"High_{symbol}")),
-            "Low": float(getattr(row, f"Low_{symbol}")),
-            "Close": float(getattr(row, f"Close_{symbol}")),
-            "Volume": int(getattr(row, f"Volume_{symbol}")),
+            "Open": float(row.Open),
+            "High": float(row.High),
+            "Low": float(row.Low),
+            "Close": float(row.Close),
+            "Volume": int(row.Volume),
         }
         for row in pdf.itertuples(index=False)
     ]
@@ -260,6 +260,17 @@ def test_ticker_stream_reader_drains_to_batch_equality(spark, tmp_path):
     assert full.count() == 240
     assert got.exceptAll(full).count() == 0
     assert full.exceptAll(got).count() == 0
+    # batch read == stream drain for identical options (both backends
+    # ride the same counter-based generator)
+    batch = (
+        spark.read.format("ticker")
+        .option("symbols", "AAPL,MSFT")
+        .option("periods", "120")
+        .load()
+    )
+    assert batch.count() == 240
+    assert batch.exceptAll(full).count() == 0
+    assert full.exceptAll(batch).count() == 0
     # no new history: a replayed drain adds nothing (exactly-once)
     drain(120)
     assert spark.read.parquet(out).count() == 240
