@@ -532,6 +532,12 @@ def write_versioned(df: DataFrame, path: str) -> int:
     with os.fdopen(fd, "w") as f:
         f.write(str(version))
     os.replace(tmp, str(root / "_LATEST"))
+    # commit log: lets vacuum distinguish once-committed snapshots from
+    # orphans a dead writer abandoned below the pointer. Appended AFTER
+    # the pointer move; if the append itself dies, _LATEST remains
+    # authoritative (vacuum unions it in).
+    with (root / "_COMMITS").open("a") as f:
+        f.write(f"{version}\n")
     return version
 
 
@@ -557,19 +563,44 @@ def read_versioned(
 
 def vacuum_versions(path: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` committed snapshots (never the
-    current one). Returns the removed version numbers."""
+    current one), plus any dead orphan below the pointer — a ``v=K``
+    dir that never appears in the ``_COMMITS`` log (its writer died
+    before moving ``_LATEST``) and that a later commit has passed
+    (``K < current``). Orphans ABOVE the pointer are left alone: a
+    writer may be mid-write there right now, and the next committed
+    write passes them anyway, at which point they become vacuumable.
+    ``keep`` must be >= 1 (the current snapshot is never dropped);
+    pre-log layouts with no ``_COMMITS`` treat every dir <= current as
+    committed. Returns the removed version numbers.
+    """
     import re
     import shutil
 
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    root = Path(path)
     cur = latest_version(path)
-    versions = sorted(
+    commits_log = root / "_COMMITS"
+    committed: set[int] | None = None
+    if commits_log.exists():
+        committed = {
+            int(line) for line in commits_log.read_text().split() if line
+        } | ({cur} if cur else set())
+    on_disk = sorted(
         int(m.group(1))
-        for p in Path(path).iterdir()
+        for p in root.iterdir()
         if (m := re.fullmatch(r"v=(\d+)", p.name)) and int(m.group(1)) <= cur
     )
-    drop = [v for v in versions[:-keep] if v != cur] if keep > 0 else []
+    if committed is None:
+        snapshots, orphans = on_disk, []
+    else:
+        snapshots = [v for v in on_disk if v in committed]
+        orphans = [v for v in on_disk if v not in committed]
+    drop = sorted(
+        {v for v in snapshots[:-keep] if v != cur} | set(orphans)
+    )
     for v in drop:
-        shutil.rmtree(str(Path(path) / f"v={v}"))
+        shutil.rmtree(str(root / f"v={v}"))
     return drop
 
 
@@ -600,14 +631,23 @@ def cascade_delete(
 
     Mechanics per layer: broadcast anti-join against the (small) key
     set — the 100 TB shape: the delete set is always tiny relative to
-    the table, so no shuffle of the table side — then an atomic
-    swap-in of the rewritten layer (write to staging, rename over,
-    like write_audit_publish). Layers that lack ``key_col`` are
-    skipped with a count of -1 (caller decides if that's an error).
-    On a partitioned layout, pair with ``overwrite_partitions`` to
-    rewrite only the partitions containing hits; a table format
-    (Delta/Iceberg) would turn the rewrite into a commit of delete
-    files — the anti-join semantics are identical.
+    the table, so no shuffle of the table side — then a swap-in of the
+    rewritten layer. The swap is TWO renames (path → __retired_*, then
+    staging → path), not one atomic op: a crash between them leaves the
+    layer missing at its expected path with the pre-delete data parked
+    in the __retired_* dir, and a concurrent reader can hit
+    FileNotFound inside that window (single-writer, no-concurrent-
+    reader discipline — same as write_versioned). The next call
+    self-heals before touching the layer: a missing path with a
+    leftover __retired_* sibling is rolled BACK (retired → path, the
+    conservative choice — the delete then simply reapplies, it is
+    idempotent), and stale __gdpr_* staging dirs are removed. Layers
+    that lack ``key_col`` are skipped with a count of -1 (caller
+    decides if that's an error). On a partitioned layout, pair with
+    ``overwrite_partitions`` to rewrite only the partitions containing
+    hits; a table format (Delta/Iceberg) would turn the rewrite into an
+    actually-atomic commit of delete files — the anti-join semantics
+    are identical.
     """
     import shutil
     import uuid
@@ -615,6 +655,7 @@ def cascade_delete(
     keys = keys_df.select(F.col(key_col)).distinct()
     out: list[tuple[str, int]] = []
     for path in paths:
+        _recover_cascade_state(path)
         df = spark.read.parquet(path)
         if key_col not in df.columns:
             out.append((path, -1))
@@ -630,3 +671,25 @@ def cascade_delete(
         shutil.rmtree(old)
         out.append((path, before - n_kept))
     return out
+
+
+def _recover_cascade_state(path: str) -> None:
+    """Heal a layer a crashed ``cascade_delete`` left mid-swap: roll a
+    missing path back to its ``__retired_*`` snapshot (pre-delete data;
+    the idempotent delete reapplies on the rerun) and drop stale
+    ``__gdpr_*`` staging dirs from dead writers."""
+    import shutil
+
+    p = Path(path)
+    parent, name = p.parent, p.name
+    if not parent.exists():
+        return
+    retired = sorted(parent.glob(f"{name}__retired_*"))
+    if not p.exists() and retired:
+        retired[0].rename(p)
+        retired = retired[1:]
+    # anything left over is garbage from a completed or rolled-back run
+    for d in retired:
+        shutil.rmtree(str(d))
+    for d in parent.glob(f"{name}__gdpr_*"):
+        shutil.rmtree(str(d))

@@ -439,3 +439,63 @@ def test_cascade_delete_propagates_across_layers(spark, tmp_path, sf_dir):
     # idempotent: a second pass deletes nothing
     report2 = dict(cascade_delete(spark, [layer_a, layer_b], "user_id", doomed))
     assert report2[layer_a] == 0 and report2[layer_b] == 0
+
+
+def test_cascade_delete_recovers_from_mid_swap_crash(spark, tmp_path, sf_dir):
+    """A crash between the two swap renames leaves the layer missing and
+    the pre-delete data in __retired_*; the next call must roll back and
+    reapply the delete, and stale __gdpr_* staging must be cleaned."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import cascade_delete, read_table
+
+    events = read_table(spark, sf_dir, "events")
+    layer = str(tmp_path / "raw")
+    events.write.parquet(layer)
+    doomed = events.select("user_id").distinct().limit(3)
+    doomed_vals = {r.user_id for r in doomed.collect()}
+
+    # simulate the crash window: path renamed away, staging left behind
+    pathlib.Path(layer).rename(layer + "__retired_deadbeef")
+    (tmp_path / "raw__gdpr_deadbeef").mkdir()
+
+    report = dict(cascade_delete(spark, [layer], "user_id", doomed))
+    got = spark.read.parquet(layer)
+    assert got.filter(F.col("user_id").isin(doomed_vals)).count() == 0
+    assert got.count() == events.count() - report[layer]
+    assert report[layer] > 0  # rollback restored pre-delete data first
+    leftovers = list(tmp_path.glob("raw__*"))
+    assert leftovers == []
+
+
+def test_vacuum_drops_dead_orphans_and_rejects_keep_zero(
+    spark, tmp_path, sf_dir
+):
+    import pathlib
+
+    import pytest as _pytest
+
+    from big_data_pipeline_spark.io import (
+        read_versioned,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "versioned")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_versioned(nation, path)  # v=1
+    # dead writer: snapshot dir without a pointer move
+    pathlib.Path(path, "v=2").mkdir()
+    with _pytest.raises(ValueError, match="keep"):
+        vacuum_versions(path, keep=0)
+    # orphan above the pointer: possibly in-flight, never touched
+    assert vacuum_versions(path, keep=1) == []
+    assert pathlib.Path(path, "v=2").exists()
+    # a later commit passes it -> provably dead, vacuumed even though
+    # it is inside the newest-`keep` window by number
+    write_versioned(nation.limit(1), path)  # v=3
+    assert vacuum_versions(path, keep=2) == [2]
+    assert read_versioned(spark, path, 1).count() == nation.count()
+    assert read_versioned(spark, path).count() == 1
