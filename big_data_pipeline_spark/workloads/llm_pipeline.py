@@ -522,16 +522,55 @@ FROM walk GROUP BY lang, pack_id
 """
 
 
-# --- stratified sampling (rows-only: RNG is engine-specific) -----------------
+# --- stratified sampling -----------------------------------------------------
+
+_STRATA_FRACTIONS = {"en": 0.5, "de": 0.5, "es": 0.2, "fr": 0.2, "zh": 0.2}
+# LCG mix salted differently from sample_bottomk_docs so the two
+# samplers select uncorrelated sets; ((id+salt)*a + c) stays < 2^63
+# for ids < 2^32, so any ANSI engine evaluates it identically.
+_STRATA_SALT = 9973
 
 
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language stratified sample — ``sampleBy`` with a fixed seed
-    (deterministic within Spark, not across engines)."""
+    """Per-language stratified Bernoulli sample via a deterministic
+    hash threshold: doc kept iff ``mix(doc_id) / 2^31 < fraction[lang]``.
+
+    The scalable replacement for seeded ``sampleBy``: no RNG state, a
+    pure narrow map (no shuffle before the counting agg), reproducible
+    across runs, cluster layouts, AND engines — which upgrades this
+    from a rows-only check to a full cross-engine hash check (round-2
+    ``sampleBy(seed=42)`` was deterministic only within Spark). The
+    same double-round LCG scrambler as sample_bottomk_docs, salted so
+    the two samplers stay uncorrelated. Expected per-stratum rate is
+    exactly the configured fraction; tests assert the realized rates.
+    """
     docs = read_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.5, "es": 0.2, "fr": 0.2, "zh": 0.2}
-    sample = docs.sampleBy("lang", fractions, seed=42)
-    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    h1 = ((F.col("doc_id") + _STRATA_SALT) * 1103515245 + 12345) % 2147483648
+    hv = (h1 * 1103515245 + 12345) % 2147483648
+    frac = F.create_map(
+        *[F.lit(x) for kv in _STRATA_FRACTIONS.items() for x in kv]
+    )
+    keep = hv < frac[F.col("lang")] * 2147483648
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {frac}"
+        for lang, frac in _STRATA_FRACTIONS.items()
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_sampled
+FROM documents
+WHERE ((((doc_id + {_STRATA_SALT}) * 1103515245 + 12345) % 2147483648)
+       * 1103515245 + 12345) % 2147483648
+      < (CASE lang {cases} END) * 2147483648
+GROUP BY lang
+"""
 
 
 def sample_bottomk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,4 +788,5 @@ ORACLE = {
     "doc_pack_assign": _PACK_ASSIGN_SQL,
     "pack_greedy_binpack": _PACK_GREEDY_SQL,
     "sample_bottomk_docs": _BOTTOMK_SQL,
+    "stratified_sample_docs": _stratified_sql(),
 }
