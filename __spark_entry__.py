@@ -91,14 +91,15 @@ _MODULES = (
 # and fills the other 41 slots with never-driver-checked queries (all
 # hash-green in the local tools/check_oracle.py sweep).
 #
-# 12 never-checked entries remain for the round-5 window (they pass
+# 14 never-checked entries remain for the round-5 window (they pass
 # the local sweep; 5 are rows-only by nature so a driver row adds the
 # least evidence): approx_theta_overlap, approx_heavy_tokens,
 # approx_sketch_rollup, approx_corpus_stats, pagerank_nation_trade,
 # stratified_sample_docs (oracle-checkable since the round-4 switch to
 # the deterministic hash-threshold sampler), tumbling_window_counts,
 # sliding_window_counts, session_windows, lang_stats,
-# embedding_norm_stats, zscore_outlier_orders.
+# embedding_norm_stats, zscore_outlier_orders, map_props_stats,
+# array_ops_tokens.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
@@ -145,10 +146,13 @@ _PRIORITY = (
     "contrastive_negative_pairs",
     "entity_clusters",
     "curation_pipeline_v2",
-    # --- first-timers: multimodal + nested types
+    # --- first-timers: multimodal
     "multimodal_image_ahash",
-    "map_props_stats",
-    "array_ops_tokens",
+    # --- round-4 NEW operators: newest work accumulates driver rows
+    # immediately (displacing map_props_stats / array_ops_tokens to the
+    # round-5 rotation)
+    "dup_span_fraction",
+    "kmeans_topic_terms",
     # --- first-timers: training-data prep / sampling
     "length_bucket_batches",
     "dataset_card_stats",

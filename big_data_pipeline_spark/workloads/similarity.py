@@ -357,6 +357,92 @@ SELECT vec_id, cluster_id, dist_sq FROM ranked WHERE rn = 1
 """
 
 
+# --- kmeans_topic_terms: cluster labeling via per-cluster TF-IDF ------------
+# Topic-modeling-lite, the step after clustering in a curation
+# pipeline: name each embedding cluster by its most distinctive terms
+# so humans can audit what the clusters ARE (and what a SemDeDup-style
+# prune is about to drop). Composition of two proven families: the
+# deterministic Lloyd assignment above (vec_id = doc_id couples the
+# embeddings and documents tables, as in the curation composite) and
+# the tf-idf scheme from workloads/text.py lifted from per-doc to
+# per-cluster — tf_c = token occurrences inside the cluster, df_c =
+# number of clusters containing the token, score = tf_c * (K+1)/(df_c+1)
+# (the same rational idf; exact on both engines, no log).
+#
+# Scale (100 TB): documents join cluster assignments BEFORE the token
+# explode — one compact shuffle join on doc_id, then the fan-out stays
+# map-side; the groupBy(cluster, token) is map-side-combinable. The
+# cluster-df count is a window COUNT over the already-aggregated
+# (cluster, token) rows — NOT a groupBy+join-back, which would fork the
+# lineage and recompute the whole assignment+explode pipeline on both
+# branches (observed in the first cut's plan: two full kmeans
+# subtrees). The window shuffles |clusters|x|vocab| rows, bounded by
+# vocabulary, not corpus. The final top-k per cluster is a
+# WindowGroupLimit over K groups.
+
+_TOPIC_TOP_N = 5
+
+
+def kmeans_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = kmeans_assign_embeddings(spark, sf_dir).select(
+        "vec_id", "cluster_id"
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clustered = docs.join(
+        assign, docs["doc_id"] == assign["vec_id"]
+    ).select("cluster_id", "text")
+    tok = clustered.select(
+        "cluster_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    ctf = tok.groupBy("cluster_id", "token").agg(
+        F.count(F.lit(1)).alias("tf_c")
+    )
+    wtok = Window.partitionBy("token")
+    score = F.col("tf_c") * (
+        F.lit(_KMEANS_K + 1) / (F.col("df_c") + F.lit(1))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        ctf.withColumn("df_c", F.count(F.lit(1)).over(wtok))
+        .withColumn("score", score)
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= _TOPIC_TOP_N)
+        .select("cluster_id", "token", "tf_c", "df_c", "score", "term_rank")
+    )
+
+
+def _topic_terms_sql() -> str:
+    return f"""
+WITH assign AS ({_kmeans_assign_sql()}),
+tok AS (
+  SELECT a.cluster_id, unnest(string_split(d.text, ' ')) AS token
+  FROM documents d JOIN assign a ON d.doc_id = a.vec_id
+),
+ctf AS (
+  SELECT cluster_id, token, COUNT(*) AS tf_c
+  FROM tok WHERE token <> '' GROUP BY cluster_id, token
+),
+withdf AS (
+  SELECT cluster_id, token, tf_c,
+         COUNT(*) OVER (PARTITION BY token) AS df_c
+  FROM ctf
+),
+sc AS (
+  SELECT cluster_id, token, tf_c, df_c,
+         tf_c * ({_KMEANS_K + 1} / (df_c + 1)) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY tf_c * ({_KMEANS_K + 1} / (df_c + 1)) DESC, token
+         ) AS term_rank
+  FROM withdf
+)
+SELECT cluster_id, token, tf_c, df_c, score, term_rank
+FROM sc WHERE term_rank <= {_TOPIC_TOP_N}
+"""
+
+
 # --- int8 scalar quantization (oracle-checked) ------------------------------
 # The ANN memory-reduction path: per-dimension global min/max (exact
 # aggregates, one pass), then q_i = floor((v_i - mn_i) * (255 /
@@ -942,6 +1028,7 @@ QUERIES = {
     "contrastive_negative_pairs": contrastive_negative_pairs,
     "label_centroid_margin": label_centroid_margin,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "kmeans_topic_terms": kmeans_topic_terms,
     "embedding_quantize_int8": embedding_quantize_int8,
     "knn_ivf_topk": knn_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
@@ -957,6 +1044,7 @@ ORACLE = {
     "contrastive_negative_pairs": _CONTRASTIVE_SQL,
     "label_centroid_margin": _label_margin_sql(),
     "kmeans_assign_embeddings": _kmeans_assign_sql(),
+    "kmeans_topic_terms": _topic_terms_sql(),
     "embedding_quantize_int8": _quantize_sql(),
     "embedding_norm_stats": _NORM_STATS_SQL,
 }

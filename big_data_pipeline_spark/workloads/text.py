@@ -311,6 +311,74 @@ WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD
 """
 
 
+# --- dup_span_fraction: cross-document duplicated-span share ----------------
+# The ExactSubstr dedup signal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better") at shingle granularity:
+# for each document, the share of its 8-token shingle positions whose
+# shingle also occurs in ANOTHER document. Doc-level dedup
+# (exact_dedup, minhash/simhash) misses partially-copied documents —
+# this is the per-doc score pipelines threshold to strip or downweight
+# them, the granularity the dedup family otherwise lacks.
+#
+# Scale (100 TB): positions are a map-side explode (~tokens rows, no
+# shuffle); the one wide stage is groupBy(shingle) — 8-token shingles
+# are near-unique so no hot keys, and the distinct-doc count per
+# shingle is map-side-combinable. The join back is shingle-keyed
+# shuffle-hash (pinned: Catalyst costs the exploded side from the
+# compact pre-explode parquet, the same broadcast misfire observed on
+# the entity-blocking join at sf1). A suffix-array implementation
+# (Lee et al.'s) finds arbitrary-length spans but needs a global sort;
+# fixed-k shingles give the same thresholding signal with one
+# aggregation.
+
+_SPAN_K = 8
+
+
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pos = exploded_shingles(docs, "doc_id", "text", _SPAN_K, distinct=False)
+    per_shingle = pos.groupBy("shingle").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        pos.join(per_shingle.hint("shuffle_hash"), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_spans").cast("double") / F.col("n_spans"),
+        )
+    )
+
+
+_DUP_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS shingle
+  FROM toks,
+       UNNEST(range(1, GREATEST(len(t) - {_SPAN_K - 2}, 2))) AS u(i)
+),
+per_shingle AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs FROM pos GROUP BY shingle
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM pos JOIN per_shingle USING (shingle)
+GROUP BY doc_id
+"""
+
+
 # --- bpe_token_counts: BPE-style pre-tokenizer counting ---------------------
 # LLM token budgeting needs subword-style counts, not whitespace words.
 # This is the GPT-2 pre-tokenizer shape (contraction suffixes /
@@ -852,6 +920,7 @@ QUERIES = {
     "lang_stats": lang_stats,
     "exact_dedup": exact_dedup,
     "shingle_jaccard_pairs": shingle_jaccard_pairs,
+    "dup_span_fraction": dup_span_fraction,
 }
 
 ORACLE = {
@@ -870,4 +939,5 @@ ORACLE = {
     "lang_stats": _LANG_STATS_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "shingle_jaccard_pairs": _JACCARD_SQL,
+    "dup_span_fraction": _DUP_SPAN_SQL,
 }

@@ -124,3 +124,28 @@ def test_zca_whitening_identity_covariance(spark, sf_dir):
     assert sorted(pdf["vec_id"]) == sorted(
         r.vec_id for r in emb.select("vec_id").collect()
     )
+
+
+def test_kmeans_topic_terms_shape_and_ordering(spark):
+    """Cluster labeling: every cluster gets <= TOP_N terms with
+    contiguous ranks and non-increasing scores; scores obey the
+    tf * (K+1)/(df+1) formula."""
+    from big_data_pipeline_spark.workloads.similarity import (
+        _KMEANS_K,
+        _TOPIC_TOP_N,
+        kmeans_topic_terms,
+    )
+
+    rows = kmeans_topic_terms(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert 0 <= r.cluster_id < _KMEANS_K
+        assert r.score == r.tf_c * ((_KMEANS_K + 1) / (r.df_c + 1))
+        per.setdefault(r.cluster_id, []).append(r)
+    for terms in per.values():
+        terms.sort(key=lambda r: r.term_rank)
+        assert [t.term_rank for t in terms] == list(range(1, len(terms) + 1))
+        assert len(terms) <= _TOPIC_TOP_N
+        scores = [t.score for t in terms]
+        assert scores == sorted(scores, reverse=True)

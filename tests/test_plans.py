@@ -337,3 +337,34 @@ def test_cooccurrence_topk_takeordered_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "token_cooccurrence_topk")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_span_fraction_shuffle_hash_no_cartesian(spark, sf_dir):
+    """The exploded-positions x per-shingle-count join must be the
+    pinned shuffle-hash equi-join on shingle (Catalyst costs the
+    exploded side from the compact pre-explode parquet, so the
+    auto-broadcast threshold can misfire), never a cartesian; both
+    aggregations are partial+final hash aggregates."""
+    plan = _plan(spark, sf_dir, "dup_span_fraction")
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_kmeans_topic_terms_single_lineage(spark, sf_dir):
+    """Cluster labeling must join documents to assignments BEFORE the
+    token explode (compact join, map-side fan-out), compute the
+    cluster-df as a window over the aggregated rows (NOT a
+    groupBy+join-back, which forks the lineage and recomputes the
+    whole kmeans+explode pipeline twice), and cap terms per cluster
+    with a window rank, not a global sort."""
+    plan = _plan(spark, sf_dir, "kmeans_topic_terms")
+    assert "CartesianProduct" not in plan
+    # exactly one kmeans scoring kernel and one token explode in the
+    # operator tree (the formatted details section repeats each node
+    # once, so a single occurrence counts 2; the df-count fork would
+    # make it 4)
+    assert plan.count("ArrowEvalPython") == 2
+    assert plan.count("Generate") == 2
+    assert "WindowGroupLimit" in plan

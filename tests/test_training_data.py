@@ -115,6 +115,41 @@ def test_inverted_index_postings_sorted_and_capped(spark):
         assert postings == sorted(postings)
 
 
+def test_dup_span_fraction_detects_partial_copies(spark, tmp_path):
+    """A doc that copies a long span from another scores dup_frac > 0 on
+    exactly the copied positions; a unique doc scores 0; full duplicates
+    score 1.0 on both sides."""
+    from big_data_pipeline_spark.workloads import text as text_wl
+
+    k = text_wl._SPAN_K
+    span = " ".join(f"w{i}" for i in range(k + 4))  # k+4 tokens -> 5 shingles
+    rows = [
+        (0, span + " unique tail zero alpha beta gamma delta epsilon"),
+        (1, "other prefix one two three four five six " + span),
+        (2, "entirely distinct content with no shared spans at all here"),
+        (3, "copy me exactly once and we both become full duplicates yes"),
+        (4, "copy me exactly once and we both become full duplicates yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in text_wl.dup_span_fraction(spark, str(tmp_path)).collect()
+    }
+    assert out[0].n_dup_spans == 5 and out[1].n_dup_spans == 5
+    assert 0 < out[0].dup_frac < 1 and 0 < out[1].dup_frac < 1
+    assert out[2].dup_frac == 0.0
+    assert out[3].dup_frac == 1.0 and out[4].dup_frac == 1.0
+    # every doc accounts for all of its shingle positions
+    for r in out.values():
+        n_toks = len(rows[r.doc_id][1].split())
+        assert r.n_spans == max(n_toks - k + 1, 1)
+
+
 def test_zscore_outliers_exceed_threshold_and_match_recompute(spark):
     from big_data_pipeline_spark.workloads import data_quality as dq
 
