@@ -91,7 +91,7 @@ _MODULES = (
 # and fills the other 41 slots with never-driver-checked queries (all
 # hash-green in the local tools/check_oracle.py sweep).
 #
-# 14 never-checked entries remain for the round-5 window (they pass
+# 15 never-checked entries remain for the round-5 window (they pass
 # the local sweep; 5 are rows-only by nature so a driver row adds the
 # least evidence): approx_theta_overlap, approx_heavy_tokens,
 # approx_sketch_rollup, approx_corpus_stats, pagerank_nation_trade,
@@ -99,7 +99,8 @@ _MODULES = (
 # the deterministic hash-threshold sampler), tumbling_window_counts,
 # sliding_window_counts, session_windows, lang_stats,
 # embedding_norm_stats, zscore_outlier_orders, map_props_stats,
-# array_ops_tokens.
+# array_ops_tokens, weighted_sample_docs (15 after the round-4 window
+# froze).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
@@ -159,7 +160,9 @@ _PRIORITY = (
     "source_mix_drift",
     "sample_bottomk_docs",
     "source_quota_sample",
-    "weighted_sample_docs",
+    # (weighted_sample_docs -> round-5 rotation; its slot funds the new
+    # schema-wide FK integrity audit)
+    "fk_integrity_audit",
     # --- first-timers: streaming + data quality
     "stream_windowed_topk",
     "stream_session_dynamic_gap",

@@ -180,13 +180,96 @@ FROM keymult
 """
 
 
+# --- fk_integrity_audit: schema-wide referential integrity ------------------
+# The dbt-`relationships`-test shape as one query: for every declared
+# FK edge of the corpus schema, count child rows, NULL FKs, orphan rows
+# (non-NULL FK with no parent), and distinct orphan keys. join_fanout
+# audits ONE join's multiplicity; this audits the whole schema's
+# integrity — the gate a lake pipeline runs after every load, before
+# downstream joins silently drop rows.
+#
+# Scale (100 TB): each edge is an independent left join of the child's
+# FK column (one narrow projection — column pruning reaches the scan)
+# against the parent's distinct key set; dimension parents broadcast,
+# fact-fact edges shuffle on the FK — the same shape the production
+# join would use, so the audit never costs more than the join it
+# protects. Per-edge aggregates are single rows; the union is free.
+# Both engines' queries are generated from the same relation list so
+# they cannot drift.
+
+_FK_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for child, fk, parent, pk in _FK_RELATIONS:
+        c = read_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = (
+            read_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        orphan = F.col("fk").isNotNull() & F.col("pk").isNull()
+        parts.append(
+            c.join(p, F.col("fk") == F.col("pk"), "left").agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relation"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                # SUM over an empty child is NULL on both engines; an
+                # empty table has zero violations, so pin 0
+                F.coalesce(
+                    F.sum(F.col("fk").isNull().cast("long")), F.lit(0)
+                ).alias("n_null_fk"),
+                F.coalesce(F.sum(orphan.cast("long")), F.lit(0)).alias(
+                    "n_orphan_rows"
+                ),
+                F.count_distinct(
+                    F.when(orphan, F.col("fk"))
+                ).alias("n_orphan_keys"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+def _fk_audit_sql() -> str:
+    selects = []
+    for child, fk, parent, pk in _FK_RELATIONS:
+        selects.append(f"""
+SELECT '{child}.{fk}->{parent}.{pk}' AS relation,
+       COUNT(*) AS n_child_rows,
+       CAST(COALESCE(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_null_fk,
+       CAST(COALESCE(SUM(CASE WHEN fk IS NOT NULL AND pk IS NULL
+                         THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_orphan_rows,
+       COUNT(DISTINCT CASE WHEN fk IS NOT NULL AND pk IS NULL THEN fk END)
+         AS n_orphan_keys
+FROM (SELECT {fk} AS fk FROM {child}) c
+LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.fk = p.pk
+""")
+    return " UNION ALL ".join(selects)
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
     "zscore_outlier_orders": zscore_outlier_orders,
     "join_fanout_audit": join_fanout_audit,
+    "fk_integrity_audit": fk_integrity_audit,
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
     "zscore_outlier_orders": _ZSCORE_SQL,
     "join_fanout_audit": _FANOUT_SQL,
+    "fk_integrity_audit": _fk_audit_sql(),
 }

@@ -85,3 +85,38 @@ def test_schema_drift_report(spark, tmp_path, sf_dir):
     assert rep["n_regionkey"].kind == "type_changed"
     assert rep["__rows__"].old_type == str(nation.count())
     assert rep["__rows__"].new_type == "10"
+
+
+def test_fk_integrity_audit_counts_planted_orphans(spark, tmp_path):
+    """Plant an orphan FK and a NULL FK in a miniature corpus and
+    assert the audit attributes them to the right relation."""
+    from big_data_pipeline_spark.workloads.data_quality import (
+        fk_integrity_audit,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "AFRICA")], "r_regionkey long, r_name string"
+    ).write.parquet(f"{sf}/region.parquet")
+    # nation 2 -> region 9 is an orphan; nation 3 has a NULL region
+    spark.createDataFrame(
+        [(1, "A", 0), (2, "B", 9), (3, "C", None)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(f"{sf}/nation.parquet")
+    for t, schema in [
+        ("orders", "o_orderkey long, o_custkey long"),
+        ("customer", "c_custkey long, c_nationkey long"),
+        ("lineitem", "l_orderkey long, l_partkey long, l_suppkey long"),
+        ("part", "p_partkey long"),
+        ("supplier", "s_suppkey long, s_nationkey long"),
+    ]:
+        spark.createDataFrame([], schema).write.parquet(f"{sf}/{t}.parquet")
+
+    rows = {r.relation: r for r in fk_integrity_audit(spark, sf).collect()}
+    nat = rows["nation.n_regionkey->region.r_regionkey"]
+    assert nat.n_child_rows == 3
+    assert nat.n_null_fk == 1
+    assert nat.n_orphan_rows == 1 and nat.n_orphan_keys == 1
+    for rel, r in rows.items():
+        if rel != "nation.n_regionkey->region.r_regionkey":
+            assert r.n_orphan_rows == 0
