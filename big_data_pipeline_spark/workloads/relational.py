@@ -321,6 +321,50 @@ HAVING COUNT(*) >= 3
 """
 
 
+# --- lineitem_measures_unpivot: wide -> long reshaping ----------------------
+# The inverse of event_type_pivot closes the reshape pair: unpivot the
+# four lineitem measures into (measure, value) rows and aggregate per
+# (returnflag, measure). Spark 4's native unpivot (melt) keeps this a
+# pure narrow map — a 4x fan-out with no shuffle until the aggregate,
+# same shape as explode — and the agg on 3x4 keys collapses map-side.
+# Long form is what generic metric stores and plotting layers consume;
+# at 100 TB the narrow fan-out beats 4 separate scans of the fact
+# table. Exact decimal sums keep the hash order-insensitive.
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=[F.col(m).cast("double").alias(m) for m in _UNPIVOT_MEASURES],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        exact_sum("value", "sum_value"),
+    )
+
+
+def _unpivot_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT l_returnflag, '{m}' AS measure, CAST({m} AS DOUBLE) AS value"
+        f" FROM lineitem"
+        for m in _UNPIVOT_MEASURES
+    )
+    return f"""
+WITH long AS ({arms})
+SELECT l_returnflag, measure, COUNT(*) AS n_rows,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       {exact_sum_sql("value", "sum_value")}
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project": filter_project,
@@ -332,6 +376,7 @@ QUERIES = {
     "scalar_functions": scalar_functions,
     "grouped_agg_stats": grouped_agg_stats,
     "having_count_filter": having_count_filter,
+    "lineitem_measures_unpivot": lineitem_measures_unpivot,
 }
 
 ORACLE = {
@@ -345,4 +390,5 @@ ORACLE = {
     "scalar_functions": _SCALAR_SQL,
     "grouped_agg_stats": _GROUPED_AGG_SQL,
     "having_count_filter": _HAVING_SQL,
+    "lineitem_measures_unpivot": _unpivot_sql(),
 }

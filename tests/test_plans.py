@@ -368,3 +368,15 @@ def test_kmeans_topic_terms_single_lineage(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 2
     assert plan.count("Generate") == 2
     assert "WindowGroupLimit" in plan
+
+
+def test_unpivot_single_scan_expand(spark, sf_dir):
+    """Native unpivot must be ONE scan + Expand (map-side 4x fan-out),
+    never four scans unioned, and the per-(flag, measure) agg stays a
+    hash aggregate."""
+    plan = _plan(spark, sf_dir, "lineitem_measures_unpivot")
+    # formatted output lists each node in tree + details => 1 scan == 2
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
+    assert "Union" not in plan
