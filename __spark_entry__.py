@@ -23,6 +23,7 @@ if str(_REPO) not in sys.path:
 
 from big_data_pipeline_spark.workloads import (  # noqa: E402
     advanced,
+    association,
     behavior,
     cdc_feed,
     clusters,
@@ -52,6 +53,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
 
 _MODULES = (
     relational,
+    association,
     tpch_like,
     tpch_subqueries,
     advanced,
@@ -100,7 +102,10 @@ _MODULES = (
 # sliding_window_counts, session_windows, lang_stats,
 # embedding_norm_stats, zscore_outlier_orders, map_props_stats,
 # array_ops_tokens, weighted_sample_docs (15 after the round-4 window
-# froze).
+# froze), plus the five operators added after the freeze (all green in
+# the local sweep at sf0.001+sf0.01): jaccard_prefix_filter_pairs,
+# bigram_lm_quality, measure_corr_matrix, benford_deviation_audit,
+# part_affinity_lift — 20 total for round 5.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)

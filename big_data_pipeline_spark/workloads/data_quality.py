@@ -261,15 +261,258 @@ LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.fk = p.pk
     return " UNION ALL ".join(selects)
 
 
+# --- measure_corr_matrix: per-group Pearson correlation profiling -----------
+# The column-profiling step a lake pipeline runs before feature
+# selection / drift monitoring: pairwise Pearson correlation of the
+# lineitem measures (quantity, extended price, discount) within each
+# return-flag class, long-form output. Moments accumulate as exact
+# DECIMAL(38,0) sums of integer-scaled values (quantities are whole,
+# prices exact cents, discounts exact hundredths), convert once to
+# double, and both engines evaluate the IDENTICAL closed-form text —
+# every arithmetic step is the same IEEE-754 op stream, so the doubles
+# are bit-equal without any rounding fudge.
+#
+# Scale (100 TB): one narrow scan, one map-side-combinable aggregation
+# onto |return flags| = 3 keys, then a kilobyte-sized reshape. This is
+# the cheapest possible shape for a full-table statistic — no window,
+# no second scan, no Python.
+
+_CORR = (
+    "(n * sxy - sx * sy) / "
+    "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+)
+
+
+def _corr_expr(x: str, y: str) -> str:
+    return (
+        _CORR.replace("sxy", f"s_{x}{y}")
+        .replace("sxx", f"s_{x}{x}")
+        .replace("syy", f"s_{y}{y}")
+        .replace("sx", f"s_{x}")
+        .replace("sy", f"s_{y}")
+    )
+
+
+def measure_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("p"),
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("d"),
+    )
+
+    def dsum(expr: str, alias: str):
+        return (
+            F.sum(F.expr(expr).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(alias)
+        )
+
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("q", "s_q"),
+        dsum("p", "s_p"),
+        dsum("d", "s_d"),
+        dsum("q * q", "s_qq"),
+        dsum("p * p", "s_pp"),
+        dsum("d * d", "s_dd"),
+        dsum("q * p", "s_qp"),
+        dsum("q * d", "s_qd"),
+        dsum("p * d", "s_pd"),
+    )
+    pairs = [
+        ("quantity~extendedprice", _corr_expr("q", "p")),
+        ("quantity~discount", _corr_expr("q", "d")),
+        ("extendedprice~discount", _corr_expr("p", "d")),
+    ]
+    stack = ", ".join(f"'{name}', {expr}" for name, expr in pairs)
+    return moments.select(
+        "l_returnflag",
+        F.expr(f"stack({len(pairs)}, {stack}) AS (pair, corr)"),
+    ).select("l_returnflag", "pair", "corr")
+
+
+def _corr_matrix_sql() -> str:
+    def dsum_sql(expr: str, alias: str) -> str:
+        from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+        return (
+            _dec_to_double_sql(f"SUM(CAST({expr} AS DECIMAL(38,0)))")
+            + f" AS {alias}"
+        )
+
+    sums = ",\n         ".join(
+        [
+            dsum_sql("q", "s_q"),
+            dsum_sql("p", "s_p"),
+            dsum_sql("d", "s_d"),
+            dsum_sql("q * q", "s_qq"),
+            dsum_sql("p * p", "s_pp"),
+            dsum_sql("d * d", "s_dd"),
+            dsum_sql("q * p", "s_qp"),
+            dsum_sql("q * d", "s_qd"),
+            dsum_sql("p * d", "s_pd"),
+        ]
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT l_returnflag, '{name}' AS pair, {expr} AS corr FROM moments"
+        for name, expr in [
+            ("quantity~extendedprice", _corr_expr("q", "p")),
+            ("quantity~discount", _corr_expr("q", "d")),
+            ("extendedprice~discount", _corr_expr("p", "d")),
+        ]
+    )
+    return f"""
+WITH scaled AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+),
+moments AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         {sums}
+  FROM scaled GROUP BY l_returnflag
+)
+{arms}
+"""
+
+
+# --- benford_deviation_audit: first-digit fraud/corruption screen -----------
+# Benford's-law conformance of order totals per priority class: observed
+# vs expected leading-digit shares plus the per-class chi-square
+# statistic — the classic forensic screen for fabricated or truncated
+# numeric feeds (Nigrini 2012; first-digit law: P(d) = log10(1 + 1/d)).
+# The expected shares are Python-repr'd double literals embedded in BOTH
+# engines' expression text (repr round-trips exactly; strtod parses
+# correctly-rounded in both), counts are exact integers, each per-row
+# double derives through the identical IEEE op stream, and the
+# chi-square contributions accumulate as DECIMAL(38,6) so the group sum
+# is order-insensitive. Absent digits materialize via a priority x 1..9
+# grid so zero-count cells still contribute n*P(d) to the statistic.
+#
+# Scale (100 TB): one map-side-combinable count onto (|priorities| x 9)
+# keys; everything after the first aggregation is kilobytes. The
+# uniform synthetic prices should NOT be Benford-conformant — the audit
+# flagging a synthetic feed is the demo working as intended.
+
+import math as _math
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(
+        # CAST: a bare numeric literal parses as DECIMAL in Spark SQL
+        # but the share math must run entirely in double
+        f"WHEN {d} THEN CAST({_math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    + " END"
+)
+_CONTRIB = "n_total * (obs_share - exp_share) * (obs_share - exp_share) / exp_share"
+
+
+def benford_deviation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    digits = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit"),
+    )
+    counts = digits.groupBy("o_orderpriority", "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    totals = digits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    grid = totals.select(
+        "o_orderpriority",
+        "n_total",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.lit(9).cast("bigint"))
+        ).alias("digit"),
+    )
+    cell = (
+        grid.join(counts, ["o_orderpriority", "digit"], "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)))
+        .withColumn(
+            "obs_share", F.col("n_obs").cast("double") / F.col("n_total")
+        )
+        .withColumn("exp_share", F.expr(_BENFORD_CASE))
+        .withColumn("contrib", F.expr(_CONTRIB))
+    )
+    chi2 = cell.groupBy("o_orderpriority").agg(
+        F.sum(F.col("contrib").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("chi2")
+    )
+    return cell.join(F.broadcast(chi2), "o_orderpriority").select(
+        "o_orderpriority", "digit", "n_obs", "obs_share", "exp_share", "chi2"
+    )
+
+
+def _benford_sql() -> str:
+    from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+    chi2 = _dec_to_double_sql("SUM(CAST(contrib AS DECIMAL(38,6)))")
+    return f"""
+WITH digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+counts AS (
+  SELECT o_orderpriority, digit, COUNT(*) AS n_obs
+  FROM digits GROUP BY o_orderpriority, digit
+),
+totals AS (
+  SELECT o_orderpriority, COUNT(*) AS n_total
+  FROM digits GROUP BY o_orderpriority
+),
+grid AS (
+  SELECT o_orderpriority, n_total, CAST(d AS BIGINT) AS digit
+  FROM totals, UNNEST(range(1, 10)) AS u(d)
+),
+cell AS (
+  SELECT g.o_orderpriority, g.digit,
+         COALESCE(c.n_obs, 0) AS n_obs,
+         CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / g.n_total AS obs_share,
+         {_BENFORD_CASE.replace("digit", "g.digit")} AS exp_share,
+         g.n_total AS n_total
+  FROM grid g LEFT JOIN counts c
+    ON g.o_orderpriority = c.o_orderpriority AND g.digit = c.digit
+),
+contribs AS (
+  SELECT *, {_CONTRIB} AS contrib FROM cell
+),
+chi AS (
+  SELECT o_orderpriority, {chi2} AS chi2
+  FROM contribs GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority, digit, n_obs, obs_share, exp_share, chi2
+FROM contribs c JOIN chi USING (o_orderpriority)
+"""
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
     "zscore_outlier_orders": zscore_outlier_orders,
     "join_fanout_audit": join_fanout_audit,
     "fk_integrity_audit": fk_integrity_audit,
+    "measure_corr_matrix": measure_corr_matrix,
+    "benford_deviation_audit": benford_deviation_audit,
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
     "zscore_outlier_orders": _ZSCORE_SQL,
     "join_fanout_audit": _FANOUT_SQL,
     "fk_integrity_audit": _fk_audit_sql(),
+    "measure_corr_matrix": _corr_matrix_sql(),
+    "benford_deviation_audit": _benford_sql(),
 }

@@ -904,6 +904,158 @@ FROM ranked
 """
 
 
+# --- jaccard_prefix_filter_pairs: ppjoin-style prefix-filtered join ---------
+# Same output contract as shingle_jaccard_pairs (exact Jaccard >= t over
+# distinct 3-word shingles) computed with the prefix-filtering principle
+# (SSJoin, Chaudhuri et al. 2006; ppjoin, Xiao et al. 2008): order every
+# document's shingles by ascending global frequency and keep only the
+# first |d| - ceil(t*|d|) + 1 as its "prefix"; two sets with
+# Jaccard >= t must share at least one prefix element under any
+# consistent global order (J >= t forces overlap >= t*max(|x|,|y|), and
+# missing the whole prefix caps overlap at ceil(t*|x|) - 1 < t*|x|).
+# Candidates therefore come from an equi-join on PREFIX shingles only —
+# the rare-token slice of each document — and the exact intersection is
+# re-counted only for candidate pairs.
+#
+# Scale (100 TB): the naive shingle self-join meets on EVERY shared
+# shingle, so stopword-heavy shingles ("of the and") dominate both the
+# shuffle and the per-key fan-out. The prefix join meets only on each
+# doc's ~(1-t) rarest shingles — frequency ordering pushes the hot keys
+# out of the prefix, which is exactly an in-plan skew mitigation. The
+# verify stage is linear in (candidates x doc length). The oracle runs
+# the naive formulation, so the driver hash-checks the optimization's
+# completeness, not just its plumbing.
+
+
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    gfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
+    w = Window.partitionBy("doc_id").orderBy("gf", "shingle")
+    ranked = (
+        # exploded x exploded: pin shuffle-hash, same misestimation trap
+        # as the naive join above
+        sh.join(gfreq.hint("shuffle_hash"), "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.col("n") * F.lit(_JACCARD_THRESHOLD)) + 1
+    ).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa.hint("shuffle_hash"), F.col("doc_id1") == F.col("sa.doc_id"))
+        .join(
+            sb.hint("shuffle_hash"),
+            (F.col("doc_id2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), F.col("doc_id1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id2") == F.col("s2.doc_id"))
+        .filter(jacc >= _JACCARD_THRESHOLD)
+        .select("doc_id1", "doc_id2", "n_common", jacc.alias("jaccard"))
+    )
+
+
+# --- bigram_lm_quality: corpus-trained language-model quality score ---------
+# The CCNet-style LM quality filter (Wenzek et al. 2020) re-expressed
+# deterministically: train add-one-smoothed bigram statistics on the
+# corpus itself, then score every document by the average (and minimum)
+# conditional probability p(w2|w1) = (C(w1 w2)+1)/(C(w1 .)+V) of its
+# bigrams. Low average = unusual token transitions = candidate junk;
+# real CCNet scores log-perplexity from a pretrained KenLM — ln() is not
+# IEEE-correctly-rounded across engines, so the probabilities themselves
+# are the cross-checkable form (the RANKING is monotone-equivalent for
+# fixed doc length; logs stay in the non-oracle analytics).
+#
+# Scale (100 TB): two map-side-combinable counts (bigram, context), one
+# shuffle join of the bigram stream against its own counts, vocab as a
+# broadcast 1-row scalar. No Python, no window; the "model" is a
+# DataFrame, never collected.
+
+
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
+        ).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cw = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("vocab")
+    )
+    scored = (
+        big.join(cb.hint("shuffle_hash"), ["w1", "w2"])
+        .join(cw.hint("shuffle_hash"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p", (F.col("cb") + 1).cast("double") / (F.col("cw") + F.col("vocab"))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        exact_avg("p", "avg_bigram_prob"),
+        F.min("p").alias("min_bigram_prob"),
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+cw AS (SELECT w1, COUNT(*) AS cw FROM bg GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT tok) AS vocab
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+scored AS (
+  SELECT doc_id, CAST(cb + 1 AS DOUBLE) / (cw + vocab) AS p
+  FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       {exact_avg_sql("p", "avg_bigram_prob")},
+       MIN(p) AS min_bigram_prob
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
     "boilerplate_span_strip": boilerplate_span_strip,
@@ -921,6 +1073,8 @@ QUERIES = {
     "exact_dedup": exact_dedup,
     "shingle_jaccard_pairs": shingle_jaccard_pairs,
     "dup_span_fraction": dup_span_fraction,
+    "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
+    "bigram_lm_quality": bigram_lm_quality,
 }
 
 ORACLE = {
@@ -940,4 +1094,8 @@ ORACLE = {
     "exact_dedup": _EXACT_DEDUP_SQL,
     "shingle_jaccard_pairs": _JACCARD_SQL,
     "dup_span_fraction": _DUP_SPAN_SQL,
+    # the oracle is the NAIVE all-shared-shingles formulation — the
+    # driver's hash check proves the prefix filter loses no pairs
+    "jaccard_prefix_filter_pairs": _JACCARD_SQL,
+    "bigram_lm_quality": _BIGRAM_LM_SQL,
 }

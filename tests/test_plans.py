@@ -380,3 +380,47 @@ def test_unpivot_single_scan_expand(spark, sf_dir):
     assert "Expand" in plan
     assert "HashAggregate" in plan
     assert "Union" not in plan
+
+
+def test_prefix_filter_join_no_cartesian_shuffle_hash(spark, sf_dir):
+    """Candidate generation must meet on PREFIX shingles via a pinned
+    shuffle-hash equi-join — never a cartesian, and never a broadcast of
+    the exploded corpus (the Catalyst misestimation trap)."""
+    plan = _plan(spark, sf_dir, "jaccard_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_bigram_lm_counts_join_not_broadcast(spark, sf_dir):
+    """Bigram/context count joins are corpus-sized x corpus-derived:
+    pinned shuffle-hash; only the 1-row vocab scalar broadcasts."""
+    plan = _plan(spark, sf_dir, "bigram_lm_quality")
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_corr_matrix_single_scan_single_agg(spark, sf_dir):
+    """The correlation profile is one scan + one 3-key aggregation; the
+    reshape is free. No window, no join, no second pass."""
+    plan = _plan(spark, sf_dir, "measure_corr_matrix")
+    # formatted output lists each node in tree + details => 1 scan == 2
+    assert plan.count("Scan parquet") == 2
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_benford_broadcasts_class_chi2(spark, sf_dir):
+    """The per-class chi-square (|priorities| rows) broadcasts back onto
+    the 45-cell grid; nothing corpus-sized moves after the first count."""
+    plan = _plan(spark, sf_dir, "benford_deviation_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_part_affinity_topk_no_global_sort(spark, sf_dir):
+    """Top-k by lift must be TakeOrderedAndProject (never a global sort)
+    and the basket self-join an equi-join, never cartesian."""
+    plan = _plan(spark, sf_dir, "part_affinity_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

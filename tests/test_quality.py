@@ -120,3 +120,60 @@ def test_fk_integrity_audit_counts_planted_orphans(spark, tmp_path):
     for rel, r in rows.items():
         if rel != "nation.n_regionkey->region.r_regionkey":
             assert r.n_orphan_rows == 0
+
+
+def test_measure_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from big_data_pipeline_spark.workloads import data_quality as dq
+
+    got = {
+        (r.l_returnflag, r.pair): r.corr
+        for r in dq.measure_corr_matrix(spark, sf_dir).collect()
+    }
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    cols = {
+        "quantity": "l_quantity",
+        "extendedprice": "l_extendedprice",
+        "discount": "l_discount",
+    }
+    for (flag, pair), corr in got.items():
+        a, b = pair.split("~")
+        g = li[li.l_returnflag == flag]
+        want = np.corrcoef(g[cols[a]], g[cols[b]])[0, 1]
+        assert abs(corr - want) < 1e-9, (flag, pair)
+    assert len(got) == 3 * li.l_returnflag.nunique()
+
+
+def test_benford_audit_semantics(spark, sf_dir):
+    import math
+
+    from big_data_pipeline_spark.workloads import data_quality as dq
+
+    rows = dq.benford_deviation_audit(spark, sf_dir).collect()
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r.o_orderpriority, []).append(r)
+    for prio, cells in by_prio.items():
+        assert sorted(c.digit for c in cells) == list(range(1, 10))
+        # expected shares are the Benford law, observed shares sum to 1
+        for c in cells:
+            assert abs(c.exp_share - math.log10(1 + 1 / c.digit)) < 1e-15
+        assert abs(sum(c.obs_share for c in cells) - 1.0) < 1e-9
+        # chi2 is one value per class, equal to the sum of contributions
+        n_total = sum(c.n_obs for c in cells)
+        chi2 = sum(
+            n_total
+            * (c.obs_share - c.exp_share) ** 2
+            / c.exp_share
+            for c in cells
+        )
+        assert abs(cells[0].chi2 - chi2) < 1e-4
+        assert len({c.chi2 for c in cells}) == 1
+        # uniform synthetic prices are NOT Benford-conformant: the audit
+        # must fire decisively (chi2 > the 15.5 critical value at 8 dof)
+        assert cells[0].chi2 > 15.5

@@ -278,3 +278,65 @@ def test_train_split_assign_partitions_every_doc_once(spark):
     a = out.sort_values(["split", "lang"]).reset_index(drop=True)
     b = again.sort_values(["split", "lang"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_prefix_filter_jaccard_matches_naive(spark, tmp_path):
+    """The ppjoin prefix filter must lose no pair the naive all-shingles
+    join finds (completeness theorem) and add none (exact verify)."""
+    from big_data_pipeline_spark.workloads import text as text_wl
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base + " lambda mu"),
+        (1, base + " lambda nu"),        # near-dup of 0
+        (2, base),                        # near-dup of both
+        (3, "totally different words nothing shared with the others one"),
+        (4, "short doc"),                 # single partial shingle
+        (5, "short doc"),                 # exact dup of 4 (jaccard 1.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    naive = {
+        (r.doc_id1, r.doc_id2): (r.n_common, r.jaccard)
+        for r in text_wl.shingle_jaccard_pairs(spark, str(tmp_path)).collect()
+    }
+    pref = {
+        (r.doc_id1, r.doc_id2): (r.n_common, r.jaccard)
+        for r in text_wl.jaccard_prefix_filter_pairs(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert pref == naive
+    assert (4, 5) in pref and pref[(4, 5)][1] == 1.0
+
+
+def test_bigram_lm_quality_toy_probabilities(spark, tmp_path):
+    """Hand-checked add-one smoothing: p(w2|w1) = (C(w1 w2)+1)/(C(w1 .)+V)."""
+    from big_data_pipeline_spark.workloads import text as text_wl
+
+    rows = [(0, "a b a b"), (1, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # bigrams: doc0 = ab, ba, ab; doc1 = ab, bc
+    # C(ab)=3, C(ba)=1, C(bc)=1; C(a.)=3, C(b.)=2; V={a,b,c}=3
+    out = {
+        r.doc_id: r
+        for r in text_wl.bigram_lm_quality(spark, str(tmp_path)).collect()
+    }
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (2 + 3)
+    assert out[0].n_bigrams == 3
+    # avg routes through exact DECIMAL(38,6) accumulation -> 6-dp grid
+    assert abs(out[0].avg_bigram_prob - (2 * p_ab + p_ba) / 3) < 1e-6
+    assert out[0].min_bigram_prob == p_ba
+    assert out[1].n_bigrams == 2
+    assert abs(out[1].avg_bigram_prob - (p_ab + p_bc) / 2) < 1e-6
