@@ -927,10 +927,11 @@ FROM ranked
 # completeness, not just its plumbing.
 
 
-def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, "doc_id", "text", 3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+def _prefix_candidates(sh: DataFrame, sizes: DataFrame, t: float) -> DataFrame:
+    """Candidate (doc_id1, doc_id2) pairs whose frequency-ordered
+    prefixes (length |d| - ceil(t*|d|) + 1) share a shingle. Complete
+    for Jaccard >= t; exposed separately so tests can count candidates
+    against the naive join's meet cardinality."""
     gfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
     w = Window.partitionBy("doc_id").orderBy("gf", "shingle")
     ranked = (
@@ -941,11 +942,10 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "doc_id")
     )
     prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("n") - F.ceil(F.col("n") * F.lit(_JACCARD_THRESHOLD)) + 1
+        F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
     ).select("doc_id", "shingle")
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
+    return (
         a.join(
             b.hint("shuffle_hash"),
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -957,6 +957,13 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = _prefix_candidates(sh, sizes, _JACCARD_THRESHOLD)
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         cand.join(sa.hint("shuffle_hash"), F.col("doc_id1") == F.col("sa.doc_id"))

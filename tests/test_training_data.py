@@ -340,3 +340,48 @@ def test_bigram_lm_quality_toy_probabilities(spark, tmp_path):
     assert out[0].min_bigram_prob == p_ba
     assert out[1].n_bigrams == 2
     assert abs(out[1].avg_bigram_prob - (p_ab + p_bc) / 2) < 1e-6
+
+
+def test_prefix_filter_prunes_hot_shingle_candidates(spark, tmp_path):
+    """Where prefix filtering earns its keep: a corpus whose docs all
+    share a hot boilerplate block. The naive join meets every doc pair
+    on every boilerplate shingle; the frequency-ordered prefix keeps
+    each doc's RAREST shingles, so candidates collapse to near zero
+    while the final output stays identical (completeness)."""
+    from big_data_pipeline_spark.functions.text import exploded_shingles
+    from big_data_pipeline_spark.workloads import text as text_wl
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(40)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n_cand = text_wl._prefix_candidates(
+        sh, sizes, text_wl._JACCARD_THRESHOLD
+    ).count()
+    a, b = sh.alias("a"), sh.alias("b")
+    naive_meets = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    # every pair meets on all 28 boilerplate shingles naively (~22k
+    # meets); no doc's prefix reaches the hot block -> zero candidates
+    assert naive_meets >= 20000
+    assert n_cand == 0
+    # and the two operators still agree end-to-end (no pair is >= 0.5
+    # jaccard here, so both are empty)
+    naive_pairs = text_wl.shingle_jaccard_pairs(spark, str(tmp_path)).count()
+    pref_pairs = text_wl.jaccard_prefix_filter_pairs(
+        spark, str(tmp_path)
+    ).count()
+    assert naive_pairs == pref_pairs == 0
