@@ -105,7 +105,8 @@ _MODULES = (
 # froze), plus the five operators added after the freeze (all green in
 # the local sweep at sf0.001+sf0.01): jaccard_prefix_filter_pairs,
 # bigram_lm_quality, measure_corr_matrix, benford_deviation_audit,
-# part_affinity_lift — 20 total for round 5.
+# part_affinity_lift, cusum_changepoint_per_user, flesch_readability,
+# table_profile_summary, kcore_trade_graph — 24 total for round 5.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)

@@ -500,6 +500,84 @@ FROM contribs c JOIN chi USING (o_orderpriority)
 """
 
 
+# --- table_profile_summary: one-pass column profiling ------------------------
+# The deequ/dbt-style column profiler: per column of orders, null count,
+# distinct count, and min/max rendered to one uniform string column
+# (integer/date casts are identical across engines; doubles go through
+# C-style %.2f on cents-exact values so both engines print the same
+# digits). Long-form output, one row per column.
+#
+# Scale (100 TB): a single scan; the distinct counts are the only
+# expensive part (each adds an Expand duplicate of the projected rows,
+# shuffled on its column) — exactly what a production profiler pays
+# unless it downgrades to approx_count_distinct, which stays the
+# documented switch (the sketch family: workloads/llm_pipeline.py).
+
+_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "str"),
+)
+
+
+def _render(kind: str, expr: str, strtype: str = "VARCHAR") -> str:
+    if kind == "money":
+        return f"printf('%.2f', {expr})"
+    return f"CAST({expr} AS {strtype})"
+
+
+def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"nulls_{col}"),
+            F.count_distinct(F.col(col)).alias(f"dist_{col}"),
+            F.expr(
+                _render(kind, f"MIN({col})", "STRING").replace(
+                    "printf", "format_string"
+                )
+            ).alias(f"min_{col}"),
+            F.expr(
+                _render(kind, f"MAX({col})", "STRING").replace(
+                    "printf", "format_string"
+                )
+            ).alias(f"max_{col}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{col}', nulls_{col}, dist_{col}, min_{col}, max_{col}"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.col("n_rows"),
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def _profile_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+SELECT '{col}' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {_render(kind, f"MIN({col})")} AS min_value,
+       {_render(kind, f"MAX({col})")} AS max_value
+FROM orders"""
+        for col, kind in _PROFILE_COLS
+    )
+    return arms
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
     "zscore_outlier_orders": zscore_outlier_orders,
@@ -507,6 +585,7 @@ QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "measure_corr_matrix": measure_corr_matrix,
     "benford_deviation_audit": benford_deviation_audit,
+    "table_profile_summary": table_profile_summary,
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
@@ -515,4 +594,5 @@ ORACLE = {
     "fk_integrity_audit": _fk_audit_sql(),
     "measure_corr_matrix": _corr_matrix_sql(),
     "benford_deviation_audit": _benford_sql(),
+    "table_profile_summary": _profile_sql(),
 }

@@ -144,11 +144,141 @@ ORDER BY n_triangles DESC, nation
 """
 
 
+# --- kcore_trade_graph: iterative k-core peel --------------------------------
+# The k-core (Seidman 1983): repeatedly delete nodes with degree < k
+# until none remain; what survives is the graph's cohesive backbone —
+# the standard prefilter before community detection and the "dense
+# cluster of near-dup sources" probe on a dedup similarity graph.
+#
+# Distributed design: the state is the SYMMETRIC directed edge list
+# (each undirected edge as (u,v) and (v,u)), so one per-key count gives
+# every node's degree and an edge survives iff both endpoint degrees
+# >= k — one groupBy + two joins per round, lineage cut per round
+# (localCheckpoint, same as star-CC), rounds bounded by the peel depth
+# (<= |nodes|, in practice a handful). No driver-side graph state.
+#
+# Oracle: genuinely SQL-expressible — a recursive CTE over the directed
+# edge state where window COUNTs over (u) and (v) are both endpoint
+# degrees (the symmetric trick avoids the single-recursive-reference
+# restriction), unrolled a fixed _KCORE_ROUNDS >= |nations| rounds so
+# the final iteration IS the fixpoint. The driver hash-checks the
+# Spark loop against DuckDB's recursion — an independent-implementation
+# check of the whole iteration, not just one round.
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 30  # >= max peel depth for a <=25-node nation graph
+
+
+def kcore_peel(und: DataFrame, k: int, rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """Peel an undirected (a, b) edge list to its k-core; returns the
+    surviving symmetric edges (u, v). Exposed for direct testing on
+    crafted graphs."""
+    sym = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        du = deg.select(F.col("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+        nxt = (
+            sym.join(F.broadcast(du), "u")
+            .join(F.broadcast(dv), "v")
+            .filter((F.col("du") >= k) & (F.col("dv") >= k))
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        sym = nxt
+        if n_next == n_edges:  # fixpoint
+            break
+        n_edges = n_next
+    return sym
+
+
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = trade_edges(spark, sf_dir)
+    avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
+    und = (
+        edges.crossJoin(F.broadcast(avg_rev))
+        .filter(F.col("revenue") > F.col("avg_rev"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = kcore_peel(und, _KCORE_K)
+    return (
+        sym.groupBy(F.col("u").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("kcore_degree"))
+        .orderBy(F.desc("kcore_degree"), "nation")
+    )
+
+
+_KCORE_SQL = f"""
+WITH RECURSIVE und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (
+    SELECT s.n_name AS src, c2.n_name AS dst,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation s ON supplier.s_nationkey = s.n_nationkey
+    JOIN nation c2 ON customer.c_nationkey = c2.n_nationkey
+    GROUP BY 1, 2
+  ) e,
+  (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+            / COUNT(*) AS avg_rev
+   FROM (
+     SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+     FROM lineitem
+     JOIN orders ON l_orderkey = o_orderkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN nation s ON supplier.s_nationkey = s.n_nationkey
+     JOIN nation c2 ON customer.c_nationkey = c2.n_nationkey
+     GROUP BY s.n_name, c2.n_name
+   )) t
+  WHERE revenue > avg_rev AND src <> dst
+),
+peel(iter, u, v) AS (
+  SELECT 0, a, b FROM und
+  UNION ALL SELECT 0, b, a FROM und
+  UNION ALL
+  SELECT iter + 1, u, v
+  FROM (
+    SELECT iter, u, v,
+           COUNT(*) OVER (PARTITION BY u) AS du,
+           COUNT(*) OVER (PARTITION BY v) AS dv
+    FROM peel
+  )
+  WHERE iter < {_KCORE_ROUNDS}
+    AND du >= {_KCORE_K} AND dv >= {_KCORE_K}
+)
+SELECT u AS nation, COUNT(*) AS kcore_degree
+FROM peel WHERE iter = {_KCORE_ROUNDS}
+GROUP BY u
+ORDER BY kcore_degree DESC, nation
+"""
+
+
 QUERIES = {
     "pagerank_nation_trade": pagerank_nation_trade,
     "triangle_count_trade": triangle_count_trade,
+    "kcore_trade_graph": kcore_trade_graph,
 }
 
 ORACLE: dict[str, str] = {
     "triangle_count_trade": _TRIANGLE_SQL,
+    "kcore_trade_graph": _KCORE_SQL,
 }

@@ -1063,6 +1063,62 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- flesch_readability: classic reading-ease scoring -----------------------
+# Flesch Reading Ease (Flesch 1948): 206.835 - 1.015*(words/sentences)
+# - 84.6*(syllables/words), with the standard computational proxies —
+# syllables ~ vowel groups ([aeiouy]+), sentences ~ terminal-punctuation
+# runs (floored at 1: the synthetic corpus has no punctuation, which
+# exercises exactly that guard). A quality gate real curation stacks run
+# next to the stopword/length heuristics (doc_quality_score): all three
+# counts are exact integers from one regex pass each, the score is one
+# shared-text IEEE expression, and the band CASE cuts on the identical
+# doubles — fully hash-checkable. Scale: pure map-side projection, no
+# shuffle, no Python.
+
+_FLESCH = (
+    "CAST(206.835 AS DOUBLE) "
+    "- CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / sentences) "
+    "- CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / words)"
+)
+_FLESCH_BAND = (
+    "CASE WHEN flesch >= CAST(90 AS DOUBLE) THEN 'very_easy' "
+    "WHEN flesch >= CAST(60 AS DOUBLE) THEN 'standard' "
+    "WHEN flesch >= CAST(30 AS DOUBLE) THEN 'difficult' "
+    "ELSE 'very_confusing' END"
+)
+
+
+def flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("words"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+        ).alias("syllables"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+            F.lit(1),
+        ).alias("sentences"),
+    )
+    return counted.withColumn("flesch", F.expr(_FLESCH)).withColumn(
+        "band", F.expr(_FLESCH_BAND)
+    )
+
+
+_FLESCH_SQL = f"""
+WITH counted AS (
+  SELECT doc_id,
+         len({_TOKS_SQL}) AS words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences
+  FROM documents
+)
+SELECT doc_id, words, syllables, sentences, flesch, {_FLESCH_BAND} AS band
+FROM (SELECT *, {_FLESCH} AS flesch FROM counted)
+"""
+
+
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
     "boilerplate_span_strip": boilerplate_span_strip,
@@ -1082,6 +1138,7 @@ QUERIES = {
     "dup_span_fraction": dup_span_fraction,
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
     "bigram_lm_quality": bigram_lm_quality,
+    "flesch_readability": flesch_readability,
 }
 
 ORACLE = {
@@ -1105,4 +1162,5 @@ ORACLE = {
     # driver's hash check proves the prefix filter loses no pairs
     "jaccard_prefix_filter_pairs": _JACCARD_SQL,
     "bigram_lm_quality": _BIGRAM_LM_SQL,
+    "flesch_readability": _FLESCH_SQL,
 }

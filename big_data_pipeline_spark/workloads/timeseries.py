@@ -211,11 +211,93 @@ WHERE ABS({_SEAS}) > {_SEAS_K} * {_SEAS_SIG}
 """
 
 
+# --- cusum_changepoint_per_user: offline changepoint detection --------------
+# The classic CUSUM statistic (Page 1954): for each user's time-ordered
+# value series, the candidate changepoint is the position maximizing
+# |S_i - (i/n) * S_n| — how far the running sum strays from the straight
+# line a stationary series would follow. Telemetry/drift monitoring over
+# a 100 TB event log runs exactly this shape.
+#
+# Determinism: running and total sums accumulate as DECIMAL(38,6)
+# (order-insensitive), convert once to double, and both engines evaluate
+# the IDENTICAL deviation text; the argmax tie-breaks on (ts, event_id)
+# so equal deviations pick the same row. Scale: two window passes over
+# hash(user_id) — high-cardinality partitions, no global window, no
+# join; the final argmax is a WindowGroupLimit-style rank filter.
+
+_CUSUM_DEV = "abs(cum - i * total / n)"
+
+
+def cusum_changepoint_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    scored = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("cum"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w_all)
+        .cast("double")
+        .alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).withColumn("dev", F.expr(_CUSUM_DEV))
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.desc("dev"), "ts", "event_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("change_ts"),
+            F.col("event_id").alias("change_event_id"),
+            F.col("n").alias("n_events"),
+            F.col("dev").alias("max_cusum_dev"),
+        )
+    )
+
+
+_CUSUM_SQL = f"""
+WITH scored AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER w_ord AS i,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS VARCHAR) AS DOUBLE) AS cum,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+           PARTITION BY user_id
+         ) AS VARCHAR) AS DOUBLE) AS total,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dev AS (
+  SELECT *, {_CUSUM_DEV} AS dev FROM scored
+),
+picked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY dev DESC, ts, event_id) AS rn
+  FROM dev
+)
+SELECT user_id, ts AS change_ts, event_id AS change_event_id,
+       n AS n_events, dev AS max_cusum_dev
+FROM picked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "gap_fill_forward": gap_fill_forward,
     "asof_last_purchase": asof_last_purchase,
     "range_error_purchase_counts": range_error_purchase_counts,
     "seasonal_residual_outliers": seasonal_residual_outliers,
+    "cusum_changepoint_per_user": cusum_changepoint_per_user,
 }
 
 ORACLE = {
@@ -223,4 +305,5 @@ ORACLE = {
     "asof_last_purchase": _ASOF_SQL,
     "range_error_purchase_counts": _RANGE_SQL,
     "seasonal_residual_outliers": _seasonal_sql(),
+    "cusum_changepoint_per_user": _CUSUM_SQL,
 }

@@ -81,3 +81,31 @@ def test_driver_and_distributed_paths_agree(spark):
     for k in fast:
         assert abs(fast[k] - slow[k]) < 1e-12, k
     assert abs(sum(fast.values()) - 1.0) < 1e-9
+
+
+def test_kcore_peel_clique_survives_tail_removed(spark):
+    """4-clique + pendant path: the 3-core is exactly the clique (each
+    clique node keeps degree 3); the path peels away over multiple
+    rounds (the iterative part actually iterates)."""
+    from big_data_pipeline_spark.workloads.graph_rank import kcore_peel
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("e", "f"), ("f", "g")]
+    und = spark.createDataFrame(clique + tail, "a string, b string")
+    core = kcore_peel(und, 3).collect()
+    nodes = {r.u for r in core}
+    assert nodes == {"a", "b", "c", "d"}
+    deg = {}
+    for r in core:
+        deg[r.u] = deg.get(r.u, 0) + 1
+    assert all(d == 3 for d in deg.values())
+
+
+def test_kcore_peel_empty_when_k_too_high(spark):
+    from big_data_pipeline_spark.workloads.graph_rank import kcore_peel
+
+    und = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "a string, b string"
+    )
+    assert kcore_peel(und, 3).count() == 0  # triangle has max degree 2
+    assert kcore_peel(und, 2).count() == 6  # symmetric triangle edges

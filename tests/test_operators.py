@@ -374,3 +374,69 @@ def test_sharded_running_sum_null_order_rows_kept(spark):
             )
         )
         assert got == want, shards
+
+
+def test_cusum_changepoint_finds_step(spark, tmp_path):
+    """A flat series with one level shift: the CUSUM argmax must land
+    exactly on the last pre-shift event."""
+    import datetime as dt
+
+    from big_data_pipeline_spark.workloads.timeseries import (
+        cusum_changepoint_per_user,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        val = 1.0 if i < 25 else 9.0
+        rows.append((i, base + dt.timedelta(minutes=i), 7, "m", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = cusum_changepoint_per_user(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # deviation |S_i - i/n*S_n| peaks at the boundary (event_id 24)
+    assert r.change_event_id == 24
+    assert r.n_events == 40
+    assert r.max_cusum_dev > 0
+
+
+def test_flesch_readability_hand_counts(spark, tmp_path):
+    from big_data_pipeline_spark.workloads.text import flesch_readability
+
+    rows = [
+        (0, "The cat sat. The dog ran!"),   # 6 words, 2 sentences, 6 syl
+        (1, "no punctuation here"),          # sentences floored at 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in flesch_readability(spark, str(tmp_path)).collect()}
+    r0 = out[0]
+    assert (r0.words, r0.sentences) == (6, 2)
+    # vowel groups: e/a/a/e/o/a -> 6 ("The"=1, "cat"=1, "sat"=1, ...)
+    assert r0.syllables == 6
+    want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r0.flesch - want) < 1e-12
+    assert out[1].sentences == 1
+
+
+def test_table_profile_summary_shape(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.data_quality import (
+        _PROFILE_COLS,
+        table_profile_summary,
+    )
+
+    rows = table_profile_summary(spark, sf_dir).collect()
+    assert {r.column for r in rows} == {c for c, _ in _PROFILE_COLS}
+    n_rows = {r.n_rows for r in rows}
+    assert len(n_rows) == 1
+    for r in rows:
+        assert r.n_nulls == 0
+        assert 0 < r.n_distinct <= r.n_rows
+        assert r.min_value <= r.max_value or r.column == "o_totalprice"

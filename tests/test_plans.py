@@ -424,3 +424,28 @@ def test_part_affinity_topk_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "part_affinity_lift")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_windows_shuffle_on_user_only(spark, sf_dir):
+    """All three window passes ride one hash(user_id) exchange; no join,
+    no global window (the partition key is high-cardinality)."""
+    plan = _plan(spark, sf_dir, "cusum_changepoint_per_user")
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1  # one shuffle total
+    assert "SinglePartition" not in plan
+
+
+def test_flesch_is_mapside_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flesch_readability")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_table_profile_single_scan_expand(spark, sf_dir):
+    """The profiler reads orders once; distinct counts go through
+    Expand, never one sub-query per column (no Union of scans)."""
+    plan = _plan(spark, sf_dir, "table_profile_summary")
+    assert plan.count("Scan parquet") == 2  # tree + details => 1 scan
+    assert "Expand" in plan
+    assert "Union" not in plan
