@@ -964,26 +964,42 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = exploded_shingles(docs, "doc_id", "text", 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cand = _prefix_candidates(sh, sizes, _JACCARD_THRESHOLD)
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    # Verify against the COMPACTED per-doc shingle set (one array row per
+    # doc), not a re-exploded shingle x shingle join: candidates shuffle
+    # twice at pair granularity and the exact intersection is a JVM
+    # array_intersect over the two carried sets. The exploded verify
+    # shuffles |cand| x doc_len rows; this shuffles |docs| arrays +
+    # 2x|cand| pairs — the ppjoin verify layout (Xiao et al. 2008 §5).
+    sets_df = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g1 = sets_df.select(
+        F.col("doc_id").alias("doc_id1"),
+        F.col("shingles").alias("sh1"),
+        F.col("n").alias("n1"),
+    )
+    g2 = sets_df.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("shingles").alias("sh2"),
+        F.col("n").alias("n2"),
+    )
     inter = (
-        cand.join(sa.hint("shuffle_hash"), F.col("doc_id1") == F.col("sa.doc_id"))
-        .join(
-            sb.hint("shuffle_hash"),
-            (F.col("doc_id2") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        cand.join(g1.hint("shuffle_hash"), "doc_id1")
+        .join(g2.hint("shuffle_hash"), "doc_id2")
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("n_common"),
+            "n1",
+            "n2",
         )
-        .groupBy("doc_id1", "doc_id2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
     jacc = F.col("n_common").cast("double") / (
-        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+        F.col("n1") + F.col("n2") - F.col("n_common")
     )
-    return (
-        inter.join(F.broadcast(s1), F.col("doc_id1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("doc_id2") == F.col("s2.doc_id"))
-        .filter(jacc >= _JACCARD_THRESHOLD)
-        .select("doc_id1", "doc_id2", "n_common", jacc.alias("jaccard"))
+    return inter.filter(jacc >= _JACCARD_THRESHOLD).select(
+        "doc_id1", "doc_id2", "n_common", jacc.alias("jaccard")
     )
 
 
