@@ -94,9 +94,10 @@ _MODULES = (
 # hash-green in the local tools/check_oracle.py sweep).
 #
 # 15 never-checked entries remain for the round-5 window (they pass
-# the local sweep; 5 are rows-only by nature so a driver row adds the
+# the local sweep; 4 are rows-only by nature so a driver row adds the
 # least evidence): approx_theta_overlap, approx_heavy_tokens,
-# approx_sketch_rollup, approx_corpus_stats, pagerank_nation_trade,
+# approx_sketch_rollup, approx_corpus_stats, pagerank_nation_trade
+# (oracle-checkable since round 4: augmented-edge recursive CTE),
 # stratified_sample_docs (oracle-checkable since the round-4 switch to
 # the deterministic hash-threshold sampler), tumbling_window_counts,
 # sliding_window_counts, session_windows, lang_stats,

@@ -2,11 +2,21 @@
 
 Builds the nation→nation trade graph (supplier nation → customer
 nation, weighted by lineitem revenue — the q7 join shape aggregated to
-graph edges) and runs weighted PageRank over it. The power iteration is
-not SQL-expressible (DuckDB's recursive CTEs can't carry the per-round
-global dangling-mass scalar), so the driver check is rows-only; the
-numeric truth check is a numpy power-iteration golden in
-tests/test_graph.py.
+graph edges) and runs weighted PageRank over it.
+
+The power iteration IS oracle-checkable despite the per-round global
+dangling-mass scalar: augment the normalized edge list with (a) an
+explicit 1/n edge from every dangling node to every node — turning the
+dangling redistribution into ordinary edge contributions — and (b) a
+p=0 self-loop per node so every node has an in-edge. One recursive-CTE
+step per iteration then references the rank table exactly once
+(window-SUM + DISTINCT, same device as the k-core oracle below), and
+the unrolled 10-iteration CTE reproduces the exact formula of
+``operators/graph._pagerank_driver``. Both engines accumulate float64
+in different orders, but the ≤|nations| term sums drift ~1e-15 while
+the output is rounded to 8 decimals — the hash check compares the
+rounded grain. A numpy power-iteration golden (tests/test_graph.py)
+independently pins the math.
 """
 
 from __future__ import annotations
@@ -272,6 +282,54 @@ ORDER BY kcore_degree DESC, nation
 """
 
 
+# PageRank oracle: see module docstring. Iteration count / damping are
+# pinned to pagerank_nation_trade's call (max_iter=10, damping=0.85);
+# `aug` is the augmented transition list (real normalized edges +
+# dangling→all 1/n edges + p=0 self-loops).
+_PAGERANK_SQL = """
+WITH RECURSIVE e AS (
+  SELECT s.n_name AS src, c2.n_name AS dst,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation s ON supplier.s_nationkey = s.n_nationkey
+  JOIN nation c2 ON customer.c_nationkey = c2.n_nationkey
+  GROUP BY 1, 2
+),
+-- under WITH RECURSIVE, a CTE whose body is a TOP-LEVEL set operation
+-- is parsed as base/recursive parts (DuckDB applies this even when the
+-- right arm never references the CTE, silently dropping UNION dedup) —
+-- so every non-recursive union here hides inside a subquery
+nodes AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+aug AS (SELECT * FROM (
+  SELECT src, dst, w / out_w AS p FROM e JOIN outw USING (src)
+  UNION ALL
+  SELECT d.id AS src, nd.id AS dst, 1.0 / (SELECT n FROM nn) AS p
+  FROM (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)) d,
+       nodes nd
+  UNION ALL
+  SELECT id AS src, id AS dst, CAST(0 AS DOUBLE) AS p FROM nodes)),
+pr(iter, id, rank) AS (
+  SELECT 0, id, 1.0 / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT DISTINCT r.iter + 1, a.dst,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * SUM(a.p * r.rank) OVER (PARTITION BY a.dst)
+  FROM pr r JOIN aug a ON a.src = r.id
+  WHERE r.iter < 10
+)
+SELECT id AS nation, ROUND(rank, 8) AS rank
+FROM pr WHERE iter = 10
+ORDER BY rank DESC, nation
+"""
+
+
 QUERIES = {
     "pagerank_nation_trade": pagerank_nation_trade,
     "triangle_count_trade": triangle_count_trade,
@@ -279,6 +337,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "pagerank_nation_trade": _PAGERANK_SQL,
     "triangle_count_trade": _TRIANGLE_SQL,
     "kcore_trade_graph": _KCORE_SQL,
 }
