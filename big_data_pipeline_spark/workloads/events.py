@@ -415,6 +415,81 @@ WHERE n * sxx - sx * sx <> 0
 """
 
 
+# --- session_concurrency_peak: sweep-line max concurrent sessions -----------
+# The interval-overlap aggregate behind capacity planning ("how many
+# sessions were live at once, per hour"): each session [start, end]
+# (inclusive, from session_windows) emits +1 at start and -1 at end,
+# the GLOBAL running sum of deltas over (ts, pri, user_id, session_id)
+# is the live-session count after each transition, and the hourly MAX
+# of that count is the peak. ``pri`` orders starts (0) before ends (1)
+# at equal instants, so back-to-back sessions at a shared boundary
+# count as overlapping — the inclusive-interval convention, pinned
+# identically in both engines' ORDER BY. Hours with no transition emit
+# no row (standard sweep output: the count is constant there).
+#
+# Scale (100 TB): the sweep is 2x|sessions| rows and needs ONE global
+# total order — the textbook single-task window trap, so the running
+# sum goes through the sharded two-phase prefix sum
+# (operators/prefix.py): 32-way parallel local sums + a tiny offset
+# table, bit-identical for integer deltas. The hourly MAX then rides a
+# map-side-combinable aggregation.
+
+
+def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    sess = session_windows(spark, sf_dir)
+    starts = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(0).alias("pri"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    ends = sess.select(
+        F.col("session_end").alias("ts"),
+        F.lit(1).alias("pri"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    sweep = starts.unionByName(ends).withColumn(
+        "o", F.col("ts").cast("double")
+    )
+    run = sharded_running_sum(
+        sweep,
+        part_cols=[],
+        order_col="o",
+        value_col=F.col("delta").cast("long"),
+        out_col="conc",
+        tiebreak_cols=["pri", "user_id", "session_id"],
+    )
+    return (
+        run.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.max("conc").alias("peak_concurrency"))
+    )
+
+
+_CONCURRENCY_SQL = f"""
+WITH sessions AS ({_SESSION_SQL}),
+sweep AS (
+  SELECT session_start AS ts, 0 AS pri, 1 AS delta, user_id, session_id
+  FROM sessions
+  UNION ALL
+  SELECT session_end AS ts, 1 AS pri, -1 AS delta, user_id, session_id
+  FROM sessions
+),
+run AS (
+  SELECT ts,
+         CAST(SUM(delta) OVER (ORDER BY ts, pri, user_id, session_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM sweep
+)
+SELECT date_trunc('hour', ts) AS hour, MAX(conc) AS peak_concurrency
+FROM run GROUP BY 1
+"""
+
+
 QUERIES = {
     "window_lead_next_value": window_lead_next_value,
     "latest_event_per_user": latest_event_per_user,
@@ -427,6 +502,7 @@ QUERIES = {
     "session_windows": session_windows,
     "sessionize_secondary_sort": sessionize_secondary_sort,
     "linreg_next_value": linreg_next_value,
+    "session_concurrency_peak": session_concurrency_peak,
 }
 
 ORACLE = {
@@ -441,4 +517,5 @@ ORACLE = {
     "session_windows": _SESSION_SQL,
     "sessionize_secondary_sort": _SESSION_SQL,
     "linreg_next_value": _LINREG_SQL,
+    "session_concurrency_peak": _CONCURRENCY_SQL,
 }

@@ -1135,6 +1135,138 @@ FROM (SELECT *, {_FLESCH} AS flesch FROM counted)
 """
 
 
+# --- bm25_topk_docs: sparse lexical retrieval over the corpus ---------------
+# The BM25 ranking function (Robertson & Walker 1994) for a fixed query,
+# top-20 docs: per matched term, idf-weighted saturated term frequency
+# tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)) with k1=1.2, b=0.75. The idf
+# factor uses the log-free RSJ odds (N - df + 0.5)/(df + 0.5): ln() is
+# not IEEE-identical across engines (the bigram_lm_quality precedent),
+# and the odds are per-term monotone in the standard log idf, so the
+# ranking semantics survive while every arithmetic step stays a shared
+# IEEE expression. Per-doc summation is over the FIXED literal query
+# terms, so the score is one explicit fixed-associativity expression —
+# no float aggregation at all.
+#
+# Scale (100 TB): the explode is map-side and the `tok IN (...)`
+# filter drops ~all of it before the only data shuffle (groupBy
+# doc_id); df/N/avgdl are broadcast scalars; top-20 is
+# TakeOrderedAndProject, never a global sort.
+
+_BM25_TERMS = ("dup", "spark", "merge", "scan")
+_BM25_K = 20
+
+
+def _bm25_score_expr() -> str:
+    parts = []
+    for i in range(len(_BM25_TERMS)):
+        w = f"(n_docs - df{i} + 0.5) / (df{i} + 0.5)"
+        sat = (
+            f"(tf{i} * 2.2) / "
+            f"(tf{i} + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+        )
+        parts.append(
+            f"CASE WHEN tf{i} IS NULL THEN CAST(0 AS DOUBLE)"
+            f" ELSE ({w}) * ({sat}) END"
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score}) + ({p})"
+    return score
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("double").alias("dl"),
+        tokenize("text").alias("toks"),
+    )
+    toks = lens.select("doc_id", "dl", F.explode("toks").alias("tok"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    wide = tf.groupBy("doc_id", "dl").agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("tf"))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        exact_avg("dl", "avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    dfreq_wide = dfreq.agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("df_t")))
+            .cast("double")
+            .alias(f"df{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    return (
+        wide.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq_wide))
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("doc_len"),
+            *[
+                F.coalesce(F.col(f"tf{i}"), F.lit(0.0))
+                .cast("long")
+                .alias(f"tf_{t}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+            F.expr(_bm25_score_expr()).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"MAX(CASE WHEN tok = '{t}' THEN tf END) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN tok = '{t}' THEN df_t END) AS DOUBLE) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    out_tfs = ", ".join(
+        f"CAST(COALESCE(tf{i}, 0.0) AS BIGINT) AS tf_{t}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS DOUBLE) AS dl,
+         {_TOKS_SQL} AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, dl, unnest(toks) AS tok FROM lens),
+tf AS (
+  SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE tok IN ({terms_in})
+  GROUP BY doc_id, dl, tok
+),
+wide AS (SELECT doc_id, dl, {tf_cols} FROM tf GROUP BY doc_id, dl),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         {exact_avg_sql('dl', 'avgdl')}
+  FROM lens
+),
+dfreq AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+dfreq_wide AS (SELECT {df_cols} FROM dfreq)
+SELECT doc_id, CAST(dl AS BIGINT) AS doc_len, {out_tfs},
+       {_bm25_score_expr()} AS bm25
+FROM wide, stats, dfreq_wide
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
     "boilerplate_span_strip": boilerplate_span_strip,
@@ -1155,6 +1287,7 @@ QUERIES = {
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
     "bigram_lm_quality": bigram_lm_quality,
     "flesch_readability": flesch_readability,
+    "bm25_topk_docs": bm25_topk_docs,
 }
 
 ORACLE = {
@@ -1179,4 +1312,5 @@ ORACLE = {
     "jaccard_prefix_filter_pairs": _JACCARD_SQL,
     "bigram_lm_quality": _BIGRAM_LM_SQL,
     "flesch_readability": _FLESCH_SQL,
+    "bm25_topk_docs": _bm25_sql(),
 }

@@ -292,12 +292,140 @@ FROM picked WHERE rn = 1
 """
 
 
+# --- acf_lag_autocorr: lag-k autocorrelation per metric series --------------
+# The ACF profile drift/seasonality monitoring runs on every telemetry
+# series: Pearson correlation of (x_i, x_{i-k}) pairs for k = 1..3 over
+# each (event_type, day) series ordered by (ts, event_id). Values are
+# cents-exact, so moments accumulate as exact DECIMAL(38,0) sums of
+# integer-scaled pairs (the measure_corr_matrix discipline), convert
+# once to double, and both engines evaluate the IDENTICAL closed form —
+# no rounding fudge. Degenerate series (fewer than 2 lag pairs or zero
+# variance on either margin) yield NULL via the same CASE text.
+#
+# Scale (100 TB): the window partition key is (event_type, day) — the
+# series is re-keyed per day precisely so partitions stay bounded as
+# history grows (the all-time per-type window would be a single-task
+# trap). One shuffle for the lag window; the moment aggregation rides
+# the same partitioning map-side. A single hot day x type still bounds
+# at one day's volume; the documented extension for that case is the
+# boundary-exchange sharded lag (operators/prefix.py's device applied
+# to LAG).
+
+_ACF_LAGS = (1, 2, 3)
+
+_ACF_NUM = "n * sxy - sx * sy"
+_ACF_DEN_X = "n * sxx - sx * sx"
+_ACF_DEN_Y = "n * syy - sy * sy"
+_ACF_EXPR = (
+    f"CASE WHEN n < CAST(2 AS DOUBLE) OR ({_ACF_DEN_X}) <= CAST(0 AS DOUBLE)"
+    f" OR ({_ACF_DEN_Y}) <= CAST(0 AS DOUBLE) THEN NULL"
+    f" ELSE ({_ACF_NUM}) / (sqrt({_ACF_DEN_X}) * sqrt({_ACF_DEN_Y})) END"
+)
+
+
+def acf_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    base = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("x"),
+    )
+    lagged = base.select(
+        "event_type",
+        "day",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
+    )
+    pairs = lagged.select(
+        "event_type",
+        "day",
+        "x",
+        F.expr(
+            "stack(%d, %s) AS (lag, y)"
+            % (len(_ACF_LAGS), ", ".join(f"{k}, y{k}" for k in _ACF_LAGS))
+        ),
+    ).filter(F.col("y").isNotNull())
+
+    def dsum(expr: str, alias: str):
+        return (
+            F.sum(F.expr(expr).cast("decimal(38,0)")).cast("double").alias(alias)
+        )
+
+    moments = pairs.groupBy("event_type", "day", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x", "sx"),
+        dsum("y", "sy"),
+        dsum("x * x", "sxx"),
+        dsum("y * y", "syy"),
+        dsum("x * y", "sxy"),
+    )
+    return moments.select(
+        "event_type",
+        "day",
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(_ACF_EXPR).alias("acf"),
+    )
+
+
+def _acf_sql() -> str:
+    from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+    def dsum_sql(expr: str, alias: str) -> str:
+        return (
+            _dec_to_double_sql(f"SUM(CAST({expr} AS DECIMAL(38,0)))")
+            + f" AS {alias}"
+        )
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT event_type, day, x, {k} AS lag, y{k} AS y"
+        f" FROM lagged WHERE y{k} IS NOT NULL"
+        for k in _ACF_LAGS
+    )
+    lag_cols = ",\n         ".join(
+        f"LAG(x, {k}) OVER w AS y{k}" for k in _ACF_LAGS
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS x
+  FROM events
+),
+lagged AS (
+  SELECT event_type, day, x,
+         {lag_cols}
+  FROM base
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id)
+),
+pairs AS (
+  {arms}
+),
+moments AS (
+  SELECT event_type, day, lag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum_sql('x', 'sx')},
+         {dsum_sql('y', 'sy')},
+         {dsum_sql('x * x', 'sxx')},
+         {dsum_sql('y * y', 'syy')},
+         {dsum_sql('x * y', 'sxy')}
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT event_type, day, lag, CAST(n AS BIGINT) AS n_pairs,
+       {_ACF_EXPR} AS acf
+FROM moments
+"""
+
+
 QUERIES = {
     "gap_fill_forward": gap_fill_forward,
     "asof_last_purchase": asof_last_purchase,
     "range_error_purchase_counts": range_error_purchase_counts,
     "seasonal_residual_outliers": seasonal_residual_outliers,
     "cusum_changepoint_per_user": cusum_changepoint_per_user,
+    "acf_lag_autocorr": acf_lag_autocorr,
 }
 
 ORACLE = {
@@ -306,4 +434,5 @@ ORACLE = {
     "range_error_purchase_counts": _RANGE_SQL,
     "seasonal_residual_outliers": _seasonal_sql(),
     "cusum_changepoint_per_user": _CUSUM_SQL,
+    "acf_lag_autocorr": _acf_sql(),
 }

@@ -440,3 +440,105 @@ def test_table_profile_summary_shape(spark, sf_dir):
         assert r.n_nulls == 0
         assert 0 < r.n_distinct <= r.n_rows
         assert r.min_value <= r.max_value or r.column == "o_totalprice"
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+
+def test_acf_alternating_series(spark, tmp_path):
+    """Perfectly alternating series: lag-1 ACF is exactly -1 (every
+    pair is (a,b) or (b,a), balanced), lag-2 exactly +1."""
+    import datetime as dt
+
+    from big_data_pipeline_spark.workloads.timeseries import acf_lag_autocorr
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "m", 5.0 if i % 2 == 0 else 1.0, "{}")
+        for i in range(11)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.lag: r for r in acf_lag_autocorr(spark, str(tmp_path)).collect()}
+    assert out[1].n_pairs == 10 and abs(out[1].acf + 1.0) < 1e-9
+    assert out[2].n_pairs == 9 and abs(out[2].acf - 1.0) < 1e-9
+
+
+def test_acf_constant_series_null(spark, tmp_path):
+    import datetime as dt
+
+    from big_data_pipeline_spark.workloads.timeseries import acf_lag_autocorr
+
+    base = dt.datetime(2024, 3, 1)
+    _write_events(
+        spark, tmp_path,
+        [(i, base + dt.timedelta(minutes=i), 1, "m", 2.0, "{}") for i in range(6)],
+    )
+    for r in acf_lag_autocorr(spark, str(tmp_path)).collect():
+        assert r.acf is None  # zero variance -> NULL, never a div-by-0
+
+
+def test_session_concurrency_inclusive_boundary(spark, tmp_path):
+    """u2's session starts at the exact instant u1's ends: the +1
+    sorts before the -1 (pri), so the shared instant counts both —
+    inclusive-interval convention."""
+    import datetime as dt
+
+    from big_data_pipeline_spark.workloads.events import (
+        session_concurrency_peak,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    t1 = t0 + dt.timedelta(minutes=20)
+    later = dt.datetime(2024, 3, 1, 14, 30)
+    rows = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t1, 1, "a", 1.0, "{}"),   # u1 session [t0, t1]
+        (3, t1, 2, "a", 1.0, "{}"),   # u2 session [t1, t1]
+        (4, later, 3, "a", 1.0, "{}"),  # lone session in another hour
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.hour: r.peak_concurrency
+        for r in session_concurrency_peak(spark, str(tmp_path)).collect()
+    }
+    assert out[dt.datetime(2024, 3, 1, 10, 0)] == 2
+    assert out[dt.datetime(2024, 3, 1, 14, 0)] == 1
+    assert len(out) == 2
+
+
+def test_bm25_rare_term_outranks_common(spark, tmp_path):
+    """Same tf/dl: the doc matching the rare query term must outrank
+    docs matching the common one (idf discrimination); docs matching
+    no query term never appear."""
+    from big_data_pipeline_spark.workloads.text import bm25_topk_docs
+
+    docs = [(0, "dup x x x")] + [
+        (i, "scan x x x") for i in range(1, 5)
+    ] + [(5, "x x x x")]
+    spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = bm25_topk_docs(spark, str(tmp_path)).collect()
+    ids = [r.doc_id for r in out]
+    assert 5 not in ids and len(out) == 5
+    assert ids[0] == 0  # rare 'dup' wins
+    assert out[0].tf_dup == 1 and out[0].tf_scan == 0
+    assert out[0].bm25 > out[1].bm25 > 0
+
+
+def test_key_skew_profile_invariants(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.skew import key_skew_profile
+
+    rows = key_skew_profile(spark, sf_dir).collect()
+    assert len(rows) == 10
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0 < r.share <= 1
+        assert abs(r.ratio_to_avg - r.share * r.n_keys) < 1e-12

@@ -449,3 +449,39 @@ def test_table_profile_single_scan_expand(spark, sf_dir):
     assert plan.count("Scan parquet") == 2  # tree + details => 1 scan
     assert "Expand" in plan
     assert "Union" not in plan
+
+
+def test_bm25_topk_no_global_sort(spark, sf_dir):
+    """Top-20 must be TakeOrderedAndProject; the scalar stats (1-row
+    n_docs/avgdl and the 1-row df pivot) broadcast — never a cartesian
+    of data-sized sides."""
+    plan = _plan(spark, sf_dir, "bm25_topk_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_single_exchange_no_join(spark, sf_dir):
+    """Lag window + moment agg ride ONE hash(event_type, day) exchange;
+    the moments reshape is join-free."""
+    plan = _plan(spark, sf_dir, "acf_lag_autocorr")
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_concurrency_sweep_no_global_data_window(spark, sf_dir):
+    """The global running sum must go through the sharded prefix sum:
+    the only SinglePartition exchange feeds the tiny offsets table (a
+    groupBy output, shards rows), never the sweep rows themselves."""
+    plan = _plan(spark, sf_dir, "session_concurrency_peak")
+    # offsets window is the single global window; it sits above a
+    # HashAggregate (per-shard totals), so the full-data window (which
+    # would sit directly on the union) never appears
+    assert "percent_rank" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets join back is broadcast
+
+
+def test_key_skew_profile_topk_broadcast_totals(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
