@@ -108,8 +108,8 @@ _MODULES = (
 # bigram_lm_quality, measure_corr_matrix, benford_deviation_audit,
 # part_affinity_lift, cusum_changepoint_per_user, flesch_readability,
 # table_profile_summary, kcore_trade_graph, acf_lag_autocorr,
-# session_concurrency_peak, bm25_topk_docs, key_skew_profile — 28
-# total for round 5.
+# session_concurrency_peak, bm25_topk_docs, key_skew_profile,
+# mad_robust_outliers, ks_drift_stat — 30 total for round 5.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)

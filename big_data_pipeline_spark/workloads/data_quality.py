@@ -578,6 +578,174 @@ FROM orders"""
     return arms
 
 
+# --- mad_robust_outliers: median/MAD outlier gate ---------------------------
+# The robust twin of zscore_outlier_orders: the z-score gate breaks
+# when outliers inflate the mean/stddev themselves, so production DQ
+# uses median + MAD (median absolute deviation). Flag = |x - med| >
+# 3 * MAD, per priority class. Exact medians: both engines define
+# median as the lower/upper-middle average; inputs are cents-exact
+# doubles, and (a+b)/2 of exact cents is the identical IEEE value, so
+# the medians — and every derived comparison — hash-match without any
+# rounding. Output is per-class counts + the two robust statistics.
+#
+# Scale (100 TB): exact per-group medians need a per-group sort — two
+# ordered passes (median, then MAD of deviations), each shuffling on
+# the 5-value priority key. That key is low-cardinality, so at real
+# scale the documented swap is approx_percentile(0.5) (one
+# map-combinable sketch, no sort); the exact form is kept here because
+# it is the oracle-checkable semantics, and the group count (not row
+# count) bounds the final join — both sides of each enrich join are
+# 5-row broadcasts.
+
+_MAD_K = 3
+
+
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").alias("x")
+    )
+    med = orders.groupBy("o_orderpriority").agg(F.median("x").alias("med"))
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "o_orderpriority").withColumn(
+        "is_out", (F.col("adev") > _MAD_K * F.col("mad")).cast("long")
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum("is_out").alias("n_outliers"),
+        )
+        .select("o_orderpriority", "n_rows", "med", "mad", "n_outliers")
+    )
+
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT o_orderpriority, MEDIAN(o_totalprice) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderpriority, ABS(o.o_totalprice - m.med) AS adev, m.med
+  FROM orders o JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, MEDIAN(adev) AS mad
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       COUNT(*) AS n_rows,
+       ANY_VALUE(d.med) AS med,
+       ANY_VALUE(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+"""
+
+
+# --- ks_drift_stat: exact two-sample Kolmogorov-Smirnov ---------------------
+# The distribution-drift detector: exact two-sample KS statistic
+# D = max_x |F_click(x) - F_purchase(x)| between the value
+# distributions of two event families, evaluated at every observed
+# value (the exact sup for step CDFs). All inputs to the sup are
+# rationals of integer counts (cum_i / n_i), so every candidate |ΔCDF|
+# is the identical IEEE double in both engines; the argmax value
+# reported alongside tie-breaks to the smallest x attaining D.
+#
+# Scale (100 TB): per-value counts are one map-side-combinable groupBy;
+# the cumulative counts need a GLOBAL value order — the single-task
+# window trap again — so both running sums ride the 32-way sharded
+# prefix sum over the (distinct-value)-sized frame. The final sup is a
+# 1-row aggregate joined back for the argmax.
+
+_KS_A, _KS_B = "click", "purchase"
+
+
+def ks_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        # NULL measurements carry no CDF position, and the engines
+        # disagree on NULL placement in ORDER BY (Spark FIRST, DuckDB
+        # LAST) — drop them explicitly in both formulations
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    per_val = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == _KS_A).cast("long")).alias("c_a"),
+        F.sum((F.col("event_type") == _KS_B).cast("long")).alias("c_b"),
+    )
+    run = sharded_running_sum(
+        per_val, [], "value", "c_a", "cum_a", tiebreak_cols=[]
+    )
+    run = sharded_running_sum(
+        run, [], "value", "c_b", "cum_b", tiebreak_cols=[]
+    )
+    totals = per_val.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    diffs = run.crossJoin(F.broadcast(totals)).withColumn(
+        "d",
+        F.abs(
+            F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b")
+        ),
+    )
+    sup = diffs.agg(F.max("d").alias("ks_stat"))
+    return (
+        diffs.crossJoin(F.broadcast(sup))
+        .filter(F.col("d") == F.col("ks_stat"))
+        .groupBy("n_a", "n_b", "ks_stat")
+        .agg(F.min("value").alias("at_value"))
+        .select("n_a", "n_b", "ks_stat", "at_value")
+    )
+
+
+_KS_SQL = f"""
+WITH per_val AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_b
+  FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+  GROUP BY value
+),
+run AS (
+  SELECT value,
+         CAST(SUM(c_a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_a,
+         CAST(SUM(c_b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_b
+  FROM per_val
+),
+totals AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b
+  FROM per_val
+),
+diffs AS (
+  SELECT value, ABS(CAST(cum_a AS DOUBLE) / n_a
+                    - CAST(cum_b AS DOUBLE) / n_b) AS d, n_a, n_b
+  FROM run, totals
+),
+sup AS (SELECT MAX(d) AS ks_stat FROM diffs)
+SELECT n_a, n_b, ks_stat, MIN(value) AS at_value
+FROM diffs, sup WHERE d = ks_stat
+GROUP BY n_a, n_b, ks_stat
+"""
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
     "zscore_outlier_orders": zscore_outlier_orders,
@@ -586,6 +754,8 @@ QUERIES = {
     "measure_corr_matrix": measure_corr_matrix,
     "benford_deviation_audit": benford_deviation_audit,
     "table_profile_summary": table_profile_summary,
+    "mad_robust_outliers": mad_robust_outliers,
+    "ks_drift_stat": ks_drift_stat,
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
@@ -595,4 +765,6 @@ ORACLE = {
     "measure_corr_matrix": _corr_matrix_sql(),
     "benford_deviation_audit": _benford_sql(),
     "table_profile_summary": _profile_sql(),
+    "mad_robust_outliers": _MAD_SQL,
+    "ks_drift_stat": _KS_SQL,
 }

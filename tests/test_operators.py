@@ -542,3 +542,65 @@ def test_key_skew_profile_invariants(spark, sf_dir):
     for r in rows:
         assert 0 < r.share <= 1
         assert abs(r.ratio_to_avg - r.share * r.n_keys) < 1e-12
+
+
+def test_mad_robust_outliers_hand_values(spark, tmp_path):
+    """8 values with one gross outlier: med = (4+5)/2, MAD = (1.5+2.5)/2,
+    and only the outlier exceeds 3*MAD — the robust gate is NOT inflated
+    by the outlier (the failure mode of the z-score gate)."""
+    import datetime as dt
+
+    from big_data_pipeline_spark.workloads.data_quality import (
+        mad_robust_outliers,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    rows = [
+        (i, 1, "O", v, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    [r] = mad_robust_outliers(spark, str(tmp_path)).collect()
+    assert r.n_rows == 8
+    assert r.med == 4.5
+    assert r.mad == 2.0
+    assert r.n_outliers == 1
+
+
+def test_ks_drift_identical_and_disjoint(spark, tmp_path):
+    import datetime as dt
+
+    from big_data_pipeline_spark.workloads.data_quality import ks_drift_stat
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write(rows, path):
+        _write_events(spark, path, rows)
+
+    # identical distributions -> D = 0 at the smallest value
+    p1 = tmp_path / "same"
+    p1.mkdir()
+    rows = []
+    for i, v in enumerate([1.0, 2.0]):
+        rows.append((2 * i, base, 1, "click", v, "{}"))
+        rows.append((2 * i + 1, base, 1, "purchase", v, "{}"))
+    write(rows, p1)
+    [r] = ks_drift_stat(spark, str(p1)).collect()
+    assert (r.n_a, r.n_b, r.ks_stat, r.at_value) == (2, 2, 0.0, 1.0)
+
+    # disjoint supports -> D = 1 at the largest click value
+    p2 = tmp_path / "disj"
+    p2.mkdir()
+    rows = [
+        (0, base, 1, "click", 1.0, "{}"),
+        (1, base, 1, "click", 2.0, "{}"),
+        (2, base, 1, "purchase", 10.0, "{}"),
+        (3, base, 1, "purchase", 20.0, "{}"),
+    ]
+    write(rows, p2)
+    [r] = ks_drift_stat(spark, str(p2)).collect()
+    assert (r.ks_stat, r.at_value) == (1.0, 2.0)

@@ -485,3 +485,21 @@ def test_key_skew_profile_topk_broadcast_totals(spark, sf_dir):
     plan = _plan(spark, sf_dir, "key_skew_profile")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mad_group_stats_broadcast(spark, sf_dir):
+    """Both enrich joins (median, MAD) are 5-row broadcasts; the data
+    never shuffles for the joins themselves."""
+    plan = _plan(spark, sf_dir, "mad_robust_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_sharded_no_global_data_window(spark, sf_dir):
+    """Cumulative CDFs ride the sharded prefix sum over the
+    distinct-value frame; the scalar totals/sup broadcast."""
+    plan = _plan(spark, sf_dir, "ks_drift_stat")
+    assert "percent_rank" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
