@@ -578,6 +578,125 @@ FROM orders"""
     return arms
 
 
+# --- spearman_rank_corr: rank correlation, exact under ties -----------------
+# Spearman's rho = Pearson correlation of the AVERAGE ranks — the
+# robust monotone-association twin of measure_corr_matrix, immune to
+# the outliers/nonlinearity that distort Pearson on raw values. The
+# tie-handling is the exactness trick: avg rank = cnt_less +
+# (cnt_eq + 1)/2, so DOUBLED ranks 2*cum - cnt_eq + 1 (cum = inclusive
+# running count) are INTEGERS, Pearson is scale-invariant, and the
+# whole statistic reduces to the integer-moment closed form — exact
+# DECIMAL(38,0) sums, one shared IEEE expression, no rounding fudge.
+#
+# Scale (100 TB): per-(flag, value) counts are map-side combinable;
+# the rank prefix needs a per-flag value order — flag is 3-valued, the
+# textbook low-cardinality window trap — so the cumulative count rides
+# the 32-way sharded prefix sum. Ranks join back on (flag, value)
+# (row-scale shuffle joins, the inherent cost of rank transforms), and
+# the moments collapse onto 3 keys.
+
+_RHO = (
+    "(n * srr - sq * sp) / "
+    "(sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))"
+)
+
+
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("p"),
+    )
+
+    def ranks2(col: str) -> DataFrame:
+        cnts = li.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        run = sharded_running_sum(
+            cnts, ["l_returnflag"], col, "cnt", "cum", tiebreak_cols=[]
+        )
+        return run.select(
+            "l_returnflag",
+            col,
+            (2 * F.col("cum") - F.col("cnt") + 1).alias(f"r_{col}"),
+        )
+
+    ranked = li.join(ranks2("q"), ["l_returnflag", "q"]).join(
+        ranks2("p"), ["l_returnflag", "p"]
+    )
+
+    def dsum(expr: str, alias: str):
+        return (
+            F.sum(F.expr(expr).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(alias)
+        )
+
+    moments = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("r_q", "sq"),
+        dsum("r_p", "sp"),
+        dsum("r_q * r_q", "sqq"),
+        dsum("r_p * r_p", "spp"),
+        dsum("r_q * r_p", "srr"),
+    )
+    return moments.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_RHO).alias("spearman_rho"),
+    )
+
+
+def _spearman_sql() -> str:
+    from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+    def dsum_sql(expr: str, alias: str) -> str:
+        return (
+            _dec_to_double_sql(f"SUM(CAST({expr} AS DECIMAL(38,0)))")
+            + f" AS {alias}"
+        )
+
+    def rank_cte(col: str) -> str:
+        return f"""
+r_{col} AS (
+  SELECT l_returnflag, {col},
+         2 * CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY {col}
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - cnt + 1 AS r_{col}
+  FROM (SELECT l_returnflag, {col}, COUNT(*) AS cnt
+        FROM scaled GROUP BY 1, 2)
+)"""
+
+    return f"""
+WITH scaled AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+),
+{rank_cte('q')},
+{rank_cte('p')},
+moments AS (
+  SELECT s.l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum_sql('r_q', 'sq')},
+         {dsum_sql('r_p', 'sp')},
+         {dsum_sql('r_q * r_q', 'sqq')},
+         {dsum_sql('r_p * r_p', 'spp')},
+         {dsum_sql('r_q * r_p', 'srr')}
+  FROM scaled s
+  JOIN r_q USING (l_returnflag, q)
+  JOIN r_p USING (l_returnflag, p)
+  GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, {_RHO} AS spearman_rho
+FROM moments
+"""
+
+
 # --- mad_robust_outliers: median/MAD outlier gate ---------------------------
 # The robust twin of zscore_outlier_orders: the z-score gate breaks
 # when outliers inflate the mean/stddev themselves, so production DQ
@@ -756,6 +875,7 @@ QUERIES = {
     "table_profile_summary": table_profile_summary,
     "mad_robust_outliers": mad_robust_outliers,
     "ks_drift_stat": ks_drift_stat,
+    "spearman_rank_corr": spearman_rank_corr,
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
@@ -767,4 +887,5 @@ ORACLE = {
     "table_profile_summary": _profile_sql(),
     "mad_robust_outliers": _MAD_SQL,
     "ks_drift_stat": _KS_SQL,
+    "spearman_rank_corr": _spearman_sql(),
 }

@@ -604,3 +604,29 @@ def test_ks_drift_identical_and_disjoint(spark, tmp_path):
     write(rows, p2)
     [r] = ks_drift_stat(spark, str(p2)).collect()
     assert (r.ks_stat, r.at_value) == (1.0, 2.0)
+
+
+def test_spearman_monotone_and_ties(spark, tmp_path):
+    """Perfect monotone -> rho = 1; the tied case matches the
+    hand-computed average-rank Pearson (0.94868...)."""
+    import math
+
+    from big_data_pipeline_spark.workloads.data_quality import (
+        spearman_rank_corr,
+    )
+
+    rows = [
+        # flag A: strictly increasing together -> rho exactly 1
+        ("A", 1.0, 10.0), ("A", 2.0, 25.0), ("A", 3.0, 31.0),
+        # flag B: q has a tie; rho = 4.5 / sqrt(4.5 * 5)
+        ("B", 1.0, 10.0), ("B", 2.0, 20.0), ("B", 2.0, 30.0),
+        ("B", 3.0, 40.0),
+    ]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.l_returnflag: r for r in spearman_rank_corr(spark, str(tmp_path)).collect()}
+    assert abs(out["A"].spearman_rho - 1.0) < 1e-12
+    want = 4.5 / math.sqrt(4.5 * 5.0)
+    assert abs(out["B"].spearman_rho - want) < 1e-12
+    assert out["B"].n_rows == 4
