@@ -1019,6 +1019,60 @@ WHERE neg_id <> anchor_id
 """
 
 
+# --- ann_recall_report: ANN quality evaluation as a query -------------------
+# The eval harness every ANN deployment runs in production: join the
+# approximate (LSH) top-k against the exact top-k and report recall@k
+# per query plus the macro average. Deterministic given the seeded
+# hyperplanes, but not SQL-expressible (the LSH stage isn't), so the
+# driver records a rows-only check; the recall floor itself is pinned
+# in tests/test_recall.py. Output: one summary row (bucket='OVERALL')
+# plus a histogram of per-query recall values — tiny, stable schema.
+#
+# Scale (100 TB): both top-k inputs are |Q| x k rows (query-set scale,
+# not corpus scale); the comparison is a left-semi join + two
+# aggregations over that small frame. The expensive parts are the two
+# top-k operators themselves, each already scale-shaped (broadcast
+# query side / bucketed LSH join).
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = knn_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            "n_true",
+        )
+    )
+    hist = per_q.groupBy(
+        F.format_string(
+            "recall=%.1f", F.round(F.col("n_hit") / F.col("n_true"), 1)
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_hit").alias("n_hit"),
+        F.sum("n_true").alias("n_true"),
+    )
+    overall = per_q.agg(
+        F.lit("OVERALL").alias("bucket"),
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_hit").alias("n_hit"),
+        F.sum("n_true").alias("n_true"),
+    )
+    return hist.unionByName(overall).withColumn(
+        "recall_at_k", F.col("n_hit") / F.col("n_true")
+    )
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "semdedup_prune": semdedup_prune,
@@ -1033,6 +1087,7 @@ QUERIES = {
     "knn_ivf_topk": knn_ivf_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "knn_lsh_topk": knn_lsh_topk,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLE = {

@@ -158,3 +158,21 @@ def test_quantize_int8_empty_input_and_range(spark, sf_dir, tmp_path):
     out2 = embedding_quantize_int8(spark, str(empty_dir))
     assert out2.count() == 0
     assert [f.name for f in out2.schema.fields] == ["vec_id", "q_vec"]
+
+
+def test_ann_recall_report_consistent(spark, sf_dir):
+    """OVERALL row aggregates the histogram exactly, recall is within
+    (0, 1], and the report reproduces the direct LSH-vs-exact recall."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    rows = qs["ann_recall_report"](spark, sf_dir).collect()
+    overall = [r for r in rows if r.bucket == "OVERALL"]
+    assert len(overall) == 1
+    o = overall[0]
+    hist = [r for r in rows if r.bucket != "OVERALL"]
+    assert sum(r.n_queries for r in hist) == o.n_queries
+    assert sum(r.n_hit for r in hist) == o.n_hit
+    assert sum(r.n_true for r in hist) == o.n_true
+    assert 0.0 < o.recall_at_k <= 1.0
+    assert o.recall_at_k == o.n_hit / o.n_true
