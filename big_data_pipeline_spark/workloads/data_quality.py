@@ -277,9 +277,14 @@ LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.fk = p.pk
 # the cheapest possible shape for a full-table statistic — no window,
 # no second scan, no Python.
 
+# degenerate guard as in _RHO below: a zero-variance column yields NULL
+# instead of an ANSI DIVIDE_BY_ZERO (cannot happen on the TPC-H-ish
+# measures, but the operator must not crash on a constant column)
 _CORR = (
-    "(n * sxy - sx * sy) / "
-    "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+    "CASE WHEN (n * sxx - sx * sx) <= CAST(0 AS DOUBLE)"
+    " OR (n * syy - sy * sy) <= CAST(0 AS DOUBLE) THEN NULL"
+    " ELSE (n * sxy - sx * sy) / "
+    "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"
 )
 
 
@@ -595,9 +600,14 @@ FROM orders"""
 # (row-scale shuffle joins, the inherent cost of rank transforms), and
 # the moments collapse onto 3 keys.
 
+# degenerate guard (all-tied column -> zero rank variance): NULL, not a
+# DIVIDE_BY_ZERO under ANSI — found by the hypothesis monotone-
+# invariance property, same CASE text in both engines
 _RHO = (
-    "(n * srr - sq * sp) / "
-    "(sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp))"
+    "CASE WHEN (n * sqq - sq * sq) <= CAST(0 AS DOUBLE)"
+    " OR (n * spp - sp * sp) <= CAST(0 AS DOUBLE) THEN NULL"
+    " ELSE (n * srr - sq * sp) / "
+    "(sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) END"
 )
 
 

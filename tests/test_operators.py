@@ -630,3 +630,36 @@ def test_spearman_monotone_and_ties(spark, tmp_path):
     want = 4.5 / math.sqrt(4.5 * 5.0)
     assert abs(out["B"].spearman_rho - want) < 1e-12
     assert out["B"].n_rows == 4
+
+
+def test_bm25_no_matching_docs_empty(spark, tmp_path):
+    from big_data_pipeline_spark.workloads.text import bm25_topk_docs
+
+    spark.createDataFrame(
+        [(0, "nothing here"), (1, "still nothing")],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    assert bm25_topk_docs(spark, str(tmp_path)).count() == 0
+
+
+def test_corr_matrix_constant_column_null(spark, tmp_path):
+    """A constant measure must yield NULL correlations, not an ANSI
+    DIVIDE_BY_ZERO (the guard hypothesis forced into spearman, applied
+    to the Pearson matrix too)."""
+    from big_data_pipeline_spark.workloads.data_quality import (
+        measure_corr_matrix,
+    )
+
+    rows = [("A", 5.0, p, 0.05) for p in (10.0, 20.0, 30.0)]
+    spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_quantity double, l_extendedprice double,"
+        " l_discount double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.pair: r.corr for r in measure_corr_matrix(spark, str(tmp_path)).collect()}
+    assert out["quantity~extendedprice"] is None  # quantity constant
+    assert out["quantity~discount"] is None       # both constant
+    assert out["extendedprice~discount"] is None  # discount constant

@@ -170,3 +170,38 @@ def test_wav_encode_decode_roundtrip_property(data):
     ch, rate, bits, s = decode_wav(hdr + data)
     assert (ch, rate, bits) == (1, 8000, 8)
     assert s.tobytes() == data
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    qs=st.lists(
+        st.floats(min_value=0.5, max_value=50.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=3, max_size=12,
+    ),
+)
+def test_spearman_monotone_transform_invariant(spark, tmp_path_factory, qs):
+    """rho(q, p) is invariant under any strictly increasing transform
+    of p — the defining property of a rank statistic. Here p = q (rho
+    would be 1) vs p = 3*q + 7: identical ranks, identical rho."""
+    import pandas as pd
+
+    from big_data_pipeline_spark.workloads.data_quality import (
+        spearman_rank_corr,
+    )
+
+    qs = [round(v, 2) for v in qs]
+    outs = []
+    for transform in (lambda v: v, lambda v: 3.0 * v + 7.0):
+        d = tmp_path_factory.mktemp("sp")
+        pd.DataFrame(
+            {
+                "l_returnflag": ["A"] * len(qs),
+                "l_quantity": qs,
+                "l_extendedprice": [transform(v) for v in qs],
+            }
+        ).to_parquet(str(d / "lineitem.parquet"))
+        [r] = spearman_rank_corr(spark, str(d)).collect()
+        outs.append(r.spearman_rho)
+    assert outs[0] == outs[1]  # bit-identical: ranks are equal integers
