@@ -1019,6 +1019,91 @@ WHERE neg_id <> anchor_id
 """
 
 
+# --- knn_label_vote: k-NN majority-vote classification eval -----------------
+# The label-quality probe run before training on weakly-labeled data:
+# predict each query vector's label by majority vote over its exact
+# top-5 cosine neighbors (ties → smallest label), compare against the
+# stored label, and report per-true-label accuracy. Builds on the
+# hash-exact knn_cosine_topk (identical association-order doubles), so
+# the vote — integer counts + deterministic tie-break — is fully
+# oracle-checkable end to end, unlike typical ANN evals.
+#
+# Scale (100 TB): the vote/accuracy stages all operate on the |Q|·k
+# top-k frame (query-set scale); labels join in via broadcast-sized
+# projections of the embeddings table keyed by vec_id.
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    topk = knn_cosine_topk(spark, sf_dir)
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("n_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "query_id",
+        )
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.col("n_correct") / F.col("n_queries")
+        )
+    )
+
+
+_KNN_VOTE_SQL = f"""
+WITH topk AS ({_KNN_SQL}),
+votes AS (
+  SELECT t.query_id, e.label AS n_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, n_label AS pred_label
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, n_label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT e.label AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS accuracy
+FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+GROUP BY 1
+"""
+
+
 # --- ann_recall_report: ANN quality evaluation as a query -------------------
 # The eval harness every ANN deployment runs in production: join the
 # approximate (LSH) top-k against the exact top-k and report recall@k
@@ -1088,6 +1173,7 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "knn_lsh_topk": knn_lsh_topk,
     "ann_recall_report": ann_recall_report,
+    "knn_label_vote": knn_label_vote,
 }
 
 ORACLE = {
@@ -1102,4 +1188,5 @@ ORACLE = {
     "kmeans_topic_terms": _topic_terms_sql(),
     "embedding_quantize_int8": _quantize_sql(),
     "embedding_norm_stats": _NORM_STATS_SQL,
+    "knn_label_vote": _KNN_VOTE_SQL,
 }
