@@ -33,8 +33,8 @@ def test_registry_consistency():
                 "pipeline",
                 "multimodal",
                 "stateful",
-                "pagerank",
                 "sample",
+                "recall",  # ann_recall_report consumes the LSH stage
                 "approx",
                 "binpack",  # greedy capacity reset: stateful, no window form
                 "heavy_hitter",  # MG estimates are traversal-order-specific
