@@ -110,7 +110,8 @@ _MODULES = (
 # table_profile_summary, kcore_trade_graph, acf_lag_autocorr,
 # session_concurrency_peak, bm25_topk_docs, key_skew_profile,
 # mad_robust_outliers, ks_drift_stat, spearman_rank_corr,
-# mannwhitney_shift_test, knn_label_vote — 33 total for round 5
+# mannwhitney_shift_test, knn_label_vote, funnel_window_timeout,
+# text_normalize_dedup, surrogate_global_seq — 36 total for round 5
 # (plus rows-only ann_recall_report).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +

@@ -865,6 +865,45 @@ GROUP BY threshold
 """
 
 
+# --- surrogate_global_seq: deterministic surrogate-key assignment -----------
+# The warehouse-load ETL primitive: assign a gapless global sequence
+# number to every event by (ts, event_id) order. The naive forms are
+# both wrong at scale — ROW_NUMBER() over an empty PARTITION BY runs
+# the whole table through ONE task, and monotonically_increasing_id()
+# is partition-dependent (non-deterministic across layouts, gapped).
+# The sharded prefix sum of 1s gives the exact window semantics with
+# 32-way parallelism and layout-independent output; the oracle is the
+# single-task window form — the driver hash-check proves the
+# distributed numbering IS the sequential numbering.
+
+
+def surrogate_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .withColumn("o", F.col("ts").cast("double"))
+    )
+    seq = sharded_running_sum(
+        ev,
+        part_cols=[],
+        order_col="o",
+        value_col=F.lit(1).cast("long"),
+        out_col="global_seq",
+        tiebreak_cols=["event_id"],
+    )
+    return seq.select("event_id", "ts", "global_seq")
+
+
+_SURROGATE_SQL = """
+SELECT event_id, ts,
+       CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT)
+         AS global_seq
+FROM events
+"""
+
+
 QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
     "nation_revenue_share": nation_revenue_share,
@@ -892,9 +931,11 @@ QUERIES = {
     "nations_per_region_list": nations_per_region_list,
     "time_range_window_stats": time_range_window_stats,
     "unpivot_price_components": unpivot_price_components,
+    "surrogate_global_seq": surrogate_global_seq,
 }
 
 ORACLE = {
+    "surrogate_global_seq": _SURROGATE_SQL,
     "nation_revenue_share": _nation_share_sql(),
     "customer_revenue_pareto": _PARETO_SQL,
     "anti_join_no_orders": _ANTI_SQL,

@@ -99,6 +99,89 @@ SELECT (SELECT COUNT(*) FROM step1) AS n_step1,
 """
 
 
+# --- funnel_window_timeout: conversion funnel with step deadlines -----------
+# The production funnel semantics: each step only counts if it lands
+# within _FUNNEL_TIMEOUT of the PREVIOUS step's time (a purchase a week
+# after the click is not "conversion"). Same one-scan / one-exchange
+# stacked-window shape as funnel_conversion — the deadline is one extra
+# predicate inside each step's conditional MIN, so the timeout variant
+# costs nothing extra at any scale. Timestamp arithmetic is exact
+# (integer microseconds), so the oracle twin is cell-exact.
+
+_FUNNEL_TIMEOUT_MIN = 60
+
+
+def funnel_window_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2, s3 = _FUNNEL_STEPS
+    lim = F.expr(f"INTERVAL {_FUNNEL_TIMEOUT_MIN} MINUTES")
+    w = Window.partitionBy("user_id")
+    per_event = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_FUNNEL_STEPS))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2)
+                    & (F.col("ts") >= F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + lim),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3)
+                    & (F.col("ts") >= F.col("t2"))
+                    & (F.col("ts") <= F.col("t2") + lim),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = per_event.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
+    )
+
+
+_FUNNEL_TIMEOUT_SQL = f"""
+WITH step1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+step2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN step1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= t1
+    AND e.ts <= t1 + INTERVAL {_FUNNEL_TIMEOUT_MIN} MINUTES
+  GROUP BY e.user_id
+),
+step3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN step2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= t2
+    AND e.ts <= t2 + INTERVAL {_FUNNEL_TIMEOUT_MIN} MINUTES
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM step1) AS n_step1,
+       (SELECT COUNT(*) FROM step2) AS n_step2,
+       (SELECT COUNT(*) FROM step3) AS n_step3
+"""
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     first_day = events.groupBy("user_id").agg(
@@ -434,6 +517,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "rfm_user_segments": rfm_user_segments,
     "funnel_conversion": funnel_conversion,
+    "funnel_window_timeout": funnel_window_timeout,
     "cohort_retention": cohort_retention,
     "sequence_pattern_counts": sequence_pattern_counts,
 }
@@ -443,6 +527,7 @@ ORACLE = {
     "event_transition_matrix": _TRANSITION_SQL,
     "rfm_user_segments": _RFM_SQL,
     "funnel_conversion": _FUNNEL_SQL,
+    "funnel_window_timeout": _FUNNEL_TIMEOUT_SQL,
     "cohort_retention": _COHORT_SQL,
     "sequence_pattern_counts": _SEQ_SQL,
 }

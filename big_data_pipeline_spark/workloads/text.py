@@ -1135,6 +1135,57 @@ FROM (SELECT *, {_FLESCH} AS flesch FROM counted)
 """
 
 
+# --- text_normalize_dedup: canonicalize-then-dedup --------------------------
+# The cleaning step ahead of exact dedup in every corpus pipeline:
+# exact_dedup on raw bytes misses trivially-different copies ("Hello,
+# World!" vs "hello world"), so documents are canonicalized first —
+# lowercase, strip non-alphanumerics, collapse whitespace — and grouped
+# by the md5 of the canonical form. Output: one row per canonical
+# group with its size, how many RAW variants it collapses (the signal
+# raw dedup would miss), and the deterministic keeper (min doc_id).
+# Pure string functions with identical semantics in both engines.
+#
+# Scale (100 TB): normalization is map-side; the only shuffle is the
+# hash-groupBy on the canonical fingerprint — exact_dedup's shape with
+# a cheaper payload (the md5, never the text, crosses the wire).
+
+
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(norm).alias("canon_md5"),
+            F.md5("text").alias("raw_md5"),
+        )
+        .groupBy("canon_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("raw_md5").alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+_NORM_DEDUP_SQL = """
+SELECT md5(trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         ' +', ' ', 'g'))) AS canon_md5,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
 # --- bm25_topk_docs: sparse lexical retrieval over the corpus ---------------
 # The BM25 ranking function (Robertson & Walker 1994) for a fixed query,
 # top-20 docs: per matched term, idf-weighted saturated term frequency
@@ -1288,6 +1339,7 @@ QUERIES = {
     "bigram_lm_quality": bigram_lm_quality,
     "flesch_readability": flesch_readability,
     "bm25_topk_docs": bm25_topk_docs,
+    "text_normalize_dedup": text_normalize_dedup,
 }
 
 ORACLE = {
@@ -1313,4 +1365,5 @@ ORACLE = {
     "bigram_lm_quality": _BIGRAM_LM_SQL,
     "flesch_readability": _FLESCH_SQL,
     "bm25_topk_docs": _bm25_sql(),
+    "text_normalize_dedup": _NORM_DEDUP_SQL,
 }

@@ -696,3 +696,65 @@ def test_mannwhitney_hand_case_and_symmetry(spark, tmp_path):
     r = run([1.0, 3.0], [3.0, 4.0], d2)
     assert r.u2_a == 1          # doubled U: one tie -> 2*0.5
     assert r.auc_a_over_b == 0.125
+
+
+def test_funnel_timeout_excludes_late_steps(spark, tmp_path):
+    """u1 converts inside the 60-min windows; u2's click comes 2h after
+    the view — counted by the plain funnel, rejected by the deadline."""
+    import datetime as dt
+
+    from big_data_pipeline_spark.workloads.behavior import (
+        funnel_conversion,
+        funnel_window_timeout,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(10), 1, "click", 1.0, "{}"),
+        (3, m(30), 1, "purchase", 1.0, "{}"),
+        (4, m(0), 2, "view", 1.0, "{}"),
+        (5, m(120), 2, "click", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    [plain] = funnel_conversion(spark, str(tmp_path)).collect()
+    [gated] = funnel_window_timeout(spark, str(tmp_path)).collect()
+    assert (plain.n_step1, plain.n_step2, plain.n_step3) == (2, 2, 1)
+    assert (gated.n_step1, gated.n_step2, gated.n_step3) == (2, 1, 1)
+
+
+def test_text_normalize_dedup_collapses_variants(spark, tmp_path):
+    from big_data_pipeline_spark.workloads.text import text_normalize_dedup
+
+    docs = [
+        (0, "Hello, World!"),
+        (1, "hello   world"),
+        (2, "hello world"),
+        (3, "different doc"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = text_normalize_dedup(spark, str(tmp_path)).collect()
+    by_keeper = {r.keeper_doc_id: r for r in rows}
+    assert len(rows) == 2
+    assert by_keeper[0].n_docs == 3          # all three hellos collapse
+    assert by_keeper[0].n_raw_variants == 3  # raw md5 sees 3 variants
+    assert by_keeper[3].n_docs == 1
+
+
+def test_surrogate_seq_gapless_and_ordered(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.advanced import (
+        surrogate_global_seq,
+    )
+
+    rows = surrogate_global_seq(spark, sf_dir).collect()
+    seqs = sorted(r.global_seq for r in rows)
+    assert seqs == list(range(1, len(rows) + 1))  # gapless, 1-based
+    ordered = sorted(rows, key=lambda r: (r.ts, r.event_id))
+    assert [r.global_seq for r in ordered] == seqs  # follows (ts, id)
