@@ -111,8 +111,8 @@ _MODULES = (
 # session_concurrency_peak, bm25_topk_docs, key_skew_profile,
 # mad_robust_outliers, ks_drift_stat, spearman_rank_corr,
 # mannwhitney_shift_test, knn_label_vote, funnel_window_timeout,
-# text_normalize_dedup, surrogate_global_seq — 36 total for round 5
-# (plus rows-only ann_recall_report).
+# text_normalize_dedup, surrogate_global_seq, equidepth_histogram —
+# 37 total for round 5 (plus rows-only ann_recall_report).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)

@@ -875,6 +875,73 @@ GROUP BY n_a, n_b, ks_stat
 """
 
 
+# --- equidepth_histogram: ANALYZE-style equi-depth statistics ---------------
+# The optimizer-statistics primitive (equi-depth histogram of
+# o_totalprice, 10 buckets): what ANALYZE builds for selectivity
+# estimation and what drift monitors diff week over week. Duplicates
+# are atomic — a value belongs to the bucket of its LAST row's global
+# rank, floor((cum-1)*B/n) — so the histogram is a pure function of the
+# value multiset (no arbitrary row split across buckets). Everything is
+# integer counts plus min/max of cents-exact doubles: hash-exact.
+#
+# Scale (100 TB): per-value counts combine map-side; the global rank is
+# the sharded prefix sum over the distinct-value frame (never a
+# single-task ORDER BY n rows — the trap in the naive
+# ntile-over-everything formulation); the bucket reduce is 10 keys.
+
+_HIST_BUCKETS = 10
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    per_val = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    run = sharded_running_sum(
+        per_val, [], "v", "cnt", "cum", tiebreak_cols=[]
+    )
+    n_rows = per_val.agg(F.sum("cnt").alias("n"))
+    bucket = F.floor(
+        (F.col("cum") - 1) * _HIST_BUCKETS / F.col("n")
+    ).cast("long")
+    return (
+        run.crossJoin(F.broadcast(n_rows))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("cnt").alias("n_in_bucket"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+_HIST_SQL = f"""
+WITH per_val AS (
+  SELECT o_totalprice AS v, COUNT(*) AS cnt FROM orders GROUP BY 1
+),
+run AS (
+  SELECT v, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM per_val
+),
+n_rows AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM per_val)
+SELECT CAST(FLOOR((cum - 1) * {_HIST_BUCKETS} / n) AS BIGINT) AS bucket,
+       COUNT(*) AS n_values,
+       CAST(SUM(cnt) AS BIGINT) AS n_in_bucket,
+       MIN(v) AS lo,
+       MAX(v) AS hi
+FROM run, n_rows
+GROUP BY 1
+"""
+
+
 # --- mannwhitney_shift_test: rank-sum location-shift detector ---------------
 # The Mann-Whitney U / Wilcoxon rank-sum statistic between the same two
 # event families as ks_drift_stat — the complementary drift probe (KS
@@ -976,6 +1043,7 @@ QUERIES = {
     "ks_drift_stat": ks_drift_stat,
     "spearman_rank_corr": spearman_rank_corr,
     "mannwhitney_shift_test": mannwhitney_shift_test,
+    "equidepth_histogram": equidepth_histogram,
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
@@ -989,4 +1057,5 @@ ORACLE = {
     "ks_drift_stat": _KS_SQL,
     "spearman_rank_corr": _spearman_sql(),
     "mannwhitney_shift_test": _MWU_SQL,
+    "equidepth_histogram": _HIST_SQL,
 }

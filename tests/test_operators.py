@@ -758,3 +758,25 @@ def test_surrogate_seq_gapless_and_ordered(spark, sf_dir):
     assert seqs == list(range(1, len(rows) + 1))  # gapless, 1-based
     ordered = sorted(rows, key=lambda r: (r.ts, r.event_id))
     assert [r.global_seq for r in ordered] == seqs  # follows (ts, id)
+
+
+def test_equidepth_histogram_invariants(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.data_quality import (
+        _HIST_BUCKETS,
+        equidepth_histogram,
+    )
+
+    rows = sorted(
+        equidepth_histogram(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == list(range(_HIST_BUCKETS))
+    total = sum(r.n_in_bucket for r in rows)
+    # depths are balanced up to duplicate-atomicity: each bucket holds
+    # ~n/B rows (+/- the largest duplicate run, tiny on this data)
+    lo, hi = total / _HIST_BUCKETS * 0.5, total / _HIST_BUCKETS * 1.5
+    for r in rows:
+        assert lo <= r.n_in_bucket <= hi
+        assert r.lo <= r.hi
+    # bucket ranges are disjoint and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo
