@@ -50,6 +50,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.functions.text import exploded_shingles, tokenize
+from big_data_pipeline_spark.functions.vectors import (
+    EMB_DIMS_DEFAULT,
+    dot_sql,
+    seq_cosine,
+    sq_norm_sql,
+)
 from big_data_pipeline_spark.io import read_table
 
 _TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
@@ -750,6 +756,124 @@ FROM documents
 GROUP BY 1, 2
 """
 
+# --- ldiversity_audit -------------------------------------------------------
+
+_L_THRESHOLD = 3
+
+
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007), the
+    companion check to ``pii_pseudonymize_kanon``: k-anonymity alone
+    still leaks when everyone in a quasi-identifier group shares one
+    sensitive value (homogeneity attack). Per QI group
+    (nation, balance bucket) report group size k, the number of
+    distinct sensitive values l (market segment as the stand-in
+    sensitive attribute), and whether the group meets l >= 3.
+
+    One map-side-combinable groupBy on the QI key — a single keyed
+    exchange of tiny per-group counters; COUNT(DISTINCT) expands to
+    Spark's two-phase partial-distinct aggregate, so no QI group ever
+    concentrates on one task beyond its own distinct value set.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = (
+        F.floor(F.col("c_acctbal") / F.lit(float(_BAL_BUCKET))) * _BAL_BUCKET
+    ).alias("bal_bucket")
+    return (
+        cust.select("c_nationkey", bucket, "c_mktsegment")
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("k_size"),
+            F.count_distinct("c_mktsegment").alias("l_distinct"),
+        )
+        .withColumn("diverse", F.col("l_distinct") >= _L_THRESHOLD)
+    )
+
+
+_LDIV_SQL = f"""
+SELECT c_nationkey,
+       CAST(FLOOR(c_acctbal / {_BAL_BUCKET}.0) AS BIGINT) * {_BAL_BUCKET} AS bal_bucket,
+       COUNT(*) AS k_size,
+       COUNT(DISTINCT c_mktsegment) AS l_distinct,
+       COUNT(DISTINCT c_mktsegment) >= {_L_THRESHOLD} AS diverse
+FROM customer
+GROUP BY 1, 2
+"""
+
+# --- split_leakage_audit ----------------------------------------------------
+
+_LEAK_THRESHOLD = 0.35
+_LEAK_EVAL_FRAC = 0.9  # u >= 0.9 -> held-out eval split
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination via embedding near-duplicates: after the
+    hash-threshold split (same Knuth key family as
+    ``train_split_assign``), report every (train, eval) vector pair
+    whose cosine similarity crosses the near-dup threshold — the
+    memorization-risk audit run before a held-out set is trusted.
+
+    The eval split is ~10% of the corpus by construction, and an eval
+    *benchmark* at 100 TB scale is smaller still — so the eval side is
+    broadcast and the train side streams once: no shuffle of the big
+    side, |train| x |eval| scored with the Arrow ``seq_cosine`` kernel
+    (squared norms precomputed per vector; bit-identical to the
+    oracle's unrolled chain). For an eval side too big to broadcast,
+    the LSH band join in similarity/knn.py is the candidate prefilter.
+    """
+    u = F.expr("((vec_id * 2654435761) % 2147483648) / 2147483648e0")
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .withColumn("u", u)
+        .withColumn(
+            "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
+        )
+    )
+    train = emb.filter(F.col("u") < _LEAK_EVAL_FRAC).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("t_vec"),
+        F.col("sqn").alias("t_sqn"),
+    )
+    ev = emb.filter(F.col("u") >= _LEAK_EVAL_FRAC).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_vec"),
+        F.col("sqn").alias("e_sqn"),
+    )
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .withColumn(
+            "cos_sim",
+            seq_cosine(
+                F.col("t_vec"), F.col("e_vec"), F.col("t_sqn"), F.col("e_sqn")
+            ),
+        )
+        .filter(F.col("cos_sim") >= _LEAK_THRESHOLD)
+        .select("train_id", "eval_id", "cos_sim")
+    )
+
+
+_LEAK_U = "((vec_id * 2654435761) % 2147483648) / 2147483648e0"
+
+_LEAK_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_LEAK_U} AS u,
+         {sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=1)} AS sqn
+  FROM embeddings
+),
+t AS (SELECT vec_id AS train_id, embedding AS t_vec, sqn AS t_sqn FROM s
+      WHERE u < {_LEAK_EVAL_FRAC}),
+v AS (SELECT vec_id AS eval_id, embedding AS e_vec, sqn AS e_sqn FROM s
+      WHERE u >= {_LEAK_EVAL_FRAC}),
+pairs AS (
+  SELECT train_id, eval_id,
+         ({dot_sql("t_vec", "e_vec", EMB_DIMS_DEFAULT, offset=1)})
+           / (sqrt(t_sqn) * sqrt(e_sqn)) AS cos_sim
+  FROM t, v
+)
+SELECT train_id, eval_id, cos_sim FROM pairs
+WHERE cos_sim >= {_LEAK_THRESHOLD}
+"""
+
 
 QUERIES = {
     "incremental_dedup_new_batch": incremental_dedup_new_batch,
@@ -764,6 +888,8 @@ QUERIES = {
     "train_split_assign": train_split_assign,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "lineitem_regression_stats": lineitem_regression_stats,
+    "ldiversity_audit": ldiversity_audit,
+    "split_leakage_audit": split_leakage_audit,
 }
 
 ORACLE = {
@@ -779,4 +905,6 @@ ORACLE = {
     "source_quota_sample": _QUOTA_SQL,
     "contamination_ngram_overlap": _CONTAM_SQL,
     "lineitem_regression_stats": _REGR_SQL,
+    "ldiversity_audit": _LDIV_SQL,
+    "split_leakage_audit": _LEAK_SQL,
 }
