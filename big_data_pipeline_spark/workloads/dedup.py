@@ -139,9 +139,98 @@ FROM reach GROUP BY id
 """
 
 
+# --- record_linkage_score: Fellegi-Sunter-style weighted scoring ------------
+
+_FS_LEV_MAX = 2  # name agreement gate
+_FS_MATCH_MIN = 4  # classify as match at/above this total weight
+
+
+def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, Fellegi-Sunter shape: block, then
+    score candidate pairs by weighted per-field agreement and keep
+    pairs above the match threshold. Catalog-dedup scenario on part:
+    two listings match when their names are near-identical AND a
+    corroborating field (size, price bucket) agrees.
+
+    Field weights are integer log-odds stand-ins (name +3, size +1,
+    price +1; threshold 4 = name plus at least one corroborator), so
+    the score is exact on both engines; ``levenshtein`` is the classic
+    DP edit distance with identical integer results in Spark and
+    DuckDB.
+
+    Scale: the self-join is an equi-join on the composite blocking key
+    (p_type, p_brand) — a keyed shuffle, never a cross join. Work per
+    block is quadratic in block size, so the blocking key must keep
+    blocks bounded (here |parts| / (types x brands)); for a skewed
+    catalog, refine the key (add size decile) or switch to the
+    deletion-neighborhood blocking above, which is linear per record.
+    """
+    from pyspark.sql import functions as F
+
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.floor(F.col("p_retailprice") / F.lit(100.0)).alias("price_bucket"),
+    )
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_p_type") == F.col("b_p_type"))
+        & (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    )
+    name_lev = F.levenshtein(F.col("a_p_name"), F.col("b_p_name"))
+    name_ok = (name_lev <= _FS_LEV_MAX).cast("int")
+    size_ok = (
+        F.abs(F.col("a_p_size") - F.col("b_p_size")) <= F.lit(1)
+    ).cast("int")
+    price_ok = (F.col("a_price_bucket") == F.col("b_price_bucket")).cast("int")
+    score = (F.lit(3) * name_ok + size_ok + price_ok).alias("score")
+    return (
+        pairs.select(
+            F.col("a_p_partkey").alias("id_a"),
+            F.col("b_p_partkey").alias("id_b"),
+            name_lev.alias("name_lev"),
+            size_ok.alias("size_agree"),
+            price_ok.alias("price_agree"),
+            score,
+        )
+        .filter(F.col("score") >= _FS_MATCH_MIN)
+    )
+
+
+_LINKAGE_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS price_bucket
+  FROM part
+),
+scored AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         levenshtein(a.p_name, b.p_name) AS name_lev,
+         CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END AS size_agree,
+         CASE WHEN a.price_bucket = b.price_bucket THEN 1 ELSE 0 END AS price_agree
+  FROM p a JOIN p b
+    ON a.p_type = b.p_type AND a.p_brand = b.p_brand
+   AND a.p_partkey < b.p_partkey
+)
+SELECT id_a, id_b, name_lev, size_agree, price_agree,
+       3 * (CASE WHEN name_lev <= {_FS_LEV_MAX} THEN 1 ELSE 0 END)
+         + size_agree + price_agree AS score
+FROM scored
+WHERE 3 * (CASE WHEN name_lev <= {_FS_LEV_MAX} THEN 1 ELSE 0 END)
+        + size_agree + price_agree >= {_FS_MATCH_MIN}
+"""
+
+
 QUERIES = {
     "entity_blocking_pairs": entity_blocking_pairs,
     "entity_clusters": entity_clusters,
+    "record_linkage_score": record_linkage_score,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_near_dups": simhash_near_dups,
 }
@@ -149,4 +238,5 @@ QUERIES = {
 ORACLE: dict[str, str] = {
     "entity_blocking_pairs": _ENTITY_SQL,
     "entity_clusters": _ENTITY_CLUSTERS_SQL,
+    "record_linkage_score": _LINKAGE_SQL,
 }
