@@ -1158,8 +1158,133 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- maxsim_multivector_topk: ColBERT-style late interaction ----------------
+#
+# Multi-vector retrieval (Khattab & Zaharia 2020): each item is a BAG of
+# token vectors, and relevance is "every query token finds its best
+# matching document token" — MaxSim(q, d) = sum_i max_j cos(q_i, d_j).
+# The 64-dim embedding column is reinterpreted as 8 token-vectors of 8
+# dims, so the same parquet corpus exercises the multi-vector plan.
+#
+# Determinism contract (same as knn_cosine_topk): every reduction has a
+# FIXED order on both engines — 8-term left-associated dots, exact max
+# over the 8 candidate tokens (max is order-free for doubles without
+# NaNs), left-associated sum over the 8 query tokens — so scores and
+# ranks hash-match with no rounding.
+
+_MV_TOKENS = 8  # token vectors per item
+_MV_SUB = EMB_DIMS_DEFAULT // _MV_TOKENS  # dims per token vector
+_MV_QUERIES = 20
+_MV_K = 5
+
+
+@pandas_udf(T.DoubleType())
+def _maxsim_kernel(q: pd.Series, d: pd.Series) -> pd.Series:
+    """Arrow-batched MaxSim with the fixed-order contract above: one
+    vectorized numpy op per (token-pair, dim) step — 8x8x8 fused-batch
+    steps, no per-row Python."""
+    x = np.vstack(q.to_numpy()).astype(np.float64).reshape(-1, _MV_TOKENS, _MV_SUB)
+    y = np.vstack(d.to_numpy()).astype(np.float64).reshape(-1, _MV_TOKENS, _MV_SUB)
+
+    def _sub_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        acc = a[:, 0] * b[:, 0]
+        for k in range(1, _MV_SUB):
+            acc = acc + a[:, k] * b[:, k]
+        return acc
+
+    xn = [np.sqrt(_sub_dot(x[:, i], x[:, i])) for i in range(_MV_TOKENS)]
+    yn = [np.sqrt(_sub_dot(y[:, j], y[:, j])) for j in range(_MV_TOKENS)]
+    score = None
+    for i in range(_MV_TOKENS):
+        best = None
+        for j in range(_MV_TOKENS):
+            cos = _sub_dot(x[:, i], y[:, j]) / (xn[i] * yn[j])
+            best = cos if best is None else np.maximum(best, cos)
+        score = best if score is None else score + best
+    return pd.Series(score)
+
+
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction top-k: MaxSim-score the query set against the
+    corpus, rank per query. Same physical shape as knn_cosine_topk —
+    tiny query side broadcast, corpus side repartitioned across cores,
+    per-query top-k via rank window (WindowGroupLimit pushes the k=5
+    cut below the sort). At cluster scale the corpus never shuffles;
+    for corpora where even one pass is too hot, the PQ/IVF route above
+    provides the candidate prefilter and MaxSim re-scores finalists.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MV_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_vec_id"), F.col("embedding").alias("d_vec")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("doc_vec_id"))
+        .withColumn("maxsim", _maxsim_kernel(F.col("q_vec"), F.col("d_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("doc_vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MV_K)
+        .select("query_id", "rank", "doc_vec_id", "maxsim")
+    )
+
+
+def _maxsim_sql() -> str:
+    """Oracle twin: the same 8x8 cosine grid spelled out as unrolled
+    1-based list-index expressions, greatest() per query token,
+    left-associated + chain across tokens."""
+
+    def sub_dot(a: str, b: str, i: int, j: int) -> str:
+        return " + ".join(
+            f"CAST({a}[{i * _MV_SUB + k + 1}] AS DOUBLE)"
+            f" * CAST({b}[{j * _MV_SUB + k + 1}] AS DOUBLE)"
+            for k in range(_MV_SUB)
+        )
+
+    def sub_norm(a: str, i: int) -> str:
+        return sub_dot(a, a, i, i)
+
+    best = [
+        "greatest("
+        + ", ".join(
+            f"({sub_dot('q_vec', 'd_vec', i, j)})"
+            f" / (sqrt({sub_norm('q_vec', i)}) * sqrt({sub_norm('d_vec', j)}))"
+            for j in range(_MV_TOKENS)
+        )
+        + ")"
+        for i in range(_MV_TOKENS)
+    ]
+    score = best[0]
+    for term in best[1:]:
+        score = f"({score} + {term})"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE vec_id < {_MV_QUERIES}
+),
+c AS (SELECT vec_id AS doc_vec_id, embedding AS d_vec FROM embeddings),
+scored AS (
+  SELECT query_id, doc_vec_id, {score} AS maxsim
+  FROM q, c WHERE query_id <> doc_vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY maxsim DESC, doc_vec_id ASC) AS "rank"
+  FROM scored
+)
+SELECT query_id, "rank", doc_vec_id, maxsim FROM ranked WHERE "rank" <= {_MV_K}
+"""
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
+    "maxsim_multivector_topk": maxsim_multivector_topk,
     "semdedup_prune": semdedup_prune,
     "knn_matryoshka_rerank": knn_matryoshka_rerank,
     "embedding_pq_codes": embedding_pq_codes,
@@ -1178,6 +1303,7 @@ QUERIES = {
 
 ORACLE = {
     "knn_cosine_topk": _KNN_SQL,
+    "maxsim_multivector_topk": _maxsim_sql(),
     "semdedup_prune": _semdedup_sql(),
     "knn_matryoshka_rerank": _MRL_SQL,
     "embedding_pq_codes": _pq_sql(),
