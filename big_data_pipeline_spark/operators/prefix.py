@@ -99,3 +99,72 @@ def sharded_running_sum(
         .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__shard", "__local", "__off")
     )
+
+
+def sharded_running_max(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    value_col: str | Column,
+    out_col: str,
+    shards: int = 32,
+    tiebreak_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Running MAX twin of ``sharded_running_sum`` — same two-phase
+    shard decomposition, with ``greatest`` as the combine. Unlike the
+    sum, max is exact for doubles in any order, so there is no
+    floating-point caveat at all.
+
+    ``inclusive=False`` gives the max over STRICT predecessors (the
+    ``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING`` frame) — ``out_col``
+    is NULL for the global first row, exactly like the window form.
+    That frame is what dominance tests (skyline) and "new high
+    watermark" detectors need, and it cannot be derived from the
+    inclusive result after the fact.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    bounds = (
+        df.approxQuantile(
+            order_col, [i / shards for i in range(1, shards)], 0.001
+        )
+        if shards > 1
+        else []
+    )
+    shard: Column = F.coalesce(
+        reduce(
+            lambda a, b: a + b,
+            [(F.col(order_col) > F.lit(q)).cast("int") for q in bounds],
+            F.lit(0),
+        ),
+        F.lit(0),
+    )
+    order = [order_col, *(tiebreak_cols or [])]
+    end = Window.currentRow if inclusive else -1
+    local_w = (
+        Window.partitionBy(*part_cols, "__shard")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = df.withColumn("__shard", shard).withColumn(
+        "__local", F.max(value).over(local_w)
+    )
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy(*part_cols, "__shard")
+        .agg(F.max(value).alias("__tot"))
+        .withColumn("__off", F.max("__tot").over(off_w))
+        .select(*part_cols, "__shard", "__off")
+    )
+    # greatest() ignores NULLs (first row of first shard / shard 0
+    # offset), matching the window's NULL-for-empty-frame result only
+    # when both sides are NULL.
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "__shard"])
+        .withColumn(out_col, F.greatest(F.col("__local"), F.col("__off")))
+        .drop("__shard", "__local", "__off")
+    )

@@ -904,8 +904,72 @@ FROM events
 """
 
 
+# --- skyline_price_size: Pareto-frontier (skyline) query --------------------
+
+
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Börzsönyi et al. 2001): the Pareto-optimal frontier of
+    parts under (minimize retail price, maximize size) — no other
+    point is at-most-equal price AND at-least-equal size with one
+    strict. Returns frontier points with the number of parts at each.
+
+    The naive formulation is a quadratic NOT EXISTS self-join (the
+    oracle runs exactly that). The distributed plan is the 2-D
+    sort-based skyline made scale-safe: dedupe to distinct
+    (price, size) points, order by (price asc, size desc); a point is
+    dominated iff the running max of size over STRICT predecessors
+    reaches its size. That running max is a single-task global window
+    in naive Spark — here it runs through
+    ``operators/prefix.sharded_running_max`` (range-sharded local
+    windows + a tiny per-shard prefix), so the frontier of billions of
+    points computes with full parallelism and one keyed shuffle.
+    """
+    from big_data_pipeline_spark.operators.prefix import sharded_running_max
+
+    pts = (
+        read_table(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("neg_size", -F.col("size"))
+    )
+    marked = sharded_running_max(
+        pts,
+        part_cols=[],
+        order_col="price",
+        value_col="size",
+        out_col="prev_max_size",
+        tiebreak_cols=["neg_size"],
+        inclusive=False,
+    )
+    return (
+        marked.filter(
+            F.col("prev_max_size").isNull()
+            | (F.col("prev_max_size") < F.col("size"))
+        )
+        .select("price", "size", "n_parts")
+    )
+
+
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS size, COUNT(*) AS n_parts
+  FROM part GROUP BY 1, 2
+)
+SELECT price, size, n_parts
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price <= a.price AND b.size >= a.size
+    AND (b.price < a.price OR b.size > a.size)
+)
+"""
+
+
 QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
+    "skyline_price_size": skyline_price_size,
     "nation_revenue_share": nation_revenue_share,
     "customer_revenue_pareto": customer_revenue_pareto,
     "intersect_all_item_quantities": intersect_all_item_quantities,
@@ -936,6 +1000,7 @@ QUERIES = {
 
 ORACLE = {
     "surrogate_global_seq": _SURROGATE_SQL,
+    "skyline_price_size": _SKYLINE_SQL,
     "nation_revenue_share": _nation_share_sql(),
     "customer_revenue_pareto": _PARETO_SQL,
     "anti_join_no_orders": _ANTI_SQL,

@@ -780,3 +780,66 @@ def test_equidepth_histogram_invariants(spark, sf_dir):
     # bucket ranges are disjoint and ordered
     for a, b in zip(rows, rows[1:]):
         assert a.hi < b.lo
+
+def test_sharded_running_max_equals_window(spark, sf_dir):
+    """Inclusive and strict-predecessor (exclusive) running max both
+    match the single-task window form for every shard count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import read_table
+    from big_data_pipeline_spark.operators.prefix import sharded_running_max
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("event_id") % 11).alias("v")
+    )
+    base = Window.partitionBy("user_id").orderBy("event_id")
+    for inclusive, end in ((True, Window.currentRow), (False, -1)):
+        w = base.rowsBetween(Window.unboundedPreceding, end)
+        want = sorted(
+            map(tuple, ev.withColumn("m", F.max("v").over(w))
+                .select("event_id", "m").collect())
+        )
+        for shards in (1, 4, 32):
+            got = sorted(
+                map(
+                    tuple,
+                    sharded_running_max(
+                        ev, ["user_id"], "event_id", "v", "m",
+                        shards=shards, inclusive=inclusive,
+                    ).select("event_id", "m").collect(),
+                )
+            )
+            assert got == want, (inclusive, shards)
+
+
+def test_sharded_running_max_global_exclusive(spark):
+    """The skyline frame: no partition key, strict predecessors, NULL
+    for the global first row — sharded result == window result."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.operators.prefix import sharded_running_max
+
+    rows = [(i, (i * 7919) % 101, f"r{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "o int, v int, tb string")
+    w = (
+        Window.partitionBy()
+        .orderBy("o", "tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = sorted(
+        map(tuple, df.withColumn("m", F.max("v").over(w))
+            .select("tb", "m").collect())
+    )
+    for shards in (1, 8, 16):
+        got = sorted(
+            map(
+                tuple,
+                sharded_running_max(
+                    df, [], "o", "v", "m",
+                    shards=shards, tiebreak_cols=["tb"], inclusive=False,
+                ).select("tb", "m").collect(),
+            )
+        )
+        assert got == want, shards
