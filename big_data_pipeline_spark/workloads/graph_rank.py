@@ -330,14 +330,147 @@ ORDER BY rank DESC, nation
 """
 
 
+# --- lpa_trade_communities: synchronous label propagation -------------------
+#
+# Community detection by label propagation (Raghavan et al. 2007),
+# SYNCHRONOUS variant with a total tie-break so the result is exactly
+# reproducible on any engine: at each step every node adopts the most
+# frequent label among its neighbors, ties broken by MIN label. All
+# state is integer (labels are nation keys, counts are degrees), so
+# there is no floating-point anywhere in the iteration — the oracle is
+# a recursive CTE computing the identical fixed 4 rounds.
+#
+# The per-round argmax is encoded as a pure MIN aggregate:
+# (64 - cnt) * 64 + label is strictly decreasing in cnt and increasing
+# in label, so MIN picks (max count, then min label); % 64 decodes the
+# label. That keeps the recursive arm window-free (two stacked GROUP
+# BYs), and on the Spark side makes each round ONE keyed aggregation —
+# map-side combinable, no row_number shuffle-and-filter.
+#
+# Scale: per-round cost is |edges| message rows into a groupBy on
+# (node, label) — the standard Pregel round as one shuffle. The
+# nation graph is key-bounded (≤ 25² edges after per-pair aggregation
+# regardless of input size); for web-scale graphs the same loop runs
+# with the label frame localCheckpoint'ed per round (lineage cut, as
+# in the star-CC operator) — exactly what this implementation does.
+
+_LPA_ITERS = 4
+_LPA_THRESHOLD = 2.2  # x mean edge revenue (sparser than triangle's 1.8)
+_LPA_ENC = 64  # > max(label) and > max(count): safe min-encoding radix
+
+
+def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supplier = read_table(spark, sf_dir, "supplier")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    edges = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(exact_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )
+    avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
+    und = (
+        edges.crossJoin(F.broadcast(avg_rev))
+        .filter(F.col("revenue") > _LPA_THRESHOLD * F.col("avg_rev"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+        )
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .unionAll(und.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+        .localCheckpoint(eager=True)  # consumed every round: cut the 4-join lineage
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    enc = F.lit(_LPA_ENC)
+    for _ in range(_LPA_ITERS):
+        labels = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(F.col("nid").alias("id"))
+            .agg(
+                (F.min((enc - F.col("cnt")) * enc + F.col("label")) % enc)
+                .cast("int")
+                .alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    names = nation.select(
+        F.col("n_nationkey").alias("id"), F.col("n_name").alias("nation")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .join(F.broadcast(names), "id")
+        .select("nation", F.col("label").alias("community"), "community_size")
+    )
+
+
+_LPA_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT supplier.s_nationkey AS src, customer.c_nationkey AS dst,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+a AS (
+  SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS avg_rev
+  FROM e
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+  FROM e, a
+  WHERE revenue > {_LPA_THRESHOLD} * avg_rev AND src <> dst
+),
+sym AS (SELECT * FROM (
+  SELECT x AS src, y AS dst FROM und UNION ALL SELECT y, x FROM und)),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+lab(iter, id, label) AS (
+  SELECT 0, id, id FROM nodes
+  UNION ALL
+  SELECT iter + 1, nid,
+         CAST(MIN(({_LPA_ENC} - cnt) * {_LPA_ENC} + label) % {_LPA_ENC} AS INT)
+  FROM (
+    SELECT l.iter AS iter, s.dst AS nid, l.label AS label, COUNT(*) AS cnt
+    FROM lab l JOIN sym s ON s.src = l.id
+    WHERE l.iter < {_LPA_ITERS}
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY 1, 2
+),
+final AS (SELECT id, label FROM lab WHERE iter = {_LPA_ITERS}),
+sizes AS (SELECT label, COUNT(*) AS community_size FROM final GROUP BY label)
+SELECT n.n_name AS nation, f.label AS community, s.community_size
+FROM final f JOIN sizes s USING (label) JOIN nation n ON n.n_nationkey = f.id
+"""
+
+
 QUERIES = {
     "pagerank_nation_trade": pagerank_nation_trade,
     "triangle_count_trade": triangle_count_trade,
     "kcore_trade_graph": kcore_trade_graph,
+    "lpa_trade_communities": lpa_trade_communities,
 }
 
 ORACLE: dict[str, str] = {
     "pagerank_nation_trade": _PAGERANK_SQL,
     "triangle_count_trade": _TRIANGLE_SQL,
     "kcore_trade_graph": _KCORE_SQL,
+    "lpa_trade_communities": _LPA_SQL,
 }
