@@ -512,8 +512,182 @@ FROM ranked, n
 """
 
 
+# --- markov_removal_attribution: absorbing-chain channel attribution --------
+#
+# Markov removal-effect attribution (Anderl et al. 2014): model user
+# journeys as a first-order chain over touchpoints with two absorbing
+# states (purchase = conversion, END = drop-off); a channel's credit is
+# how much total conversion probability disappears when every
+# transition INTO that channel is redirected to drop-off.
+#
+# Journey semantics (identical in both engines): events per user
+# ordered by (ts, event_id); a purchase closes the journey, so the
+# event after a purchase (and the first event overall) enters from
+# START; a user's final non-purchase event absorbs to END.
+#
+# Determinism: transition probabilities are exact (integer count /
+# integer total in double division); the fixed-{iters}-round value
+# iteration is pure double mul/add whose accumulation order differs
+# between engines only in the last ulp, absorbed by ROUND(.., 8) on
+# the outputs — same contract as pagerank_nation_trade.
+#
+# Scale: the data-sized work (sessionize + transition counts) is one
+# window + one map-side-combinable groupBy; the chain itself is
+# |event_types|²-bounded REGARDLESS of input size, so the value
+# iteration driver-solves on a ≤ 64-row matrix (the pagerank
+# driver-small pattern, operators/graph.py:29).
+
+_MRA_ITERS = 20
+_MRA_ROUND = 8
+_MRA_MAX_EDGES = 256  # |event_types|² guard for the driver solve
+
+
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("next_type", F.lead("event_type").over(w))
+    )
+    base = seq.select(
+        F.when(
+            F.col("prev_type").isNull() | (F.col("prev_type") == "purchase"),
+            F.lit("START"),
+        )
+        .otherwise(F.col("prev_type"))
+        .alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    ends = seq.filter(
+        F.col("next_type").isNull() & (F.col("event_type") != "purchase")
+    ).select(F.col("event_type").alias("src"), F.lit("END").alias("dst"))
+    counts = (
+        base.unionAll(ends)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    probs = (
+        counts.join(tot, "src")
+        .filter(F.col("dst") != "END")
+        .select(
+            "src", "dst", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
+        )
+    )
+    edges = sorted(
+        ((r.src, r.dst, r.p) for r in probs.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    if len(edges) > _MRA_MAX_EDGES:  # chain is type-bounded; this is a bug trap
+        raise ValueError(f"transition matrix unexpectedly large: {len(edges)}")
+    channels = sorted(
+        {s for s, _, _ in edges if s not in ("START",)}
+        | {d for _, d, _ in edges if d != "purchase"}
+        - {"START"}
+    )
+
+    def conv_from_start(removed: str | None) -> float:
+        states = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+        v = {s: 1.0 if s == "purchase" else 0.0 for s in states}
+        for _ in range(_MRA_ITERS):
+            nv: dict[str, float] = {}
+            for s, d, p in edges:
+                if d == removed:
+                    continue
+                nv[s] = nv.get(s, 0.0) + p * v.get(d, 0.0)
+            nv["purchase"] = 1.0  # absorbing self-loop
+            v = {s: nv.get(s, 0.0) for s in states}
+        return v.get("START", 0.0)
+
+    conv_full = conv_from_start(None)
+    removed = {c: conv_from_start(c) for c in channels}
+    re = {c: 1.0 - removed[c] / conv_full for c in channels}
+    re_sum = sum(re[c] for c in channels)
+    rows = [
+        (c, conv_full, removed[c], re[c], re[c] / re_sum) for c in channels
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "channel string, conv_full double, conv_removed double, "
+        "removal_effect double, attribution_share double",
+    )
+    return out.select(
+        "channel",
+        F.round("conv_full", _MRA_ROUND).alias("conv_full"),
+        F.round("conv_removed", _MRA_ROUND).alias("conv_removed"),
+        F.round("removal_effect", _MRA_ROUND).alias("removal_effect"),
+        F.round("attribution_share", _MRA_ROUND).alias("attribution_share"),
+    )
+
+
+_MRA_SQL = f"""
+WITH RECURSIVE seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER w AS prev_type,
+         LEAD(event_type) OVER w AS next_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+  SELECT CASE WHEN prev_type IS NULL OR prev_type = 'purchase'
+              THEN 'START' ELSE prev_type END AS src,
+         event_type AS dst
+  FROM seq
+  UNION ALL
+  SELECT event_type, 'END' FROM seq
+  WHERE next_type IS NULL AND event_type <> 'purchase'
+),
+counts AS (SELECT src, dst, COUNT(*) AS cnt FROM trans GROUP BY 1, 2),
+tot AS (SELECT src, SUM(cnt) AS tot FROM counts GROUP BY 1),
+probs AS (
+  SELECT src, dst, CAST(cnt AS DOUBLE) / tot AS p
+  FROM counts JOIN tot USING (src) WHERE dst <> 'END'
+),
+chans AS (SELECT DISTINCT id AS c FROM (
+  SELECT src AS id FROM probs WHERE src <> 'START'
+  UNION ALL
+  SELECT dst FROM probs WHERE dst <> 'purchase' AND dst <> 'START')),
+scen AS (SELECT * FROM (
+  SELECT 'NONE' AS removed UNION ALL SELECT c FROM chans)),
+edges AS (SELECT * FROM (
+  SELECT removed, src, dst, p FROM scen, probs WHERE dst <> removed
+  UNION ALL
+  SELECT removed, 'purchase', 'purchase', CAST(1.0 AS DOUBLE) FROM scen)),
+states AS (SELECT DISTINCT removed, id FROM (
+  SELECT removed, src AS id FROM edges
+  UNION ALL SELECT removed, dst FROM edges)),
+v(iter, removed, state, val) AS (
+  SELECT 0, removed, id,
+         CAST(CASE WHEN id = 'purchase' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+  FROM states
+  UNION ALL
+  SELECT v.iter + 1, e.removed, e.src, SUM(e.p * v.val)
+  FROM v JOIN edges e ON e.removed = v.removed AND e.dst = v.state
+  WHERE v.iter < {_MRA_ITERS}
+  GROUP BY 1, 2, 3
+),
+fin AS (SELECT removed, val FROM v
+        WHERE iter = {_MRA_ITERS} AND state = 'START'),
+fullv AS (SELECT val AS conv_full FROM fin WHERE removed = 'NONE'),
+re AS (
+  SELECT removed AS channel, conv_full, val AS conv_removed,
+         1.0 - val / conv_full AS re
+  FROM fin, fullv WHERE removed <> 'NONE'
+),
+tot_re AS (SELECT SUM(re) AS s FROM re)
+SELECT channel,
+       ROUND(conv_full, {_MRA_ROUND}) AS conv_full,
+       ROUND(conv_removed, {_MRA_ROUND}) AS conv_removed,
+       ROUND(re, {_MRA_ROUND}) AS removal_effect,
+       ROUND(re / s, {_MRA_ROUND}) AS attribution_share
+FROM re, tot_re
+"""
+
+
 QUERIES = {
     "attribution_latency_stats": attribution_latency_stats,
+    "markov_removal_attribution": markov_removal_attribution,
     "event_transition_matrix": event_transition_matrix,
     "rfm_user_segments": rfm_user_segments,
     "funnel_conversion": funnel_conversion,
@@ -524,6 +698,7 @@ QUERIES = {
 
 ORACLE = {
     "attribution_latency_stats": _ATTR_LATENCY_SQL,
+    "markov_removal_attribution": _MRA_SQL,
     "event_transition_matrix": _TRANSITION_SQL,
     "rfm_user_segments": _RFM_SQL,
     "funnel_conversion": _FUNNEL_SQL,
