@@ -503,3 +503,29 @@ def test_ks_drift_sharded_no_global_data_window(spark, sf_dir):
     assert "percent_rank" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+def test_skyline_sharded_not_single_task(spark, sf_dir):
+    """The skyline's frontier window must run per-shard, never as one
+    global single-task window; the shard offsets broadcast back."""
+    plan = _plan(spark, sf_dir, "skyline_price_size")
+    assert "__shard" in plan  # sharded running-max path in use
+    assert "BroadcastHashJoin" in plan  # offsets joined by broadcast
+    # global exchange feeds only the tiny per-shard offsets frame; the
+    # data-sized window partitions by __shard
+    assert "windowspecdefinition(__shard" in plan
+
+
+def test_record_linkage_is_blocked_equi_join(spark, sf_dir):
+    """Blocking must plan as an equi-join on (type, brand) — a
+    cross-join here would be the quadratic ER trap."""
+    plan = _plan(spark, sf_dir, "record_linkage_score")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_maxsim_broadcasts_queries_with_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "maxsim_multivector_topk")
+    assert "BroadcastExchange" in plan  # tiny query side broadcast
+    assert "ArrowEvalPython" in plan  # vectorized kernel, not row UDF
+    assert "WindowGroupLimit" in plan  # k=5 cut below the rank sort
