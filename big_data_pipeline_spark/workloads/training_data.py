@@ -756,6 +756,106 @@ FROM documents
 GROUP BY 1, 2
 """
 
+# --- dsir_importance_score --------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, DSIR-shaped (Xie et
+    al. 2023): score each raw document by how much its hashed-n-gram
+    feature profile leans toward a target distribution (here: the
+    English slice stands in for the curated target corpus), then keep
+    the documents that lean target-ward.
+
+    The textbook weight is a product of probability ratios evaluated in
+    log space — but cross-engine ``log`` is not ulp-reproducible, so
+    this uses the algebraically equivalent SIGN-exact linear form:
+    per feature f, lean(f) = target_cnt(f)·RT − raw_cnt(f)·TT (RT/TT =
+    total raw/target feature mass), a pure BIGINT; a document's score
+    is the integer sum over its distinct bigram features, normalized by
+    the constant RT·TT in ONE final double division. Zero floats until
+    the last step → cell-exact oracle. (At corpora where the integer
+    products would overflow int64, drop to per-feature double
+    log-weights and a rows-only check — the plan shape is unchanged.)
+
+    Scale: one explode (map-side), one groupBy per feature, one
+    feature-keyed shuffle join back, one per-doc groupBy. The totals
+    are a 1-row broadcast. No Python anywhere.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    feats = exploded_shingles(
+        docs, "doc_id", "text", k=2, distinct=True, extra_cols=("lang",)
+    )
+    stats = feats.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("target_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("raw_cnt").alias("rt"), F.sum("target_cnt").alias("tt")
+    )
+    leaned = stats.crossJoin(F.broadcast(totals)).select(
+        "shingle",
+        (
+            F.col("target_cnt") * F.col("rt") - F.col("raw_cnt") * F.col("tt")
+        ).alias("lean"),
+        (F.col("rt") * F.col("tt")).alias("denom"),
+    )
+    per_doc = (
+        feats.select("doc_id", "lang", "shingle")
+        .join(leaned, "shingle")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lean").alias("score_num"),
+            F.first("denom").alias("denom"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "score_num",
+        (F.col("score_num").cast("double") / F.col("denom")).alias(
+            "dsir_score"
+        ),
+        (F.col("score_num") > 0).alias("keep"),
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+feats AS (
+  SELECT DISTINCT doc_id, lang, array_to_string(t[i:i+1], ' ') AS shingle
+  FROM toks, UNNEST(range(1, GREATEST(len(t), 2))) AS u(i)
+),
+stats AS (
+  SELECT shingle, COUNT(*) AS raw_cnt,
+         SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+           AS target_cnt
+  FROM feats GROUP BY shingle
+),
+tot AS (
+  SELECT CAST(SUM(raw_cnt) AS BIGINT) AS rt,
+         CAST(SUM(target_cnt) AS BIGINT) AS tt
+  FROM stats
+),
+per_doc AS (
+  SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
+         CAST(SUM(s.target_cnt * t.rt - s.raw_cnt * t.tt) AS BIGINT)
+           AS score_num,
+         CAST(t.rt * t.tt AS BIGINT) AS denom
+  FROM feats f JOIN stats s USING (shingle), tot t
+  GROUP BY f.doc_id, f.lang, t.rt, t.tt
+)
+SELECT doc_id, lang, n_feats, score_num,
+       CAST(score_num AS DOUBLE) / denom AS dsir_score,
+       score_num > 0 AS keep
+FROM per_doc
+"""
+
 # --- ldiversity_audit -------------------------------------------------------
 
 _L_THRESHOLD = 3
@@ -888,6 +988,7 @@ QUERIES = {
     "train_split_assign": train_split_assign,
     "contamination_ngram_overlap": contamination_ngram_overlap,
     "lineitem_regression_stats": lineitem_regression_stats,
+    "dsir_importance_score": dsir_importance_score,
     "ldiversity_audit": ldiversity_audit,
     "split_leakage_audit": split_leakage_audit,
 }
@@ -905,6 +1006,7 @@ ORACLE = {
     "source_quota_sample": _QUOTA_SQL,
     "contamination_ngram_overlap": _CONTAM_SQL,
     "lineitem_regression_stats": _REGR_SQL,
+    "dsir_importance_score": _DSIR_SQL,
     "ldiversity_audit": _LDIV_SQL,
     "split_leakage_audit": _LEAK_SQL,
 }
