@@ -139,6 +139,127 @@ FROM reach GROUP BY id
 """
 
 
+# --- sorted_neighborhood_neardup: SNM candidate generation + verify ---------
+
+_SNM_WINDOW = 3
+_SNM_DUP_THRESHOLD = 0.5
+
+
+def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood method (Hernández & Stolfo 1995): sort the
+    corpus on a blocking key and compare each record only to its w
+    nearest neighbors in sort order — LINEAR candidate volume (w·n),
+    the classic alternative to LSH banding for near-dup candidate
+    generation. Here the key is document length (near-duplicate texts
+    have near-identical length), w = 3; candidates are verified with
+    exact token-set Jaccard.
+
+    Scale shape: the global sort rank comes from
+    ``operators/prefix.sharded_running_sum`` (range-sharded, never one
+    task); the neighbor join is an EQUI-join on rank (each record
+    emits its w successor ranks — no inequality/cross join); the
+    verify is one token-keyed shuffle join over candidate docs only.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.functions.text import exploded_shingles
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    ranked = sharded_running_sum(
+        docs.withColumn("o", F.col("n_chars").cast("double")),
+        part_cols=[],
+        order_col="o",
+        value_col=F.lit(1).cast("long"),
+        out_col="rank",
+        tiebreak_cols=["doc_id"],
+    ).select("doc_id", "rank")
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + _SNM_WINDOW)
+        ).alias("nbr_rank"),
+    )
+    pairs = a.join(
+        ranked.select(F.col("doc_id").alias("id_b"), F.col("rank").alias("nbr_rank")),
+        "nbr_rank",
+    ).select("id_a", "id_b")
+    tok = exploded_shingles(docs, "doc_id", "text", k=1, distinct=True)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(
+            tok.select(F.col("doc_id").alias("id_a"), "shingle").hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            tok.select(F.col("doc_id").alias("id_b"), "shingle").hint(
+                "shuffle_hash"
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            jac.alias("jaccard"),
+            (jac >= _SNM_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )
+
+
+_SNM_SQL = rf"""
+WITH ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND {_SNM_WINDOW}
+),
+tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents), UNNEST(t) AS u(tok)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, COUNT(*) AS n_common
+  FROM pairs
+  JOIN tok ta ON ta.doc_id = id_a
+  JOIN tok tb ON tb.doc_id = id_b AND tb.tok = ta.tok
+  GROUP BY id_a, id_b
+)
+SELECT p.id_a, p.id_b,
+       COALESCE(n_common, 0) AS n_common,
+       CAST(COALESCE(n_common, 0) AS DOUBLE)
+         / (sa.n + sb.n - COALESCE(n_common, 0)) AS jaccard,
+       CAST(COALESCE(n_common, 0) AS DOUBLE)
+         / (sa.n + sb.n - COALESCE(n_common, 0)) >= {_SNM_DUP_THRESHOLD}
+         AS is_dup
+FROM pairs p
+LEFT JOIN inter USING (id_a, id_b)
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+"""
+
+
 # --- record_linkage_score: Fellegi-Sunter-style weighted scoring ------------
 
 _FS_LEV_MAX = 2  # name agreement gate
@@ -231,6 +352,7 @@ QUERIES = {
     "entity_blocking_pairs": entity_blocking_pairs,
     "entity_clusters": entity_clusters,
     "record_linkage_score": record_linkage_score,
+    "sorted_neighborhood_neardup": sorted_neighborhood_neardup,
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "simhash_near_dups": simhash_near_dups,
 }
@@ -239,4 +361,5 @@ ORACLE: dict[str, str] = {
     "entity_blocking_pairs": _ENTITY_SQL,
     "entity_clusters": _ENTITY_CLUSTERS_SQL,
     "record_linkage_score": _LINKAGE_SQL,
+    "sorted_neighborhood_neardup": _SNM_SQL,
 }
