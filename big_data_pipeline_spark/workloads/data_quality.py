@@ -1031,8 +1031,79 @@ FROM sums
 """
 
 
+# --- fd_violation_audit: approximate-functional-dependency discovery --------
+# The profiling step behind constraint mining / schema documentation
+# (FD discovery a la TANE, reduced to a fixed candidate set): for each
+# candidate X -> Y, count determinant groups, groups where Y is not
+# unique, and the worst fan-out. The candidate list mixes held and
+# violated dependencies so the output exercises both branches.
+#
+# Scale (100 TB): each FD is groupBy(X) + count_distinct(Y) — partial
+# aggregation map-side, one shuffle on X per FD, then a single-row
+# reduce; the per-FD rows union into a kilobyte report. No windows, no
+# joins, no Python. violation_rate is one int/int double division —
+# bit-identical across engines.
+
+_FD_CANDIDATES = (
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for table, det, dep in _FD_CANDIDATES:
+        grouped = (
+            read_table(spark, sf_dir, table)
+            .groupBy(det)
+            .agg(F.count_distinct(dep).alias("nd"))
+        )
+        parts.append(
+            grouped.agg(
+                F.lit(f"{table}: {det} -> {dep}").alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.coalesce(
+                    F.sum((F.col("nd") > 1).cast("long")), F.lit(0)
+                ).alias("n_violating"),
+                F.coalesce(F.max("nd"), F.lit(0)).alias("max_distinct_dep"),
+            ).select(
+                "*",
+                (
+                    F.col("n_violating").cast("double") / F.col("n_groups")
+                ).alias("violation_rate"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+def _fd_audit_sql() -> str:
+    selects = []
+    for table, det, dep in _FD_CANDIDATES:
+        selects.append(f"""
+SELECT '{table}: {det} -> {dep}' AS fd,
+       COUNT(*) AS n_groups,
+       CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_violating,
+       CAST(COALESCE(MAX(nd), 0) AS BIGINT) AS max_distinct_dep,
+       CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         / COUNT(*) AS violation_rate
+FROM (
+  SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM {table} GROUP BY {det}
+) g
+""")
+    return " UNION ALL ".join(selects)
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
+    "fd_violation_audit": fd_violation_audit,
     "zscore_outlier_orders": zscore_outlier_orders,
     "join_fanout_audit": join_fanout_audit,
     "fk_integrity_audit": fk_integrity_audit,
@@ -1047,6 +1118,7 @@ QUERIES = {
 }
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
+    "fd_violation_audit": _fd_audit_sql(),
     "zscore_outlier_orders": _ZSCORE_SQL,
     "join_fanout_audit": _FANOUT_SQL,
     "fk_integrity_audit": _fk_audit_sql(),

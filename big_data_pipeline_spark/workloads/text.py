@@ -1318,8 +1318,81 @@ LIMIT {_BM25_K}
 """
 
 
+# --- blocklist_term_filter: dimension-join content gating -------------------
+# Web-corpus curation step: count blocked-term occurrences per document
+# and gate on the hit fraction (reference analog: the equality filters of
+# main.py:63 generalized to a term-list predicate). The blocklist joins
+# as a (broadcast) dimension TABLE against the exploded token stream
+# rather than a literal-array predicate — the form that still works when
+# the blocklist has millions of entries (production URL/word blocklists):
+# below the autoBroadcast threshold Catalyst broadcasts it, above it the
+# same plan degrades gracefully to a shuffle equi-join. One explode, one
+# broadcast-left-join, ONE shuffle (the per-doc groupBy) — no join back
+# to the source table for totals because the un-matched tokens ride
+# through the left join and are counted in the same aggregation.
+# The keep gate compares integers cross-multiplied (n_hits * 12 <
+# n_tokens, i.e. hit_frac < 1/12) so both engines decide it exactly;
+# hit_frac itself is a single int/int double division — bit-identical.
+
+_BLOCKLIST = ("slow", "hash", "vector")
+_BLOCK_DEN = 12  # keep iff n_hits / n_tokens < 1 / _BLOCK_DEN
+
+
+def blocklist_term_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    blocklist = spark.createDataFrame(
+        [(t,) for t in _BLOCKLIST], "term string"
+    )
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    joined = toks.join(
+        F.broadcast(blocklist), toks["tok"] == blocklist["term"], "left"
+    )
+    hit = F.col("term").isNotNull()
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hit.cast("long")).alias("n_hits"),
+            F.count_distinct("term").alias("n_terms_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_hits",
+            "n_terms_hit",
+            (F.col("n_hits").cast("double") / F.col("n_tokens")).alias(
+                "hit_frac"
+            ),
+            (F.col("n_hits") * _BLOCK_DEN < F.col("n_tokens")).alias("keep"),
+        )
+    )
+
+
+def _blocklist_sql() -> str:
+    values = ", ".join(f"('{t}')" for t in _BLOCKLIST)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+bl(term) AS (VALUES {values}),
+j AS (SELECT doc_id, tok, term FROM toks LEFT JOIN bl ON tok = term)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       COUNT(DISTINCT term) AS n_terms_hit,
+       CAST(SUM(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS hit_frac,
+       SUM(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END) * {_BLOCK_DEN}
+         < COUNT(*) AS keep
+FROM j
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
+    "blocklist_term_filter": blocklist_term_filter,
     "boilerplate_span_strip": boilerplate_span_strip,
     "token_cooccurrence_topk": token_cooccurrence_topk,
     "quality_rank_normalize": quality_rank_normalize,
@@ -1344,6 +1417,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_chunk_overlap": _CHUNK_SQL,
+    "blocklist_term_filter": _blocklist_sql(),
     "boilerplate_span_strip": _BOILER_SQL,
     "token_cooccurrence_topk": _COOC_SQL,
     "quality_rank_normalize": _RANK_NORM_SQL,

@@ -145,3 +145,31 @@ def test_contrastive_negatives_deterministic_and_bounded(spark, sf_dir):
     # deterministic: two independent evaluations produce identical pairs
     b = contrastive_negative_pairs(spark, sf_dir)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_blocklist_filter_counts_and_gate(spark, tmp_path):
+    """Planted corpus: hit counts, distinct-term counts, and the
+    cross-multiplied keep gate (incl. the exact 1/12 boundary)."""
+    from big_data_pipeline_spark.workloads.text import blocklist_term_filter
+
+    sf = str(tmp_path)
+    filler = " ".join(["tok"] * 11)
+    docs = [
+        (0, "slow slow fast", "en", "s", 14),          # 2/3 hits -> drop
+        (1, filler + " extra", "en", "s", 1),          # 0 hits -> keep
+        (2, "hash", "en", "s", 4),                     # 1/1 -> drop
+        (3, "vector " + filler + " extra", "en", "s", 1),  # 1/13 -> keep
+        (4, "vector " + filler, "en", "s", 1),         # 1/12 boundary -> drop
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {r.doc_id: r for r in blocklist_term_filter(spark, sf).collect()}
+    assert len(rows) == 5
+    assert (rows[0].n_tokens, rows[0].n_hits, rows[0].n_terms_hit) == (3, 2, 1)
+    assert rows[0].hit_frac == 2.0 / 3.0 and not rows[0].keep
+    assert rows[1].n_hits == 0 and rows[1].keep
+    assert rows[2].n_hits == 1 and not rows[2].keep
+    assert rows[3].n_tokens == 13 and rows[3].keep
+    assert rows[4].n_tokens == 12 and not rows[4].keep  # frac == 1/12 exactly

@@ -177,3 +177,41 @@ def test_benford_audit_semantics(spark, sf_dir):
         # uniform synthetic prices are NOT Benford-conformant: the audit
         # must fire decisively (chi2 > the 15.5 critical value at 8 dof)
         assert cells[0].chi2 > 15.5
+
+
+def test_fd_violation_audit_held_vs_violated(spark, tmp_path):
+    """Planted corpus with one held and one violated FD per table pair."""
+    from big_data_pipeline_spark.workloads.data_quality import (
+        fd_violation_audit,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "n1", "A", "t1"), (2, "n1", "A", "t1"),
+         (3, "n2", "B", "t2"), (4, "n3", "B", "t3")],
+        "p_partkey long, p_name string, p_brand string, p_type string",
+    ).write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame(
+        [(1, 0, "S1"), (2, 0, "S2")],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 10, "O"), (2, 10, "O")],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "R"), (1, "A"), (2, "N")],
+        "l_orderkey long, l_returnflag string",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    rows = {r.fd: r for r in fd_violation_audit(spark, sf).collect()}
+    brand_type = rows["part: p_brand -> p_type"]
+    assert (brand_type.n_groups, brand_type.n_violating) == (2, 1)
+    assert brand_type.max_distinct_dep == 2
+    assert brand_type.violation_rate == 0.5
+    name_brand = rows["part: p_name -> p_brand"]
+    assert (name_brand.n_groups, name_brand.n_violating) == (3, 0)
+    assert rows["customer: c_nationkey -> c_mktsegment"].n_violating == 1
+    assert rows["orders: o_custkey -> o_orderstatus"].n_violating == 0
+    li = rows["lineitem: l_orderkey -> l_returnflag"]
+    assert (li.n_groups, li.n_violating, li.violation_rate) == (2, 1, 0.5)
