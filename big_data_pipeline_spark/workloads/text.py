@@ -1318,6 +1318,80 @@ LIMIT {_BM25_K}
 """
 
 
+# --- doc_char_diversity: character-diversity quality signal -----------------
+# Simpson diversity (1 - Σ p_c²) of the per-document character
+# distribution — the cheap gibberish/low-diversity gate in web-corpus
+# quality filtering (degenerate docs like "aaaa…" or single-word spam
+# score far below natural text's ~0.92). Simpson rather than Shannon
+# entropy ON PURPOSE: log2/ln are not bit-portable across engines
+# (JVM StrictMath-adjacent vs libm last-ulp differences — same reason
+# bigram_lm_quality and bm25 avoid ln), while Simpson is pure rational
+# arithmetic. Both engines evaluate the IDENTICAL generated formula
+# text: per-character counts via length-minus-replace (one vectorized
+# pass per alphabet symbol, no explode, no shuffle), probability
+# squares summed in fixed left-associated alphabet order — every step
+# the same IEEE-754 op stream, so the doubles (and the keep gate and
+# the effective-alphabet-size reciprocal) are bit-equal.
+#
+# Scale (100 TB): a narrow per-row projection over one scan; cost is
+# O(|alphabet| × bytes) of JVM string work inside whole-stage codegen
+# with zero shuffle — the cheapest possible quality-signal shape. A
+# byte-histogram Pandas UDF would beat the 27-pass constant at very
+# wide alphabets; for [a-z ] the codegen form wins (no Arrow hop).
+
+_DIV_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+_DIV_KEEP = 0.92  # keep iff simpson_div > 0.92
+
+
+def _char_cnt_expr(c: str) -> str:
+    return f"(length(text) - length(replace(text, '{c}', '')))"
+
+
+def _diversity_exprs() -> tuple[str, str]:
+    """(total_chars_expr, simpson_concentration_expr) shared verbatim
+    by Spark and DuckDB; concentration = Σ p_c² over the alphabet."""
+    total = " + ".join(_char_cnt_expr(c) for c in _DIV_ALPHABET)
+    terms = []
+    for c in _DIV_ALPHABET:
+        p = f"(CAST({_char_cnt_expr(c)} AS DOUBLE) / tot)"
+        terms.append(f"{p} * {p}")
+    return total, "(" + " + ".join(terms) + ")"
+
+
+def doc_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    total, conc = _diversity_exprs()
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            F.expr(f"CAST({total} AS DOUBLE)").alias("tot"),
+        )
+        .select(
+            "doc_id",
+            F.col("tot").cast("long").alias("n_alpha"),
+            (F.lit(1.0) - F.expr(conc)).alias("simpson_div"),
+            (F.lit(1.0) / F.expr(conc)).alias("eff_alphabet"),
+        )
+        .withColumn("keep", F.col("simpson_div") > _DIV_KEEP)
+    )
+
+
+def _char_diversity_sql() -> str:
+    total, conc = _diversity_exprs()
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, CAST({total} AS DOUBLE) AS tot FROM documents
+)
+SELECT doc_id,
+       CAST(tot AS BIGINT) AS n_alpha,
+       1.0 - {conc} AS simpson_div,
+       1.0 / {conc} AS eff_alphabet,
+       1.0 - {conc} > {_DIV_KEEP} AS keep
+FROM b
+"""
+
+
 # --- blocklist_term_filter: dimension-join content gating -------------------
 # Web-corpus curation step: count blocked-term occurrences per document
 # and gate on the hit fraction (reference analog: the equality filters of
@@ -1393,6 +1467,7 @@ GROUP BY doc_id
 QUERIES = {
     "doc_chunk_overlap": doc_chunk_overlap,
     "blocklist_term_filter": blocklist_term_filter,
+    "doc_char_diversity": doc_char_diversity,
     "boilerplate_span_strip": boilerplate_span_strip,
     "token_cooccurrence_topk": token_cooccurrence_topk,
     "quality_rank_normalize": quality_rank_normalize,
@@ -1418,6 +1493,7 @@ QUERIES = {
 ORACLE = {
     "doc_chunk_overlap": _CHUNK_SQL,
     "blocklist_term_filter": _blocklist_sql(),
+    "doc_char_diversity": _char_diversity_sql(),
     "boilerplate_span_strip": _BOILER_SQL,
     "token_cooccurrence_topk": _COOC_SQL,
     "quality_rank_normalize": _RANK_NORM_SQL,

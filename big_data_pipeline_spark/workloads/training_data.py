@@ -975,8 +975,59 @@ WHERE cos_sim >= {_LEAK_THRESHOLD}
 """
 
 
+# --- epoch_shuffle_shards: seeded deterministic training-order shuffle ------
+# The data-loader handoff step: a reproducible epoch-seeded global
+# permutation of the corpus, materialized as (shard, pos_in_shard) so
+# each shard is one output file a loader streams in order. Assignment
+# is a pure function of (epoch, doc_id) — the same Knuth multiplicative
+# hash discipline as _U_KEY above — so reruns and backfills reproduce
+# the exact same order, unlike rand()-based shuffles.
+#
+# Scale (100 TB): shard count is the parallelism contract — production
+# runs pick shards ~ number of output files (thousands), so each window
+# partition holds corpus/shards rows and the per-shard ROW_NUMBER is
+# NOT the low-cardinality single-task trap: a totally-ordered shard
+# file must be assembled in one place by definition, and its size is
+# bounded by construction. One hash exchange on shard, no joins.
+
+_EPOCH = 7
+_EPOCH_SHARDS = 16
+# (doc_id + epoch * 40503) * 2654435761 stays well inside BIGINT for
+# any realistic doc_id; % 2^31 folds it to a positive 31-bit value in
+# both engines (all inputs positive).
+_EPOCH_H = (
+    f"((doc_id + {_EPOCH} * 40503) * 2654435761) % 2147483648"
+)
+
+
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_EPOCH_H).alias("h")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("shard", (F.col("h") % _EPOCH_SHARDS).cast("int"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_EPOCH_H} AS h FROM documents
+)
+SELECT doc_id,
+       CAST(h % {_EPOCH_SHARDS} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY h % {_EPOCH_SHARDS} ORDER BY h, doc_id
+       ) AS BIGINT) AS pos_in_shard
+FROM h
+"""
+
+
 QUERIES = {
     "incremental_dedup_new_batch": incremental_dedup_new_batch,
+    "epoch_shuffle_shards": epoch_shuffle_shards,
     "incremental_neardup_batch": incremental_neardup_batch,
     "quality_quantile_gate": quality_quantile_gate,
     "pii_pseudonymize_kanon": pii_pseudonymize_kanon,
@@ -994,6 +1045,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "epoch_shuffle_shards": _EPOCH_SHUFFLE_SQL,
     "incremental_neardup_batch": _INCR_NEARDUP_SQL,
     "mixture_temperature_resample": _MIXTURE_SQL,
     "train_split_assign": _SPLIT_SQL,

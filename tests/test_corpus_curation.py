@@ -173,3 +173,27 @@ def test_blocklist_filter_counts_and_gate(spark, tmp_path):
     assert rows[2].n_hits == 1 and not rows[2].keep
     assert rows[3].n_tokens == 13 and rows[3].keep
     assert rows[4].n_tokens == 12 and not rows[4].keep  # frac == 1/12 exactly
+
+
+def test_char_diversity_degenerate_and_uniform(spark, tmp_path):
+    """Simpson diversity: 0 for a one-symbol doc, 1 - 1/27 (eff size 27)
+    for a doc using every alphabet symbol exactly once."""
+    from big_data_pipeline_spark.workloads.text import doc_char_diversity
+
+    sf = str(tmp_path)
+    uniform = "abcdefghijklmnopqrstuvwxyz "
+    spark.createDataFrame(
+        [(0, "aaaa", "en", "s", 4), (1, uniform, "en", "s", 27)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {r.doc_id: r for r in doc_char_diversity(spark, sf).collect()}
+    assert rows[0].n_alpha == 4
+    assert rows[0].simpson_div == 0.0 and rows[0].eff_alphabet == 1.0
+    assert not rows[0].keep
+    assert rows[1].n_alpha == 27
+    assert rows[1].simpson_div == 1.0 - 1.0 / 27.0
+    # 27 one-off p*p terms accumulate rounding; reciprocal lands a few
+    # ulps off the exact 27 (identically in both engines)
+    assert abs(rows[1].eff_alphabet - 27.0) < 1e-12
+    assert rows[1].keep

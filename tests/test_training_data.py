@@ -385,3 +385,26 @@ def test_prefix_filter_prunes_hot_shingle_candidates(spark, tmp_path):
         spark, str(tmp_path)
     ).count()
     assert naive_pairs == pref_pairs == 0
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark, sf_dir):
+    """Every doc appears once; positions within each shard are a dense
+    1..n sequence; assignment is reproducible run-to-run."""
+    from big_data_pipeline_spark.workloads.training_data import (
+        _EPOCH_SHARDS,
+        epoch_shuffle_shards,
+    )
+
+    out = epoch_shuffle_shards(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert len({r.doc_id for r in out}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < _EPOCH_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = {(r.doc_id, r.shard, r.pos_in_shard)
+             for r in epoch_shuffle_shards(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos_in_shard) for r in out}
