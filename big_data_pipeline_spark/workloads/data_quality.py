@@ -1101,9 +1101,106 @@ FROM (
     return " UNION ALL ".join(selects)
 
 
+# --- table_checksum_audit: order-insensitive migration checksums ------------
+# The cross-system validation step of a lake migration (and of this
+# repo's own oracle discipline, turned into a first-class operator):
+# per table, an order-insensitive content checksum = SUM over rows of
+# the first 48 bits of md5(canonical row string), accumulated as
+# DECIMAL(38,0) so the sum is exact at any row count. Two systems that
+# hold the same rows produce the same (n_rows, checksum) regardless of
+# row order, partitioning, or file layout. Only stably-castable column
+# types participate (ints / strings / dates) — float formatting is not
+# portable across engines, which is exactly why a checksum over casts
+# must exclude it.
+#
+# Scale (100 TB): one narrow scan per table, all work in the map phase
+# (md5 + 12-digit hex fold inside codegen), a single global SUM — the
+# cheapest full-corpus integrity proof there is. The 48-bit truncation
+# keeps per-row values < 2^48 so even 10^12 rows stay far inside
+# DECIMAL(38,0); collisions cancel only if multisets already match on
+# 48-bit marginals (adversarial, not operational, risk).
+
+_CHECKSUM_COLS = (
+    ("region", ("r_regionkey", "r_name")),
+    ("nation", ("n_nationkey", "n_name", "n_regionkey")),
+    ("customer", ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+    ("supplier", ("s_suppkey", "s_name", "s_nationkey")),
+    ("part", ("p_partkey", "p_name", "p_brand", "p_type", "p_size")),
+    (
+        "orders",
+        ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+         "o_orderpriority"),
+    ),
+    (
+        "lineitem",
+        ("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+         "l_shipdate"),
+    ),
+    ("events", ("event_id", "user_id", "event_type")),
+    ("documents", ("doc_id", "lang", "source", "n_chars")),
+    ("embeddings", ("vec_id", "label")),
+)
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _row_hash48_expr(cols: tuple[str, ...], cast_type: str) -> str:
+    """48-bit integer from md5 of the '|'-joined casted row — identical
+    arithmetic text in both engines (only the cast type name differs)."""
+    joined = ", ".join(f"CAST({c} AS {cast_type})" for c in cols)
+    h = f"md5(concat_ws('|', {joined}))"
+    parts = []
+    for i in range(12):
+        # digit widened to BIGINT before the multiply: INT * INT would
+        # overflow 32 bits at the high place values (ANSI mode throws)
+        parts.append(
+            f"CAST(instr('{_HEX_DIGITS}', substr({h}, {i + 1}, 1)) - 1"
+            f" AS BIGINT) * {16 ** (11 - i)}"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for table, cols in _CHECKSUM_COLS:
+        v = _row_hash48_expr(cols, "STRING")
+        df = read_table(spark, sf_dir, table).select(
+            F.expr(v).cast("decimal(38,0)").alias("v")
+        )
+        parts.append(
+            df.agg(
+                F.lit(table).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum("v"), F.lit(0).cast("decimal(38,0)")
+                ).cast("string").alias("checksum"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+def _checksum_sql() -> str:
+    selects = []
+    for table, cols in _CHECKSUM_COLS:
+        v = _row_hash48_expr(cols, "VARCHAR")
+        selects.append(f"""
+SELECT '{table}' AS table_name,
+       COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(CAST({v} AS DECIMAL(38,0))),
+                     CAST(0 AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM {table}
+""")
+    return " UNION ALL ".join(selects)
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
     "fd_violation_audit": fd_violation_audit,
+    "table_checksum_audit": table_checksum_audit,
     "zscore_outlier_orders": zscore_outlier_orders,
     "join_fanout_audit": join_fanout_audit,
     "fk_integrity_audit": fk_integrity_audit,
@@ -1119,6 +1216,7 @@ QUERIES = {
 ORACLE = {
     "dq_orders_report": _DQ_SQL,
     "fd_violation_audit": _fd_audit_sql(),
+    "table_checksum_audit": _checksum_sql(),
     "zscore_outlier_orders": _ZSCORE_SQL,
     "join_fanout_audit": _FANOUT_SQL,
     "fk_integrity_audit": _fk_audit_sql(),

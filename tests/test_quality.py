@@ -215,3 +215,60 @@ def test_fd_violation_audit_held_vs_violated(spark, tmp_path):
     assert rows["orders: o_custkey -> o_orderstatus"].n_violating == 0
     li = rows["lineitem: l_orderkey -> l_returnflag"]
     assert (li.n_groups, li.n_violating, li.violation_rate) == (2, 1, 0.5)
+
+
+def test_table_checksum_order_invariant_content_sensitive(spark, tmp_path):
+    """Same multiset of rows (different order/partitioning) -> identical
+    checksum; one changed cell -> different checksum."""
+    from big_data_pipeline_spark.workloads.data_quality import (
+        _CHECKSUM_COLS,
+        table_checksum_audit,
+    )
+
+    types = {"r_name": "string", "n_name": "string", "c_name": "string",
+             "c_mktsegment": "string", "s_name": "string", "p_name": "string",
+             "p_brand": "string", "p_type": "string",
+             "o_orderstatus": "string", "o_orderpriority": "string",
+             "l_returnflag": "string", "l_linestatus": "string",
+             "event_type": "string", "lang": "string", "source": "string",
+             "o_orderdate": "date", "l_shipdate": "date",
+             "label": "int"}
+
+    def write_all(base: str, order, mutate: bool) -> None:
+        import datetime
+
+        for table, cols in _CHECKSUM_COLS:
+            rows = []
+            for i in order:
+                vals = []
+                for c in cols:
+                    t = types.get(c, "long")
+                    if t == "string":
+                        s = f"{c}-{i}"
+                        if mutate and table == "documents" and i == 0:
+                            s += "-x"
+                        vals.append(s)
+                    elif t == "date":
+                        vals.append(datetime.date(2020, 1, 1 + i))
+                    else:
+                        vals.append(i)
+                rows.append(tuple(vals))
+            schema = ", ".join(f"{c} {types.get(c, 'long')}" for c in cols)
+            spark.createDataFrame(rows, schema).repartition(
+                1 if order[0] == 0 else 3
+            ).write.parquet(f"{base}/{table}.parquet")
+
+    a, b, c = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c")
+    write_all(a, [0, 1, 2], mutate=False)
+    write_all(b, [2, 0, 1], mutate=False)  # permuted + repartitioned
+    write_all(c, [0, 1, 2], mutate=True)
+
+    def sums(base):
+        return {r.table_name: (r.n_rows, r.checksum)
+                for r in table_checksum_audit(spark, base).collect()}
+
+    sa, sb, sc = sums(a), sums(b), sums(c)
+    assert sa == sb
+    assert sa["documents"] != sc["documents"]
+    assert {k: v for k, v in sa.items() if k != "documents"} == \
+           {k: v for k, v in sc.items() if k != "documents"}
