@@ -529,3 +529,40 @@ def test_maxsim_broadcasts_queries_with_group_limit(spark, sf_dir):
     assert "BroadcastExchange" in plan  # tiny query side broadcast
     assert "ArrowEvalPython" in plan  # vectorized kernel, not row UDF
     assert "WindowGroupLimit" in plan  # k=5 cut below the rank sort
+
+
+def test_blocklist_broadcasts_dimension_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "blocklist_term_filter")
+    assert "BroadcastHashJoin" in plan          # blocklist is the dim
+    assert "SortMergeJoin" not in plan          # never shuffles the tokens
+    # the exploded token stream is only ever hashed on doc_id(+term for
+    # the distinct agg) — no exchange keyed on raw tokens
+    assert "hashpartitioning(tok" not in plan
+
+
+def test_checksum_audit_is_mapside_fold_per_table(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "table_checksum_audit")
+    assert "Join" not in plan                   # pure scan+agg per table
+    assert "Window" not in plan
+    # one partial+final agg pair per table, no wider exchanges
+    assert plan.count("HashAggregate") >= 10
+
+
+def test_epoch_shuffle_single_exchange_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "epoch_shuffle_shards")
+    assert "Join" not in plan
+    # exactly one exchange and it is keyed on shard
+    assert "hashpartitioning(shard" in plan
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+
+
+def test_char_diversity_no_shuffle_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_char_diversity")
+    assert "Exchange" not in plan               # pure map-side projection
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_fd_audit_partial_aggregation_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fd_violation_audit")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
