@@ -444,6 +444,13 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("g"),
         )
     )
+    # materialize the per-user frame ONCE: each of the three prefix
+    # sums below starts with an approxQuantile job, and without a
+    # lineage cut every one of those (plus the final plan) would
+    # re-execute the full events scan+agg. The checkpointed frame is
+    # |users| rows — orders of magnitude smaller than events — so this
+    # is the standard cache-the-reduced-side move, safe at any scale.
+    base = base.localCheckpoint()
     n = base.select(F.count(F.lit(1)).alias("n_users"))
     ranked = base
     for metric, out in (

@@ -635,8 +635,30 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("cum") - F.col("cnt") + 1).alias(f"r_{col}"),
         )
 
-    ranked = li.join(ranks2("q"), ["l_returnflag", "q"]).join(
-        ranks2("p"), ["l_returnflag", "p"]
+    def ranks_bounded(col: str) -> DataFrame:
+        # quantity's domain is bounded (integral 1..50 per flag), so the
+        # rank table is ~150 rows: a plain cumulative window over it is
+        # safe at ANY corpus size (partition = |domain|, not |rows|) and
+        # skips the prefix-sum's approxQuantile pre-job. Price keeps the
+        # sharded path — its distinct count grows with the data.
+        from pyspark.sql import Window
+
+        cnts = li.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return cnts.select(
+            "l_returnflag",
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias(f"r_{col}"),
+        )
+
+    ranked = li.join(ranks2("p"), ["l_returnflag", "p"]).join(
+        F.broadcast(ranks_bounded("q")), ["l_returnflag", "q"]
     )
 
     def dsum(expr: str, alias: str):
@@ -1197,10 +1219,177 @@ FROM {table}
     return " UNION ALL ".join(selects)
 
 
+# --- poisson_bootstrap_means: resampled uncertainty at scan cost ------------
+# The Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012): classic bootstrap resampling is
+# impossible at 100 TB (you cannot draw N rows with replacement B
+# times), but Poisson(1) per-row replica weights are exchangeable with
+# multinomial resampling as N grows — and they stream: each row
+# contributes w_b ~ Poisson(1) to replica b independently, so ALL B
+# resampled means come out of ONE scan as 2·B aggregates (Σ w·x, Σ w),
+# map-side combinable, a single global reduce row, then a B-row
+# reshape. Weights here are DETERMINISTIC — inverse-CDF lookup on a
+# uniform carved from md5(o_orderkey || ':' || b) — so reruns (and the
+# DuckDB oracle) reproduce the replica set bit-for-bit: the md5-digit
+# fold is exact integer arithmetic, the CDF thresholds are shared
+# round-trip double literals, and each replica mean is exact-decimal
+# Σw·cents divided once into double.
+
+_BOOT_B = 16
+
+
+def _pois_cdf() -> tuple[float, ...]:
+    # cumulative Poisson(1) CDF at k = 0..4: e^-1 · Σ_{i<=k} 1/i!.
+    # Emitted into both engines' SQL via repr() (shortest round-trip
+    # literals), so the weight branch compares identical doubles.
+    import math
+
+    acc, fact, out = 0.0, 1.0, []
+    for k in range(5):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(acc)
+    return tuple(out)
+
+
+_POIS_CDF = _pois_cdf()
+
+
+def _hex48_fold(h: str) -> str:
+    """48-bit integer from the first 12 hex digits of md5 text ``h`` —
+    same fold as the table checksums."""
+    parts = [
+        f"CAST(instr('{_HEX_DIGITS}', substr({h}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _boot_h_expr(j: int, cast_type: str) -> str:
+    return f"md5(CAST(o_orderkey AS {cast_type}) || ':{j}')"
+
+
+def _boot_u_expr(b: int) -> str:
+    # one md5 yields 8 independent 16-bit uniforms (4 hex digits each);
+    # two md5 columns cover all 16 replicas — 8x less hashing than one
+    # md5 per replica, and 2^-16 quantization is far below any CDF gap.
+    j, i = divmod(b, 8)
+    parts = [
+        f"CAST(instr('{_HEX_DIGITS}', substr(h{j}, {4 * i + k + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (3 - k)}"
+        for k in range(4)
+    ]
+    return f"(CAST({' + '.join(parts)} AS DOUBLE) / 65536e0)"
+
+
+def _boot_w_expr(u_col: str) -> str:
+    branches = "".join(
+        f" WHEN {u_col} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE{branches} ELSE 5 END)"
+
+
+def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("xc"),
+    )
+    # four narrow codegen stages keep each generated method small:
+    # md5s -> uniforms -> weights -> 2B aggregates
+    hs = base.select(
+        "xc",
+        *[
+            F.expr(_boot_h_expr(j, "STRING")).alias(f"h{j}")
+            for j in range(_BOOT_B // 8)
+        ],
+    )
+    us = hs.select(
+        "xc",
+        *[F.expr(_boot_u_expr(b)).alias(f"u{b}") for b in range(_BOOT_B)],
+    )
+    ws = us.select(
+        "xc",
+        *[
+            F.expr(_boot_w_expr(f"u{b}")).alias(f"w{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    agg = ws.agg(
+        *[
+            F.sum((F.col(f"w{b}") * F.col("xc")).cast("decimal(38,0)"))
+            .alias(f"s{b}")
+            for b in range(_BOOT_B)
+        ],
+        *[
+            F.sum(F.col(f"w{b}").cast("long")).alias(f"n{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    # reshape the single agg row into B rows with a unionAll of B
+    # one-column selects: Spark's exchange reuse computes the shared
+    # aggregate ONCE and fans the branches off the reused result
+    # (measured faster than the explode(array(struct…)) reshape, which
+    # rebuilds the wide projection inside one giant stage).
+    from functools import reduce
+
+    rows = [
+        agg.select(
+            F.lit(b).alias("replica_id"),
+            F.col(f"n{b}").alias("n_eff"),
+            (
+                F.col(f"s{b}").cast("double")
+                / F.col(f"n{b}").cast("double")
+                / F.lit(100.0)
+            ).alias("boot_mean"),
+        )
+        for b in range(_BOOT_B)
+    ]
+    return reduce(lambda a, c: a.unionAll(c), rows)
+
+
+def _bootstrap_sql() -> str:
+    h_cols = ", ".join(
+        f"{_boot_h_expr(j, 'VARCHAR')} AS h{j}" for j in range(_BOOT_B // 8)
+    )
+    u_cols = ", ".join(
+        f"{_boot_u_expr(b)} AS u{b}" for b in range(_BOOT_B)
+    )
+    w_cols = ", ".join(
+        f"{_boot_w_expr(f'u{b}')} AS w{b}" for b in range(_BOOT_B)
+    )
+    s_cols = ", ".join(
+        f"SUM(CAST(w{b} * xc AS DECIMAL(38,0))) AS s{b},"
+        f" CAST(SUM(w{b}) AS BIGINT) AS n{b}"
+        for b in range(_BOOT_B)
+    )
+    replicas = " UNION ALL ".join(
+        f"SELECT {b} AS replica_id, n{b} AS n_eff,"
+        f" CAST(s{b} AS DOUBLE) / CAST(n{b} AS DOUBLE) / 100.0 AS boot_mean"
+        " FROM agg"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+WITH cents AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS xc
+  FROM orders
+),
+hs AS (SELECT xc, {h_cols} FROM cents),
+us AS (SELECT xc, {u_cols} FROM hs),
+ws AS (SELECT xc, {w_cols} FROM us),
+agg AS (SELECT {s_cols} FROM ws)
+{replicas}
+"""
+
+
 QUERIES = {
     "dq_orders_report": dq_orders_report,
     "fd_violation_audit": fd_violation_audit,
     "table_checksum_audit": table_checksum_audit,
+    "poisson_bootstrap_means": poisson_bootstrap_means,
     "zscore_outlier_orders": zscore_outlier_orders,
     "join_fanout_audit": join_fanout_audit,
     "fk_integrity_audit": fk_integrity_audit,
@@ -1217,6 +1406,7 @@ ORACLE = {
     "dq_orders_report": _DQ_SQL,
     "fd_violation_audit": _fd_audit_sql(),
     "table_checksum_audit": _checksum_sql(),
+    "poisson_bootstrap_means": _bootstrap_sql(),
     "zscore_outlier_orders": _ZSCORE_SQL,
     "join_fanout_audit": _FANOUT_SQL,
     "fk_integrity_audit": _fk_audit_sql(),

@@ -272,3 +272,26 @@ def test_table_checksum_order_invariant_content_sensitive(spark, tmp_path):
     assert sa["documents"] != sc["documents"]
     assert {k: v for k, v in sa.items() if k != "documents"} == \
            {k: v for k, v in sc.items() if k != "documents"}
+
+
+def test_poisson_bootstrap_replicas_center_on_mean(spark, sf_dir):
+    """Each replica resamples ~n rows; the replica means cluster around
+    the exact mean; assignment is deterministic across runs."""
+    from big_data_pipeline_spark.workloads.data_quality import (
+        _BOOT_B,
+        poisson_bootstrap_means,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    true_mean = orders.agg({"o_totalprice": "avg"}).collect()[0][0]
+
+    rows = poisson_bootstrap_means(spark, sf_dir).collect()
+    assert len(rows) == _BOOT_B
+    assert {r.replica_id for r in rows} == set(range(_BOOT_B))
+    for r in rows:
+        assert 0.8 * n < r.n_eff < 1.2 * n      # Poisson(1) mass ~ n
+        assert abs(r.boot_mean - true_mean) / true_mean < 0.05
+    again = {(r.replica_id, r.n_eff, r.boot_mean)
+             for r in poisson_bootstrap_means(spark, sf_dir).collect()}
+    assert again == {(r.replica_id, r.n_eff, r.boot_mean) for r in rows}
