@@ -111,8 +111,13 @@ _MODULES = (
 # session_concurrency_peak, bm25_topk_docs, key_skew_profile,
 # mad_robust_outliers, ks_drift_stat, spearman_rank_corr,
 # mannwhitney_shift_test, knn_label_vote, funnel_window_timeout,
-# text_normalize_dedup, surrogate_global_seq, equidepth_histogram —
-# 37 total for round 5 (plus rows-only ann_recall_report).
+# text_normalize_dedup, surrogate_global_seq, equidepth_histogram,
+# and the late-round-4 batch: seasonal_residual_outliers,
+# gap_fill_forward, contrastive_negative_pairs (displaced below in
+# favor of the newest audit ops), fd_violation_audit,
+# doc_char_diversity, epoch_shuffle_shards, plus everything committed
+# after this comment — all green in the local sweep
+# (plus rows-only ann_recall_report).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
@@ -141,8 +146,8 @@ _PRIORITY = (
     "rfm_user_segments",
     "sequence_pattern_counts",
     "event_type_pivot",
-    "gap_fill_forward",
-    "seasonal_residual_outliers",
+    "table_checksum_audit",
+    "poisson_bootstrap_means",
     "quality_rank_normalize",
     # --- first-timers: text / fingerprints
     "boilerplate_span_strip",
@@ -156,7 +161,7 @@ _PRIORITY = (
     "knn_matryoshka_rerank",
     "embedding_pq_codes",
     "hard_negative_mining",
-    "contrastive_negative_pairs",
+    "blocklist_term_filter",
     "entity_clusters",
     "curation_pipeline_v2",
     # --- first-timers: multimodal
