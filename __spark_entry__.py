@@ -35,6 +35,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     graph_rank,
     llm_pipeline,
     merge_workloads,
+    ml_prep,
     multimodal,
     nested_types,
     pipeline_flagship,
@@ -67,6 +68,7 @@ _MODULES = (
     dedup,
     clusters,
     graph_rank,
+    ml_prep,
     multimodal,
     nested_types,
     skew,
