@@ -111,9 +111,155 @@ LIMIT {_TOP_K}
 """
 
 
+# --- item-item collaborative-filtering cosine -------------------------------
+
+_CF_CAP = 20  # top parts kept per customer (see docstring)
+_CF_K = 5
+_CF_MIN_USERS = 2
+
+
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., WWW 2001): for
+    every part, the ``_CF_K`` most similar parts by cosine over the
+    customer-quantity rating matrix (rating = a customer's total
+    ordered quantity of a part, capped to each customer's ``_CF_CAP``
+    heaviest parts).
+
+    The per-customer cap is the standard CF skew guard AND the 100 TB
+    guarantee: pair fan-out is sum over users of m*(m-1) with m <=
+    ``_CF_CAP``, i.e. linear in users with a constant factor — an
+    unbounded heavy user would otherwise contribute quadratic pairs
+    (same failure mode salting addresses in joins). Ratings and the
+    pair products route through DECIMAL(38,6) so cosine is
+    order-insensitive and cross-engine exact; norms are computed from
+    the SAME capped rating set, so cosine <= 1 holds exactly.
+    """
+    ratings_raw = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(
+            read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("o_custkey").orderBy(
+        F.desc("r"), F.asc("l_partkey")
+    )
+    ratings = (
+        ratings_raw.withColumn("cap_rn", F.row_number().over(wcap))
+        .filter(F.col("cap_rn") <= _CF_CAP)
+        .select("o_custkey", "l_partkey", "r")
+    )
+    norms = ratings.groupBy(F.col("l_partkey")).agg(
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sqn")
+    )
+    a = ratings.select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("part_i"),
+        F.col("r").alias("ri"),
+    )
+    b = ratings.select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("part_j"),
+        F.col("r").alias("rj"),
+    )
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("part_i") != F.col("part_j"))
+        .groupBy("part_i", "part_j")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_users"),
+            F.sum((F.col("ri") * F.col("rj")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("num"),
+        )
+        .filter(F.col("n_common_users") >= _CF_MIN_USERS)
+    )
+    scored = (
+        pairs.join(
+            norms.select(F.col("l_partkey").alias("part_i"), F.col("sqn").alias("sqn_i")),
+            "part_i",
+        )
+        .join(
+            norms.select(F.col("l_partkey").alias("part_j"), F.col("sqn").alias("sqn_j")),
+            "part_j",
+        )
+        .withColumn(
+            "cosine",
+            F.col("num") / (F.sqrt("sqn_i") * F.sqrt("sqn_j")),
+        )
+    )
+    wk = Window.partitionBy("part_i").orderBy(F.desc("cosine"), F.asc("part_j"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= _CF_K)
+        .select("part_i", "rank", "part_j", "n_common_users", "cosine")
+    )
+
+
+def _cf_sql() -> str:
+    from big_data_pipeline_spark.oracle import _dec_to_double_sql
+
+    r_sum = _dec_to_double_sql("SUM(CAST(l_quantity AS DECIMAL(38,6)))")
+    sqn_sum = _dec_to_double_sql("SUM(CAST(r * r AS DECIMAL(38,6)))")
+    num_sum = _dec_to_double_sql("SUM(CAST(a.r * b.r AS DECIMAL(38,6)))")
+    return f"""
+WITH ratings_raw AS (
+  SELECT o.o_custkey, l.l_partkey, {r_sum} AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+),
+ratings AS (
+  SELECT o_custkey, l_partkey, r FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY r DESC, l_partkey ASC) AS cap_rn
+    FROM ratings_raw
+  ) WHERE cap_rn <= {_CF_CAP}
+),
+norms AS (
+  SELECT l_partkey, {sqn_sum} AS sqn FROM ratings GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_i, b.l_partkey AS part_j,
+         COUNT(*) AS n_common_users, {num_sum} AS num
+  FROM ratings a JOIN ratings b
+    ON a.o_custkey = b.o_custkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_CF_MIN_USERS}
+),
+scored AS (
+  SELECT p.part_i, p.part_j, p.n_common_users,
+         p.num / (sqrt(ni.sqn) * sqrt(nj.sqn)) AS cosine
+  FROM pairs p
+  JOIN norms ni ON ni.l_partkey = p.part_i
+  JOIN norms nj ON nj.l_partkey = p.part_j
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part_i
+                               ORDER BY cosine DESC, part_j ASC) AS "rank"
+  FROM scored
+)
+SELECT part_i, "rank", part_j, n_common_users, cosine
+FROM ranked WHERE "rank" <= {_CF_K}
+"""
+
+
 QUERIES = {
     "part_affinity_lift": part_affinity_lift,
+    "item_item_cosine_topk": item_item_cosine_topk,
 }
 ORACLE = {
     "part_affinity_lift": _AFFINITY_SQL,
+    "item_item_cosine_topk": _cf_sql(),
 }

@@ -109,12 +109,69 @@ GROUP BY GROUPING SETS ((hour_start), (day_start))
 """
 
 
+# --- simple exponential smoothing (closed form, no recursion) ---------------
+#
+# SES with alpha = 1/2: S_1 = x_1, S_t = (x_t + S_{t-1}) / 2. The
+# sequential recurrence unrolls to a weighted sum with DYADIC weights
+# (x_i * 2^-k), each term an exact IEEE product in both engines
+# (POWER(0.5, k) is exactly representable), and the terms are summed
+# through DECIMAL(38,6) — so the "stateful" smoother becomes ONE window
+# pass + one agg, order-insensitive and cross-engine exact. This is the
+# same recurrence-to-closed-form move as the grouped MSE and EWMA
+# queries; at 100 TB it shuffles once on user_id and never serializes a
+# per-user scan into the driver.
+
+
+def ses_forecast_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy("user_id")
+    )
+    rn = F.row_number().over(w)
+    weight = F.when(rn == 1, F.pow(F.lit(0.5), n - 1)).otherwise(
+        F.pow(F.lit(0.5), n - rn + 1)
+    )
+    term = (F.col("value") * weight).cast(DEC)
+    return (
+        events.select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("term").cast("double").alias("ses_value"),
+        )
+    )
+
+
+_SES_SQL = """
+WITH seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+terms AS (
+  SELECT user_id,
+         CAST(value * (CASE WHEN rn = 1 THEN POWER(0.5, n - 1)
+                            ELSE POWER(0.5, n - rn + 1) END)
+              AS DECIMAL(38,6)) AS term
+  FROM seq
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS ses_value
+FROM terms GROUP BY user_id
+"""
+
+
 QUERIES = {
     "user_value_features": user_value_features,
     "time_rollup_multigrain": time_rollup_multigrain,
+    "ses_forecast_user_value": ses_forecast_user_value,
 }
 
 ORACLE = {
     "user_value_features": _FEATURES_SQL,
     "time_rollup_multigrain": _ROLLUP_MULTI_SQL,
+    "ses_forecast_user_value": _SES_SQL,
 }

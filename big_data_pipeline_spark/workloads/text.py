@@ -311,6 +311,83 @@ WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= {_JACCARD_THRESHOLD
 """
 
 
+# --- shingle_containment_pairs: asymmetric (subset-copy) near-dup -----------
+# Containment C(A,B) = |A ∩ B| / min(|A|, |B|): a small document pasted
+# inside a much larger one scores near 1 here but far below any Jaccard
+# threshold (the union is dominated by the big doc) — the quote/
+# boilerplate-inclusion case symmetric Jaccard structurally misses
+# (Broder 1997 distinguishes exactly these two resemblance measures).
+# Same blocking + intersection plan as shingle_jaccard_pairs (one
+# shuffle-hash equi-join on the shingle key, sizes broadcast); only the
+# normalizer changes, so the 100 TB properties carry over unchanged.
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("s1.n"), F.col("s2.n")
+    )
+    jacc = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(s1), F.col("doc_id1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc_id2") == F.col("s2.doc_id"))
+        .filter(containment >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_id1",
+            "doc_id2",
+            "n_common",
+            containment.alias("containment"),
+            jacc.alias("jaccard"),
+        )
+    )
+
+
+_CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id1, doc_id2, n_common,
+       CAST(n_common AS DOUBLE) / LEAST(s1.n, s2.n) AS containment,
+       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_id1
+JOIN sizes s2 ON s2.doc_id = doc_id2
+WHERE CAST(n_common AS DOUBLE) / LEAST(s1.n, s2.n) >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
 # --- dup_span_fraction: cross-document duplicated-span share ----------------
 # The ExactSubstr dedup signal (Lee et al. 2022, "Deduplicating
 # Training Data Makes Language Models Better") at shingle granularity:
@@ -1482,6 +1559,7 @@ QUERIES = {
     "lang_stats": lang_stats,
     "exact_dedup": exact_dedup,
     "shingle_jaccard_pairs": shingle_jaccard_pairs,
+    "shingle_containment_pairs": shingle_containment_pairs,
     "dup_span_fraction": dup_span_fraction,
     "jaccard_prefix_filter_pairs": jaccard_prefix_filter_pairs,
     "bigram_lm_quality": bigram_lm_quality,
@@ -1508,6 +1586,7 @@ ORACLE = {
     "lang_stats": _LANG_STATS_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "shingle_jaccard_pairs": _JACCARD_SQL,
+    "shingle_containment_pairs": _CONTAINMENT_SQL,
     "dup_span_fraction": _DUP_SPAN_SQL,
     # the oracle is the NAIVE all-shared-shingles formulation — the
     # driver's hash check proves the prefix filter loses no pairs

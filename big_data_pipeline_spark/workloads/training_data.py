@@ -1034,7 +1034,96 @@ FROM h
 """
 
 
+# --- local differential privacy: randomized response ------------------------
+#
+# Warner (1965) randomized response, the LDP primitive every private
+# telemetry/count pipeline builds on: each row reports its TRUE order
+# status with probability p, otherwise a uniformly random status — then
+# the aggregate de-biases the noisy counts. "Random" is the house
+# deterministic double-round LCG scrambler (cf. stratified_sample_docs),
+# so the privatized report is reproducible across runs, cluster
+# layouts, AND engines — which makes the whole mechanism
+# oracle-checkable while keeping the estimator mathematics intact
+# (the scrambler passes the same uniformity tests as the samplers).
+# Scale: one narrow map + one tiny groupBy — nothing driver-side.
+
+_RR_SALT = 65537
+_RR_KEEP_NUM = 3  # keep truth with prob 3/4
+_RR_KEEP_DEN = 4
+_RR_STATUSES = ("F", "O", "P")  # orders.o_orderstatus domain, sorted
+
+
+def rr_dp_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    m = 2147483648
+    h1 = ((F.col("o_orderkey") + _RR_SALT) * 1103515245 + 12345) % m
+    coin = (h1 * 1103515245 + 12345) % m
+    h2 = ((F.col("o_orderkey") + _RR_SALT * 2) * 1103515245 + 12345) % m
+    pick = (h2 * 1103515245 + 12345) % m % len(_RR_STATUSES)
+    alt = F.when(pick == 0, _RR_STATUSES[0]).when(
+        pick == 1, _RR_STATUSES[1]
+    ).otherwise(_RR_STATUSES[2])
+    keep = coin * _RR_KEEP_DEN < m * _RR_KEEP_NUM
+    reported = (
+        orders.select(
+            F.when(keep, F.col("o_orderstatus")).otherwise(alt).alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_reported"))
+    )
+    truth = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    p = float(_RR_KEEP_NUM) / _RR_KEEP_DEN
+    q = (1.0 - p) / len(_RR_STATUSES)
+    est = F.expr(
+        f"(CAST(n_reported AS DOUBLE) - CAST(n_total AS DOUBLE) * {q!r})"
+        f" / {p!r}"
+    )
+    return (
+        reported.join(truth, "status", "full")
+        .crossJoin(F.broadcast(total))
+        .select("status", "n_true", "n_reported", est.alias("n_estimated"))
+    )
+
+
+def _rr_sql() -> str:
+    m = 2147483648
+    p = float(_RR_KEEP_NUM) / _RR_KEEP_DEN
+    q = (1.0 - p) / len(_RR_STATUSES)
+    coin = (
+        f"((((o_orderkey + {_RR_SALT}) * 1103515245 + 12345) % {m})"
+        f" * 1103515245 + 12345) % {m}"
+    )
+    pick = (
+        f"((((o_orderkey + {_RR_SALT * 2}) * 1103515245 + 12345) % {m})"
+        f" * 1103515245 + 12345) % {m} % {len(_RR_STATUSES)}"
+    )
+    alts = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_RR_STATUSES)
+    )
+    return f"""
+WITH reported AS (
+  SELECT CASE WHEN ({coin}) * {_RR_KEEP_DEN} < CAST({m} AS BIGINT) * {_RR_KEEP_NUM}
+              THEN o_orderstatus
+              ELSE (CASE ({pick}) {alts} END) END AS status
+  FROM orders
+),
+rep AS (SELECT status, COUNT(*) AS n_reported FROM reported GROUP BY status),
+truth AS (SELECT o_orderstatus AS status, COUNT(*) AS n_true
+          FROM orders GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_total FROM orders)
+SELECT COALESCE(rep.status, truth.status) AS status, n_true, n_reported,
+       (CAST(n_reported AS DOUBLE) - CAST(n_total AS DOUBLE) * {q!r}) / {p!r}
+         AS n_estimated
+FROM rep FULL JOIN truth ON rep.status = truth.status
+CROSS JOIN total
+"""
+
+
 QUERIES = {
+    "rr_dp_status_counts": rr_dp_status_counts,
     "incremental_dedup_new_batch": incremental_dedup_new_batch,
     "epoch_shuffle_shards": epoch_shuffle_shards,
     "incremental_neardup_batch": incremental_neardup_batch,
@@ -1054,6 +1143,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rr_dp_status_counts": _rr_sql(),
     "epoch_shuffle_shards": _EPOCH_SHUFFLE_SQL,
     "incremental_neardup_batch": _INCR_NEARDUP_SQL,
     "mixture_temperature_resample": _MIXTURE_SQL,
