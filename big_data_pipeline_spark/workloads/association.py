@@ -154,6 +154,10 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcap = Window.partitionBy("o_custkey").orderBy(
         F.desc("r"), F.asc("l_partkey")
     )
+    # the capped subtree feeds six plan branches (self-join sides, the
+    # mirror union, both norm joins) — Spark's ReusedExchange dedups
+    # the repeated shuffles, so no materialization is needed (measured:
+    # localCheckpoint here is a net loss at sf0.1)
     ratings = (
         ratings_raw.withColumn("cap_rn", F.row_number().over(wcap))
         .filter(F.col("cap_rn") <= _CF_CAP)
@@ -174,9 +178,13 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_j"),
         F.col("r").alias("rj"),
     )
-    pairs = (
+    # aggregate ONE orientation (i < j) and mirror the aggregated pairs:
+    # cosine/support are symmetric, so this halves the pre-agg shuffle —
+    # the dominant cost, since pair rows are near-unique and get almost
+    # no map-side combine
+    pairs_lt = (
         a.join(b, "u")
-        .filter(F.col("part_i") != F.col("part_j"))
+        .filter(F.col("part_i") < F.col("part_j"))
         .groupBy("part_i", "part_j")
         .agg(
             F.count(F.lit(1)).alias("n_common_users"),
@@ -185,6 +193,14 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("num"),
         )
         .filter(F.col("n_common_users") >= _CF_MIN_USERS)
+    )
+    pairs = pairs_lt.unionByName(
+        pairs_lt.select(
+            F.col("part_j").alias("part_i"),
+            F.col("part_i").alias("part_j"),
+            "n_common_users",
+            "num",
+        )
     )
     scored = (
         pairs.join(
@@ -230,13 +246,19 @@ ratings AS (
 norms AS (
   SELECT l_partkey, {sqn_sum} AS sqn FROM ratings GROUP BY l_partkey
 ),
-pairs AS (
+pairs_lt AS (
   SELECT a.l_partkey AS part_i, b.l_partkey AS part_j,
          COUNT(*) AS n_common_users, {num_sum} AS num
   FROM ratings a JOIN ratings b
-    ON a.o_custkey = b.o_custkey AND a.l_partkey <> b.l_partkey
+    ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
   HAVING COUNT(*) >= {_CF_MIN_USERS}
+),
+pairs AS (
+  SELECT part_i, part_j, n_common_users, num FROM pairs_lt
+  UNION ALL
+  SELECT part_j AS part_i, part_i AS part_j, n_common_users, num
+  FROM pairs_lt
 ),
 scored AS (
   SELECT p.part_i, p.part_j, p.n_common_users,
