@@ -566,3 +566,59 @@ def test_fd_audit_partial_aggregation_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fd_violation_audit")
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_nb_classifier_model_joins_broadcast(spark, sf_dir):
+    """The NB model frames (priors, totals, vocab scalar, lang list) are
+    model-sized and must broadcast; the only data-sized shuffles key on
+    token / (doc, lang) — never a cartesian on the token stream."""
+    plan = _plan(spark, sf_dir, "nb_lang_confusion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # argmax via rank-1 group limit
+
+
+def test_chi2_contingency_broadcasts_lang_totals(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "chi2_token_lang")
+    assert "BroadcastHashJoin" in plan  # lang_docs + n_docs broadcast
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # top-8 cut before full sort
+
+
+def test_lof_broadcasts_corpus_side_arrow_kernel(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lof_knn_outliers")
+    assert "BroadcastNestedLoopJoin" in plan  # bounded slice x slice
+    assert "ArrowEvalPython" in plan  # vectorized L2, not row UDF
+    assert "WindowGroupLimit" in plan  # kNN rank cut
+
+
+def test_cf_cosine_caps_via_group_limit_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "item_item_cosine_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-customer cap AND final top-k both via WindowGroupLimit
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final x 2 windows
+
+
+def test_rr_dp_is_single_pass_no_join_on_data(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rr_dp_status_counts")
+    assert "CartesianProduct" not in plan
+    # the privatized stream collapses map-side BEFORE any exchange: the
+    # only joins align |statuses|-row aggregates (the full-outer there
+    # may legally plan as a tiny SMJ), and the total is a broadcast
+    # scalar — so every Exchange moves at most |statuses| rows per task
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ses_forecast_single_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ses_forecast_user_value")
+    assert "Join" not in plan
+    # window + agg both key on user_id: one logical repartitioning
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_containment_pairs_equi_join_on_shingle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shingle_containment_pairs")
+    assert "ShuffledHashJoin" in plan  # pinned against broadcast misfire
+    assert "CartesianProduct" not in plan
