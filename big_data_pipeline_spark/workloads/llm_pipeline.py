@@ -763,7 +763,162 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE merge-rule learning (tokenizer training) ---------------------------
+#
+# Sennrich et al. (ACL 2016) byte-pair-encoding trainer: K rounds of
+# "count adjacent symbol pairs, merge the most frequent". The corpus-
+# scale stage is ONE distributed aggregation — word frequencies with
+# map-side combine — after which BPE provably needs only the weighted
+# vocabulary (pair counts are sums over distinct words x their corpus
+# counts), which is model-sized at any corpus scale: 100 TB of text
+# still yields a vocab that fits one executor. Rounds therefore iterate
+# on the compact table: pair counting is a tiny explode+agg per round,
+# the argmax is a 1-row collect (a model parameter, not row data), and
+# the merge applies via an Arrow-batched UDF. This two-phase shape
+# (distributed count -> compact iterate) is exactly how production BPE
+# trainers scale.
+#
+# Rows-only driver check: the output IS the learned merge table (K
+# rows), produced by an iterative argmax that SQL window functions
+# cannot replay; tests/test_llm_pipeline.py replays the identical
+# algorithm in pure Python and pins the rules exactly.
+
+_BPE_ROUNDS = 8
+_BPE_EOW = "</w>"
+# Below this distinct-word count the weighted vocab is collected and
+# the rounds run in-process — the same gated driver-solve as
+# operators/graph.py's PageRank (driver_max_edges): the vocab is a
+# MODEL (bounded by the language, not the corpus — production BPE
+# trainers hold exactly this word-count table in RAM), so iterating K
+# rounds on it locally beats K Spark jobs of pure scheduling overhead
+# (measured 15.8s -> <1s at sf0.001). Above the gate the distributed
+# round loop below computes identical rules.
+_BPE_DRIVER_MAX_VOCAB = 200_000
+
+
+def _bpe_learn_local(word_counts, rounds):
+    """Reference BPE rounds over a {word: count} table (greedy
+    left-to-right pair scan, ties broken (count desc, left, right))."""
+    seqs = {w: [*w, _BPE_EOW] for w in word_counts}
+    rules = []
+    for rnd in range(1, rounds + 1):
+        counts: dict[tuple, int] = {}
+        for w, syms in seqs.items():
+            wc = word_counts[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + wc
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        rules.append((rnd, left, right, merged, cnt))
+        for w, syms in seqs.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return rules
+
+
+def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+    if words.count() <= _BPE_DRIVER_MAX_VOCAB:
+        wc_map = {r.word: r.wc for r in words.collect()}  # model-sized
+        rules = _bpe_learn_local(wc_map, _BPE_ROUNDS)
+        return spark.createDataFrame(
+            [(r, l, rt, m, int(c)) for r, l, rt, m, c in rules],
+            "round int, left string, right string, merged string,"
+            " pair_count bigint",
+        )
+
+    seqs = words.select(
+        "wc",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(_BPE_EOW))
+        ).alias("syms"),
+    ).localCheckpoint()
+
+    rules = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pair_counts = (
+            seqs.select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("syms") - 1
+                        ),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        top = pair_counts.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0].l, top[0].r, top[0].cnt
+        merged = left + right
+        rules.append((rnd, left, right, merged, int(cnt)))
+
+        @pandas_udf(T.ArrayType(T.StringType()))
+        def apply_merge(col):  # noqa: B023 - rebuilt each round on purpose
+            import pandas as pd
+
+            def merge_one(syms):
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(merged)
+                        i += 2  # greedy left-to-right, non-overlapping
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                return out
+
+            return pd.Series([merge_one(list(s)) for s in col])
+
+        seqs = seqs.select("wc", apply_merge("syms").alias("syms"))
+        # cut lineage each round — K stacked UDF stages otherwise
+        # re-execute cumulatively (same discipline as the CC/PageRank
+        # loops in operators/graph.py)
+        seqs = seqs.localCheckpoint()
+
+    return spark.createDataFrame(
+        rules, "round int, left string, right string, merged string, pair_count bigint"
+    )
+
+
 QUERIES = {
+    "bpe_merge_learn": bpe_merge_learn,
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
     "curation_pipeline_v2": curation_pipeline_v2,
     "length_bucket_batches": length_bucket_batches,

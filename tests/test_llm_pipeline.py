@@ -173,3 +173,53 @@ def test_length_bucket_batches_invariants(spark, sf_dir):
         assert len(short) <= 1
         if short:
             assert short[0].batch_id == max(r.batch_id for r in rows)
+
+
+def test_bpe_merge_learn_matches_independent_reference(spark, sf_dir):
+    """Pin the learned merge table against an independently-coded BPE
+    (collections.Counter + max), and prove the distributed round-loop
+    computes the same rules as the gated driver-solve."""
+    from collections import Counter
+
+    import big_data_pipeline_spark.workloads.llm_pipeline as lp
+    from big_data_pipeline_spark.io import read_table
+
+    got = [tuple(r) for r in lp.bpe_merge_learn(spark, sf_dir).collect()]
+    assert len(got) == lp._BPE_ROUNDS
+
+    # independent reference over the same whitespace token stream
+    wc = Counter()
+    for row in read_table(spark, sf_dir, "documents").select("text").collect():
+        for w in row.text.strip().split():
+            wc[w] += 1
+    seqs = {w: [*w, lp._BPE_EOW] for w in wc}
+    expect = []
+    for rnd in range(1, lp._BPE_ROUNDS + 1):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        (l, r), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rnd, l, r, l + r, cnt))
+        for w in seqs:
+            syms, out, i = seqs[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (l, r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    assert got == expect
+
+    # distributed fallback path produces identical rules
+    old = lp._BPE_DRIVER_MAX_VOCAB
+    try:
+        lp._BPE_DRIVER_MAX_VOCAB = 0
+        dist = [tuple(r) for r in lp.bpe_merge_learn(spark, sf_dir).collect()]
+    finally:
+        lp._BPE_DRIVER_MAX_VOCAB = old
+    assert dist == got

@@ -38,6 +38,7 @@ def test_registry_consistency():
                 "approx",
                 "binpack",  # greedy capacity reset: stateful, no window form
                 "heavy_hitter",  # MG estimates are traversal-order-specific
+                "merge_learn",  # BPE: iterative argmax-merge, no SQL replay
             )
         ), name
 
