@@ -763,6 +763,123 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- count-min sketch (deterministic, oracle-checked) -----------------------
+#
+# Cormode & Muthukrishnan (2005): d hash rows x w counters, point query
+# = min over rows. Unlike the theta/HLL/MG sketches (rows-only checks —
+# their estimates depend on sample/traversal order), CMS is a PURE
+# function of the multiset: with fixed hash functions the counter
+# matrix is exactly reproducible, so this is the one sketch family
+# member the DuckDB oracle can replay cell-exactly. The shared hash is
+# md5-prefix -> uint32 (identical in both engines, validated in
+# tests/test_sketches.py), bucketed mod w.
+#
+# Scale: the sketch build is one explode(d) + groupBy((row, bucket)) —
+# at most d*w groups regardless of corpus size (the textbook mergeable-
+# summary property: per-partition partial sketches combine by cell
+# addition, which is exactly Spark's partial aggregation). Point
+# queries probe d cells per queried token via a broadcast equi-join.
+
+_CMS_W = 512
+_CMS_D = 4
+_CMS_TOP = 20
+
+
+def _cms_bucket(col, k: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"s{k}:"), col)), 1, 8), 16, 10
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokenize("text")).alias("token"))
+    rows = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        _cms_bucket(F.col("token"), k).alias("bucket"),
+                    )
+                    for k in range(_CMS_D)
+                ]
+            )
+        ).alias("cell")
+    )
+    sketch = rows.groupBy("cell.k", "cell.bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    true_counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    top = true_counts.orderBy(
+        F.desc("true_count"), F.asc("token")
+    ).limit(_CMS_TOP)
+    probes = top.select(
+        "token",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        _cms_bucket(F.col("token"), k).alias("bucket"),
+                    )
+                    for k in range(_CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "true_count", "cell.k", "cell.bucket")
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["k", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .withColumn(
+            "overestimate", F.col("cms_estimate") - F.col("true_count")
+        )
+    )
+
+
+def _cms_sql() -> str:
+    hash_expr = (
+        "CAST(concat('0x', substr(md5(concat('s', CAST(k AS VARCHAR), ':', "
+        "token)), 1, 8)) AS BIGINT) % {w}"
+    ).format(w=_CMS_W)
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+cells AS (
+  SELECT token, CAST(r.k AS INT) AS k, {hash_expr} AS bucket
+  FROM tok CROSS JOIN range({_CMS_D}) r(k)
+),
+sketch AS (SELECT k, bucket, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+truec AS (SELECT token, COUNT(*) AS true_count FROM tok GROUP BY 1),
+top AS (
+  SELECT token, true_count FROM truec
+  ORDER BY true_count DESC, token ASC LIMIT {_CMS_TOP}
+),
+probes AS (
+  SELECT t.token, t.true_count, CAST(r.k AS INT) AS k, {hash_expr} AS bucket
+  FROM top t CROSS JOIN range({_CMS_D}) r(k)
+),
+est AS (
+  SELECT p.token, p.true_count, MIN(s.c) AS cms_estimate
+  FROM probes p JOIN sketch s ON s.k = p.k AND s.bucket = p.bucket
+  GROUP BY 1, 2
+)
+SELECT token, true_count, cms_estimate,
+       cms_estimate - true_count AS overestimate
+FROM est
+"""
+
+
 # --- BPE merge-rule learning (tokenizer training) ---------------------------
 #
 # Sennrich et al. (ACL 2016) byte-pair-encoding trainer: K rounds of
@@ -918,6 +1035,7 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "cms_token_counts": cms_token_counts,
     "bpe_merge_learn": bpe_merge_learn,
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
     "curation_pipeline_v2": curation_pipeline_v2,
@@ -935,6 +1053,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cms_token_counts": _cms_sql(),
     "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
     "curation_pipeline_v2": _curation_v2_sql(),
     "length_bucket_batches": _LENGTH_BUCKET_SQL,

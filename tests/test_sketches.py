@@ -106,3 +106,20 @@ def test_misra_gries_guarantee(spark):
     for key in ("heavy_0", "heavy_1", "heavy_2"):
         assert key in got  # freq 1000 > 8000/101
         assert 1000 - n / 101 <= got[key] <= 1000
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavies(spark, sf_dir):
+    """CMS guarantee: estimate >= true count always; with w=512 and a
+    small synthetic vocab, the top tokens should be exact or nearly so."""
+    from big_data_pipeline_spark.workloads.llm_pipeline import (
+        cms_token_counts,
+    )
+
+    rows = cms_token_counts(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.overestimate >= 0  # the one-sided CMS error bound
+        assert r.cms_estimate >= r.true_count
+    # vocab << w*d: collisions are rare, most heavy tokens exact
+    exact = sum(1 for r in rows if r.overestimate == 0)
+    assert exact >= len(rows) * 0.5
