@@ -120,6 +120,18 @@ _MODULES = (
 # doc_char_diversity, epoch_shuffle_shards, plus everything committed
 # after this comment — all green in the local sweep
 # (plus rows-only ann_recall_report).
+#
+# Mid-round-4 adjustment: the nine operators built THIS round
+# (nb_lang_confusion, chi2_token_lang, lof_knn_outliers,
+# item_item_cosine_topk, rr_dp_status_counts, ses_forecast_user_value,
+# shingle_containment_pairs, cms_token_counts, and rows-only
+# bpe_merge_learn) take window slots immediately (r02 verdict item 7:
+# newest work accumulates driver rows early). Displaced to the FRONT
+# of the round-5 rotation, families still represented in-window:
+# except_all_item_quantities, nth_order_values_per_customer,
+# salted_agg_flag_stats, sequence_pattern_counts, event_type_pivot,
+# sample_bottomk_docs, poisson_bootstrap_means, bpe_token_counts,
+# dataset_card_stats.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
@@ -136,33 +148,37 @@ _PRIORITY = (
     # --- first-timers: relational analytics
     "nation_revenue_share",
     "customer_revenue_pareto",
-    "except_all_item_quantities",
-    "nth_order_values_per_customer",
     "winsorized_priority_revenue",
-    "salted_agg_flag_stats",
     "join_fanout_audit",
     "lineitem_regression_stats",
     # --- first-timers: behavioral / event analytics
     "attribution_latency_stats",
     "event_transition_matrix",
     "rfm_user_segments",
-    "sequence_pattern_counts",
-    "event_type_pivot",
     "table_checksum_audit",
-    "poisson_bootstrap_means",
     "quality_rank_normalize",
+    # --- round-4 new: relational/behavior analytics
+    "ses_forecast_user_value",
+    "rr_dp_status_counts",
+    "item_item_cosine_topk",
     # --- first-timers: text / fingerprints
     "boilerplate_span_strip",
     "token_cooccurrence_topk",
     "lang_id_confusion",
     "inverted_index_postings",
-    "bpe_token_counts",
     "doc_fingerprint_winnow",
+    # --- round-4 new: text / tokenizer / sketch
+    "nb_lang_confusion",
+    "chi2_token_lang",
+    "shingle_containment_pairs",
+    "cms_token_counts",
+    "bpe_merge_learn",
     # --- first-timers: embeddings / ANN / curation
     "semdedup_prune",
     "knn_matryoshka_rerank",
     "embedding_pq_codes",
     "hard_negative_mining",
+    "lof_knn_outliers",
     "blocklist_term_filter",
     "entity_clusters",
     "curation_pipeline_v2",
@@ -175,9 +191,7 @@ _PRIORITY = (
     "kmeans_topic_terms",
     # --- first-timers: training-data prep / sampling
     "length_bucket_batches",
-    "dataset_card_stats",
     "source_mix_drift",
-    "sample_bottomk_docs",
     "source_quota_sample",
     # (weighted_sample_docs -> round-5 rotation; its slot funds the new
     # schema-wide FK integrity audit)
