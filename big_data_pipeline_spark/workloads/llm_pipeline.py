@@ -763,6 +763,63 @@ def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gini concentration audit (source size inequality) ----------------------
+#
+# Corpus curation wants to know how unequally content is distributed —
+# a source whose token mass is concentrated in a handful of giant
+# documents behaves very differently under per-doc sampling than one
+# with uniform sizes. The Gini coefficient over doc sizes per source is
+# the standard inequality measure; the rank formula
+#   G = (2 * sum(i * x_i)) / (n * sum(x_i)) - (n + 1) / n
+# (x ascending, i = 1..n) needs one per-source rank window + integer
+# aggregations — all sums are exact BIGINTs (n_chars is integral), the
+# final expression is one fixed-association double. Per-source windows
+# partition by source (bounded docs per source per shard at scale —
+# the same per-key argument as the sessionizers).
+
+
+def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("rank_mass"),
+    )
+    gini = F.expr(
+        "(2.0 * CAST(rank_mass AS DOUBLE))"
+        " / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))"
+        " - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    )
+    return agg.select(
+        "source", "n_docs", "total_chars", gini.alias("gini")
+    )
+
+
+_GINI_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i
+  FROM documents
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(i * n_chars) AS BIGINT) AS rank_mass
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       (2.0 * CAST(rank_mass AS DOUBLE))
+         / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+         - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gini
+FROM agg
+"""
+
+
 # --- count-min sketch (deterministic, oracle-checked) -----------------------
 #
 # Cormode & Muthukrishnan (2005): d hash rows x w counters, point query
@@ -1035,6 +1092,7 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "gini_source_concentration": gini_source_concentration,
     "cms_token_counts": cms_token_counts,
     "bpe_merge_learn": bpe_merge_learn,
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
@@ -1053,6 +1111,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "gini_source_concentration": _GINI_SQL,
     "cms_token_counts": _cms_sql(),
     "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
     "curation_pipeline_v2": _curation_v2_sql(),

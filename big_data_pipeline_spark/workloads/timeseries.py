@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from big_data_pipeline_spark.io import read_table
 from big_data_pipeline_spark.operators import asof_join, range_join_binned
+from big_data_pipeline_spark.oracle import DEC
 
 # --- as-of join: last purchase value at or before each event ----------------
 
@@ -419,7 +420,164 @@ FROM moments
 """
 
 
+# --- Theil-Sen robust trend per user ----------------------------------------
+#
+# Theil (1950) / Sen (1968): the median of all pairwise slopes — the
+# robust trend estimator (29% breakdown point) that outlier-heavy event
+# streams need where OLS (lineitem_regression_stats) folds. Exact form
+# is O(n²) pairs PER KEY, which is Theil-Sen's nature, not a plan
+# smell: n here is events-per-user (bounded by the entity, not the
+# corpus — the same argument as the CF per-user cap), so pair fan-out
+# is linear in users with an n² constant. A key with unbounded n would
+# use the repeated-median or sampled-pairs variant on the same plan.
+#
+# Median convention (cross-engine exact): pairs are totally ordered by
+# (slope, i, j); the median is (min+max)/2 of the rows at 1-indexed
+# positions floor((m+1)/2) and floor(m/2)+1 — one expression, no
+# engine median() (DuckDB interpolates, Spark approximates).
+
+
+def theilsen_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", F.row_number().over(w).alias("rn"), "value"
+    )
+    a = seq.select("user_id", F.col("rn").alias("i"), F.col("value").alias("vi"))
+    b = seq.select("user_id", F.col("rn").alias("j"), F.col("value").alias("vj"))
+    slopes = (
+        a.join(b, "user_id")
+        .filter(F.col("i") < F.col("j"))
+        .select(
+            "user_id",
+            "i",
+            "j",
+            (
+                (F.col("vj") - F.col("vi"))
+                / (F.col("j") - F.col("i")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    ws = Window.partitionBy("user_id").orderBy("slope", "i", "j")
+    ranked = slopes.select(
+        "user_id",
+        "slope",
+        F.row_number().over(ws).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("m"),
+    )
+    lo = F.floor((F.col("m") + 1) / 2.0)
+    hi = F.floor(F.col("m") / 2.0) + 1
+    mid = ranked.filter((F.col("pos") == lo) | (F.col("pos") == hi))
+    return mid.groupBy("user_id").agg(
+        F.max("m").alias("n_pairs"),
+        ((F.min("slope") + F.max("slope")) / 2.0).alias("ts_slope"),
+    )
+
+
+_THEILSEN_SQL = """
+WITH seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+slopes AS (
+  SELECT a.user_id, a.rn AS i, b.rn AS j,
+         (b.value - a.value) / CAST(b.rn - a.rn AS DOUBLE) AS slope
+  FROM seq a JOIN seq b
+    ON a.user_id = b.user_id AND a.rn < b.rn
+),
+ranked AS (
+  SELECT user_id, slope,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY slope, i, j) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id) AS m
+  FROM slopes
+)
+SELECT user_id, CAST(MAX(m) AS BIGINT) AS n_pairs,
+       (MIN(slope) + MAX(slope)) / 2.0 AS ts_slope
+FROM ranked
+WHERE pos = FLOOR((m + 1) / 2.0) OR pos = FLOOR(m / 2.0) + 1
+GROUP BY user_id
+"""
+
+
+# --- maximum drawdown per user ----------------------------------------------
+#
+# The classic finance risk metric over each user's cumulative value
+# stream (the reference is a stock pipeline — this is the analytics its
+# forecasts feed): drawdown_t = running_max(cum_t) - cum_t; report the
+# worst one and where it bottomed. Two stacked windows keyed on the
+# SAME (user_id, ts, event_id) order = ONE exchange + one sort;
+# cumulative sums route through DECIMAL(38,6) so the running series is
+# order-insensitive and the argmax deterministic (ties -> earliest).
+
+
+def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        F.sum(F.col("value").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    series = events.select(
+        "user_id", "ts", "event_id", cum.alias("cum")
+    ).withColumn(
+        "peak",
+        F.max("cum").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dd = series.select(
+        "user_id",
+        "ts",
+        (F.col("peak") - F.col("cum")).alias("drawdown"),
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("drawdown"), F.asc("ts")
+    )
+    return (
+        dd.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") == 1)
+        .select(
+            "user_id",
+            F.col("drawdown").alias("max_drawdown"),
+            F.col("ts").alias("trough_ts"),
+        )
+    )
+
+
+_DRAWDOWN_SQL = """
+WITH series AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE) AS cum
+  FROM events
+),
+peaked AS (
+  SELECT user_id, ts, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM series
+),
+ranked AS (
+  SELECT user_id, ts, peak - cum AS drawdown,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY peak - cum DESC, ts ASC) AS r
+  FROM peaked
+)
+SELECT user_id, drawdown AS max_drawdown, ts AS trough_ts
+FROM ranked WHERE r = 1
+"""
+
+
 QUERIES = {
+    "theilsen_trend_per_user": theilsen_trend_per_user,
+    "max_drawdown_per_user": max_drawdown_per_user,
     "gap_fill_forward": gap_fill_forward,
     "asof_last_purchase": asof_last_purchase,
     "range_error_purchase_counts": range_error_purchase_counts,
@@ -429,6 +587,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "theilsen_trend_per_user": _THEILSEN_SQL,
+    "max_drawdown_per_user": _DRAWDOWN_SQL,
     "gap_fill_forward": _GAP_FILL_SQL,
     "asof_last_purchase": _ASOF_SQL,
     "range_error_purchase_counts": _RANGE_SQL,
