@@ -1385,7 +1385,157 @@ agg AS (SELECT {s_cols} FROM ws)
 """
 
 
+# --- PSI drift (population stability index) ---------------------------------
+#
+# The industry-standard score monitoring metric: bin a measure, compare
+# the old-period vs new-period bin mix, PSI = Σ (p−q)·ln(p/q). Periods
+# are the deterministic first/second half of the event-time range
+# (integer epoch midpoint), bins are fixed-width on value — both pure
+# narrow maps, so the whole metric is ONE groupBy(bin) with map-side
+# combine plus a |bins|-row projection. Laplace-smoothed proportions
+# keep empty bins finite; per-bin terms are reported (the consumer sums
+# them) with the term itself rounded through DECIMAL(38,12) so the
+# doubles hash cross-engine.
+
+_PSI_BIN_WIDTH = 25.0
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.col("ts").cast("long")).alias("lo"),
+        F.max(F.col("ts").cast("long")).alias("hi"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(rng))
+        .select(
+            (F.col("ts").cast("long") * 2 <= F.col("lo") + F.col("hi"))
+            .alias("is_old"),
+            F.floor(F.col("value") / _PSI_BIN_WIDTH).cast("int").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(F.col("is_old"), 0).otherwise(1)).alias("n_new"),
+        )
+    )
+    totals = binned.agg(
+        F.sum("n_old").alias("tot_old"),
+        F.sum("n_new").alias("tot_new"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    # one shared arithmetic text -> identical IEEE stream in both engines
+    p = "(CAST(n_old AS DOUBLE) + 0.5) / (CAST(tot_old AS DOUBLE) + 0.5 * k)"
+    q = "(CAST(n_new AS DOUBLE) + 0.5) / (CAST(tot_new AS DOUBLE) + 0.5 * k)"
+    term = (
+        f"CAST(CAST((({p}) - ({q})) * ln(({p}) / ({q})) AS DECIMAL(38,12))"
+        " AS DOUBLE)"
+    )
+    return (
+        binned.crossJoin(F.broadcast(totals))
+        .select("bin", "n_old", "n_new", F.expr(term).alias("psi_term"))
+    )
+
+
+_PSI_SQL = f"""
+WITH rng AS (
+  SELECT MIN(epoch(ts)) AS lo, MAX(epoch(ts)) AS hi FROM events
+),
+binned AS (
+  SELECT CAST(FLOOR(value / {_PSI_BIN_WIDTH}) AS INT) AS bin,
+         CAST(SUM(CASE WHEN epoch(ts) * 2 <= lo + hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_old,
+         CAST(SUM(CASE WHEN epoch(ts) * 2 <= lo + hi THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_new
+  FROM events CROSS JOIN rng
+  GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+         CAST(SUM(n_new) AS BIGINT) AS tot_new,
+         COUNT(*) AS k
+  FROM binned
+)
+SELECT bin, n_old, n_new,
+       CAST(CAST(
+         (((CAST(n_old AS DOUBLE) + 0.5) / (CAST(tot_old AS DOUBLE) + 0.5 * k))
+          - ((CAST(n_new AS DOUBLE) + 0.5) / (CAST(tot_new AS DOUBLE) + 0.5 * k)))
+         * ln(((CAST(n_old AS DOUBLE) + 0.5) / (CAST(tot_old AS DOUBLE) + 0.5 * k))
+              / ((CAST(n_new AS DOUBLE) + 0.5) / (CAST(tot_new AS DOUBLE) + 0.5 * k)))
+         AS DECIMAL(38,12)) AS DOUBLE) AS psi_term
+FROM binned CROSS JOIN totals
+"""
+
+
+# --- partition backfill planner (gaps-and-islands) --------------------------
+#
+# The operational audit every scheduled loader needs: which calendar
+# day-partitions are missing between the first and last observed day?
+# Present days are one distinct-agg; the expected calendar is a
+# SEQUENCE scaffold from the (broadcast) min/max scalars — no data-
+# sized join anywhere; missing days collapse into contiguous ranges
+# with the classic gaps-and-islands rn-difference, windowed over the
+# (tiny) missing-day set only.
+
+
+def partition_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    days = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .distinct()
+    )
+    bounds = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    expected = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    missing = expected.join(days, "day", "left_anti")
+    w = Window.orderBy("day")
+    grouped = missing.select(
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        grouped.groupBy("grp")
+        .agg(
+            F.min("day").alias("gap_start"),
+            F.max("day").alias("gap_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("gap_start", "gap_end", "n_days")
+    )
+
+
+_BACKFILL_SQL = """
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS day
+  FROM orders
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
+expected AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+missing AS (
+  SELECT e.day FROM expected e LEFT JOIN days d ON d.day = e.day
+  WHERE d.day IS NULL
+),
+grouped AS (
+  SELECT day, day - CAST(ROW_NUMBER() OVER (ORDER BY day) AS INT) AS grp
+  FROM missing
+)
+SELECT MIN(day) AS gap_start, MAX(day) AS gap_end, COUNT(*) AS n_days
+FROM grouped GROUP BY grp
+"""
+
+
 QUERIES = {
+    "psi_value_drift": psi_value_drift,
+    "partition_backfill_plan": partition_backfill_plan,
     "dq_orders_report": dq_orders_report,
     "fd_violation_audit": fd_violation_audit,
     "table_checksum_audit": table_checksum_audit,
@@ -1403,6 +1553,8 @@ QUERIES = {
     "equidepth_histogram": equidepth_histogram,
 }
 ORACLE = {
+    "psi_value_drift": _PSI_SQL,
+    "partition_backfill_plan": _BACKFILL_SQL,
     "dq_orders_report": _DQ_SQL,
     "fd_violation_audit": _fd_audit_sql(),
     "table_checksum_audit": _checksum_sql(),
