@@ -148,7 +148,6 @@ _PRIORITY = (
     # --- first-timers: relational analytics
     "nation_revenue_share",
     "customer_revenue_pareto",
-    "winsorized_priority_revenue",
     "join_fanout_audit",
     "lineitem_regression_stats",
     # --- first-timers: behavioral / event analytics
@@ -157,15 +156,18 @@ _PRIORITY = (
     "rfm_user_segments",
     "table_checksum_audit",
     "quality_rank_normalize",
-    # --- round-4 new: relational/behavior analytics
+    # --- round-4 new: relational/behavior/timeseries analytics
     "ses_forecast_user_value",
     "rr_dp_status_counts",
     "item_item_cosine_topk",
-    # --- first-timers: text / fingerprints
+    "theilsen_trend_per_user",
+    "psi_value_drift",
+    "gini_source_concentration",
+    # --- first-timers: text / fingerprints (lang_id_confusion,
+    # inverted_index_postings, winsorized_priority_revenue -> round-5
+    # rotation; their slots fund the newest robust-ts/drift/Gini ops)
     "boilerplate_span_strip",
     "token_cooccurrence_topk",
-    "lang_id_confusion",
-    "inverted_index_postings",
     "doc_fingerprint_winnow",
     # --- round-4 new: text / tokenizer / sketch
     "nb_lang_confusion",

@@ -622,3 +622,38 @@ def test_containment_pairs_equi_join_on_shingle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "shingle_containment_pairs")
     assert "ShuffledHashJoin" in plan  # pinned against broadcast misfire
     assert "CartesianProduct" not in plan
+
+
+def test_theilsen_pairs_equi_join_on_user(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "theilsen_trend_per_user")
+    assert "CartesianProduct" not in plan
+    # pair generation is a user_id equi-join; no data-sized broadcast
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_drawdown_two_windows_share_one_order(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "max_drawdown_per_user")
+    assert "Join" not in plan
+    # cum + peak + argmax all key on user_id — no other exchange keys
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_gini_single_source_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "gini_source_concentration")
+    assert "Join" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_psi_scalars_broadcast_single_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "psi_value_drift")
+    # the epoch-range and totals frames are 1-row broadcast scalars;
+    # the only data-sized agg keys on bin with map-side combine
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_backfill_plan_anti_join_tiny_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "partition_backfill_plan")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
