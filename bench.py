@@ -59,21 +59,27 @@ def main() -> int:
     # Best-of-N: the first execution of a plan pays one-time JIT/codegen
     # costs (measured: 10.9s vs 0.5s steady-state for a plain projection);
     # the min is the honest steady-state number a long-running cluster sees.
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # runs = total executions per query; the FIRST is the codegen/JIT
+    # warmup and is excluded from the reported min (measured: 10.9s
+    # first execution vs 0.5s steady-state for a plain projection, and
+    # run 2 still carries C2 tier-up — so default is warmup + best-of-2
+    # timed runs). Sub-quarter-second queries stop early: they are at
+    # the scheduling floor where another sample changes nothing, which
+    # bounds registry wall-clock as the query count grows.
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = -1.0
         try:
-            # one untimed warmup run per query absorbs analysis + JIT
-            # codegen of this plan; the timed runs then measure
-            # steady-state execution (fn() stays inside the timer since
-            # streaming drains and the pipeline do their work there)
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            for _ in range(runs):
+            for i in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0
+                if i == 0 and runs > 1:
+                    continue  # warmup execution: absorbs analysis + codegen
                 best = dt if best < 0 else min(best, dt)
+                if best < 0.25:
+                    break
             timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
