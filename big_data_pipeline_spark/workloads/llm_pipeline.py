@@ -937,6 +937,172 @@ FROM est
 """
 
 
+# --- deterministic HyperLogLog (oracle-checked) -----------------------------
+#
+# Flajolet et al. (2007) HLL with every source of engine divergence
+# removed, so — like the CMS above — the sketch itself is cross-engine
+# hash-checked, not just rows-only:
+#
+# - the item hash is the md5-prefix -> 60-bit integer (identical in
+#   both engines);
+# - rho (leading-zero rank) comes from a generated integer binary-
+#   search CASE cascade — no log2(), whose last-ulp behavior near
+#   exact powers of two is not portable;
+# - the register sum Σ 2^-M_j is a sum of dyadic doubles spanning at
+#   most ~44 mantissa bits, so it is EXACT in IEEE double regardless
+#   of summation order — order-insensitive with no DECIMAL routing;
+# - the final estimate (one division, or linear counting's ln) is
+#   rounded through DECIMAL(38,6) once.
+#
+# Scale: registers are the textbook mergeable summary — groupBy
+# (group, register) MAX is Spark's partial aggregation doing the merge
+# map-side; the per-group state is m=2^b registers regardless of
+# cardinality. approx_sketch_rollup keeps the Spark-native
+# approx_count_distinct for comparison; this one trades its tuned
+# internals for full oracle checkability.
+
+_HLL_B = 9          # 2^9 = 512 registers
+_HLL_M = 1 << _HLL_B
+_HLL_WBITS = 60 - _HLL_B  # md5-prefix yields 60 hash bits
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _highest_bit_case(expr: str, bits: int) -> str:
+    """SQL CASE cascade: floor(log2(expr)) for expr >= 1 via integer
+    comparisons only (portable, exact). Linear cascade, highest first."""
+    cases = " ".join(
+        f"WHEN {expr} >= {1 << k} THEN {k}" for k in range(bits - 1, 0, -1)
+    )
+    return f"(CASE {cases} ELSE 0 END)"
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    h = (
+        "CAST(conv(substring(md5(concat('hll:', CAST(user_id AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT)"
+    )
+    reg = f"CAST({h} % {_HLL_M} AS INT)"
+    # `div` = integer division (Spark's `/` on BIGINT yields DOUBLE)
+    w = f"CAST({h} div {_HLL_M} AS BIGINT)"
+    hb = _highest_bit_case("w", _HLL_WBITS)
+    regs = (
+        ev.selectExpr(
+            "event_type", f"{reg} AS reg", f"{w} AS w"
+        )
+        .selectExpr(
+            "event_type",
+            "reg",
+            f"CASE WHEN w = 0 THEN {_HLL_WBITS + 1}"
+            f" ELSE {_HLL_WBITS} - {hb} END AS rho",
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    per_group = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("sum_obs"),
+        F.count(F.lit(1)).alias("v_obs"),
+    )
+    # explicit DOUBLE casts on every literal: both engines type bare
+    # decimal literals as DECIMAL, which would evaluate a different
+    # (and in DuckDB overflowing) arithmetic stream
+    alpha = f"CAST({_HLL_ALPHA!r} AS DOUBLE)"
+    m_d = f"CAST({_HLL_M} AS DOUBLE)"
+    est = (
+        f"{alpha} * {m_d} * {m_d}"
+        f" / (sum_obs + CAST({_HLL_M} - v_obs AS DOUBLE))"
+    )
+    # small-range (linear counting) correction when empty registers
+    # remain and the raw estimate is below 2.5m
+    corrected = (
+        f"CASE WHEN ({est}) <= CAST({2.5 * _HLL_M!r} AS DOUBLE)"
+        f" AND v_obs < {_HLL_M}"
+        f" THEN {m_d} * ln({m_d}"
+        f" / CAST({_HLL_M} - v_obs AS DOUBLE))"
+        f" ELSE ({est}) END"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        per_group.selectExpr(
+            "event_type",
+            f"CAST(CAST({corrected} AS DECIMAL(38,6)) AS DOUBLE)"
+            " AS hll_estimate",
+        )
+        .join(exact, "event_type")
+        .selectExpr(
+            "event_type",
+            "exact_distinct",
+            "hll_estimate",
+            "CAST(CAST(abs(hll_estimate - CAST(exact_distinct AS DOUBLE))"
+            " / CAST(exact_distinct AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)"
+            " AS rel_error",
+        )
+    )
+
+
+def _hll_sql() -> str:
+    h = (
+        "CAST(concat('0x', substr(md5(concat('hll:', CAST(user_id AS"
+        " VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    hb = _highest_bit_case("w", _HLL_WBITS)
+    # every float literal is an explicit DOUBLE cast: DuckDB types bare
+    # decimal literals as DECIMAL, whose multiply overflows / rounds
+    # differently than the IEEE stream Spark evaluates
+    alpha = f"CAST({_HLL_ALPHA!r} AS DOUBLE)"
+    m_d = f"CAST({_HLL_M} AS DOUBLE)"
+    est = (
+        f"{alpha} * {m_d} * {m_d}"
+        f" / (sum_obs + CAST({_HLL_M} - v_obs AS DOUBLE))"
+    )
+    corrected = (
+        f"CASE WHEN ({est}) <= CAST({2.5 * _HLL_M!r} AS DOUBLE)"
+        f" AND v_obs < {_HLL_M}"
+        f" THEN {m_d} * ln({m_d}"
+        f" / CAST({_HLL_M} - v_obs AS DOUBLE))"
+        f" ELSE ({est}) END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST({h} % {_HLL_M} AS INT) AS reg,
+         CAST({h} // {_HLL_M} AS BIGINT) AS w
+  FROM events
+),
+rhos AS (
+  SELECT event_type, reg,
+         CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS} - {hb} END AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, reg, MAX(rho) AS m_rho
+  FROM rhos GROUP BY 1, 2
+),
+per_group AS (
+  SELECT event_type, SUM(POWER(2.0, -m_rho)) AS sum_obs,
+         COUNT(*) AS v_obs
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CAST(CAST({corrected} AS DECIMAL(38,6)) AS DOUBLE) AS hll_estimate
+  FROM per_group
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, x.exact_distinct, e.hll_estimate,
+       CAST(CAST(abs(e.hll_estimate - CAST(x.exact_distinct AS DOUBLE))
+            / CAST(x.exact_distinct AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+         AS rel_error
+FROM est e JOIN exact x ON x.event_type = e.event_type
+"""
+
+
 # --- BPE merge-rule learning (tokenizer training) ---------------------------
 #
 # Sennrich et al. (ACL 2016) byte-pair-encoding trainer: K rounds of
@@ -1093,6 +1259,7 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "gini_source_concentration": gini_source_concentration,
+    "hll_distinct_users": hll_distinct_users,
     "cms_token_counts": cms_token_counts,
     "bpe_merge_learn": bpe_merge_learn,
     "llm_clean_corpus_stats": llm_clean_corpus_stats,
@@ -1112,6 +1279,7 @@ QUERIES = {
 
 ORACLE = {
     "gini_source_concentration": _GINI_SQL,
+    "hll_distinct_users": _hll_sql(),
     "cms_token_counts": _cms_sql(),
     "llm_clean_corpus_stats": _LLM_CLEAN_SQL,
     "curation_pipeline_v2": _curation_v2_sql(),

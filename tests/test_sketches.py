@@ -123,3 +123,24 @@ def test_cms_never_underestimates_and_is_tight_for_heavies(spark, sf_dir):
     # vocab << w*d: collisions are rare, most heavy tokens exact
     exact = sum(1 for r in rows if r.overestimate == 0)
     assert exact >= len(rows) * 0.5
+
+
+def test_hll_estimate_within_theoretical_error(spark, sf_dir):
+    """Deterministic HLL: estimates must land within ~3x the standard
+    error (1.04/sqrt(m)) of the exact distinct count per group."""
+    from big_data_pipeline_spark.workloads.llm_pipeline import (
+        _HLL_M,
+        hll_distinct_users,
+    )
+
+    rows = hll_distinct_users(spark, sf_dir).collect()
+    assert rows
+    bound = 3 * 1.04 / (_HLL_M ** 0.5) + 0.02  # +2% linear-count slack
+    for r in rows:
+        assert r.exact_distinct > 0
+        # rel_error is DECIMAL(38,6)-rounded in-plan
+        assert abs(
+            r.rel_error
+            - abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct
+        ) < 1e-6
+        assert r.rel_error < bound
