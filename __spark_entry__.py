@@ -121,17 +121,22 @@ _MODULES = (
 # after this comment — all green in the local sweep
 # (plus rows-only ann_recall_report).
 #
-# Mid-round-4 adjustment: the nine operators built THIS round
-# (nb_lang_confusion, chi2_token_lang, lof_knn_outliers,
+# Mid-round-4 adjustment: twelve of the fifteen operators built THIS
+# round (nb_lang_confusion, chi2_token_lang, lof_knn_outliers,
 # item_item_cosine_topk, rr_dp_status_counts, ses_forecast_user_value,
-# shingle_containment_pairs, cms_token_counts, and rows-only
+# shingle_containment_pairs, cms_token_counts, theilsen_trend_per_user,
+# psi_value_drift, gini_source_concentration, and rows-only
 # bpe_merge_learn) take window slots immediately (r02 verdict item 7:
-# newest work accumulates driver rows early). Displaced to the FRONT
-# of the round-5 rotation, families still represented in-window:
+# newest work accumulates driver rows early); the other three round-4
+# ops (max_drawdown_per_user, partition_backfill_plan,
+# hll_distinct_users — all green in the local sweep at sf0.001+sf0.01)
+# join the round-5 rotation. Displaced to the FRONT of the round-5
+# rotation, families still represented in-window:
 # except_all_item_quantities, nth_order_values_per_customer,
 # salted_agg_flag_stats, sequence_pattern_counts, event_type_pivot,
 # sample_bottomk_docs, poisson_bootstrap_means, bpe_token_counts,
-# dataset_card_stats.
+# dataset_card_stats, lang_id_confusion, inverted_index_postings,
+# winsorized_priority_revenue.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
