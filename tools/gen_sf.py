@@ -106,6 +106,21 @@ def _replica(table: str, t: pa.Table, i: int, units: dict[str, int]) -> pa.Table
                 t.column("c_name").cast(pa.string()), f"~{i}{i}", ""
             )
             t = t.set_column(idx, t.schema.field(idx), name)
+        if table == "part":
+            # Same lesson for the part catalog (round-4 stress run:
+            # verbatim-copied p_name made every replica a lev-0 match
+            # of its original inside the same (type, brand, size)
+            # block, so record_linkage_score's TRUE match set — and
+            # with it the candidate join — grew ~K^2, 23x runtime at
+            # K=10). A >=3-char suffix pushes cross-replica names past
+            # the lev<=2 gate: matches stay within-replica and scale
+            # linearly, like a real bigger catalog of distinct
+            # listings.
+            idx = t.schema.get_field_index("p_name")
+            name = pc.binary_join_element_wise(
+                t.column("p_name").cast(pa.string()), f"~{i}{i}{i}", ""
+            )
+            t = t.set_column(idx, t.schema.field(idx), name)
     if table == "documents":
         nidx = t.schema.get_field_index("n_chars")
         n = pc.utf8_length(t.column("text").cast(pa.string()))
