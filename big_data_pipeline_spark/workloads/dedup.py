@@ -267,10 +267,10 @@ _FS_MATCH_MIN = 4  # classify as match at/above this total weight
 
 
 def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic record linkage, Fellegi-Sunter shape: block, then
-    score candidate pairs by weighted per-field agreement and keep
-    pairs above the match threshold. Catalog-dedup scenario on part:
-    two listings match when their names are near-identical AND a
+    """Probabilistic record linkage, Fellegi-Sunter shape: canonicalize,
+    block, then score candidate pairs by weighted per-field agreement
+    and keep pairs above the match threshold. Catalog-dedup scenario on
+    part: two listings match when their names are near-identical AND a
     corroborating field (size, price bucket) agrees.
 
     Field weights are integer log-odds stand-ins (name +3, size +1,
@@ -279,45 +279,67 @@ def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     DP edit distance with identical integer results in Spark and
     DuckDB.
 
-    Scale: blocking is MULTI-PASS in the Winkler sense — the candidate
-    universe is pairs agreeing on (p_type, p_brand) AND on a size band
-    (|Δsize| <= 1, realized as a bin-explosion equi-join: side A
-    explodes to size keys {s-1, s, s+1}, side B keeps its own size, so
-    every qualifying pair meets on exactly one key and the join stays
-    a keyed shuffle, never a cross join). The coarse (type, brand) key
-    alone leaves blocks that grow linearly with the catalog — measured
-    134M candidate pairs at the sf1 stress corpus, a quadratic
-    scale-killer — while the size band caps block size by the size
-    domain. Inside a block the name gate uses the threshold-banded
-    ``levenshtein(a, b, max)`` (O(max·n) instead of O(n²) per pair);
-    its -1 "exceeded" sentinel never reaches the output because a
-    below-gate name zeroes the score past the match threshold.
+    Scale shape (the three standard ER moves, in order):
+
+    1. **Canonicalize (exact-group collapse).** Identical profiles
+       (name, type, brand, size, price bucket) collapse to one
+       representative + member count via a map-side-combinable groupBy
+       — LINEAR, and it absorbs the catalog's duplication: comparisons
+       and output are per distinct profile, so a catalog with deep
+       exact duplication (this corpus: ~300 copies per name at sf0.1)
+       no longer yields quadratic member-pair output. Implied
+       member-level matches are reported as ``n_members_a *
+       n_members_b`` per profile pair — the group-level formulation
+       every production linker uses (member enumeration is a join away
+       if needed, and within-profile exact duplicates are the
+       exact-dedup family's job).
+    2. **Block multi-pass (Winkler).** Candidates are profile pairs
+       agreeing on (type, brand) AND a size band (|Δsize| <= 1 as a
+       bin-explosion equi-join: side A explodes to {s-1, s, s+1}, side
+       B keeps s — every qualifying pair meets on exactly one key, a
+       keyed shuffle, never a cross join).
+    3. **Verify cheap-first.** The name gate uses threshold-banded
+       ``levenshtein(a, b, max)`` (O(max*n) per pair); its -1
+       "exceeded" sentinel never reaches the output because a
+       below-gate name zeroes the score past the match threshold.
     """
     from pyspark.sql import functions as F
 
-    p = read_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        "p_brand",
-        "p_type",
-        "p_size",
-        F.floor(F.col("p_retailprice") / F.lit(100.0)).alias("price_bucket"),
+    profiles = (
+        read_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.floor(F.col("p_retailprice") / F.lit(100.0)).alias(
+                "price_bucket"
+            ),
+        )
+        .groupBy("p_name", "p_type", "p_brand", "p_size", "price_bucket")
+        .agg(
+            F.min("p_partkey").alias("rep_key"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
     )
-    a = p.select(
-        *[F.col(c).alias(f"a_{c}") for c in p.columns],
+    a = profiles.select(
+        *[F.col(c).alias(f"a_{c}") for c in profiles.columns],
         F.explode(
             F.array(
                 F.col("p_size") - 1, F.col("p_size"), F.col("p_size") + 1
             )
         ).alias("k_size"),
     )
-    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    b = profiles.select(
+        *[F.col(c).alias(f"b_{c}") for c in profiles.columns]
+    )
     pairs = a.join(
         b,
         (F.col("a_p_type") == F.col("b_p_type"))
         & (F.col("a_p_brand") == F.col("b_p_brand"))
         & (F.col("k_size") == F.col("b_p_size"))
-        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+        & (F.col("a_rep_key") < F.col("b_rep_key")),
     )
     name_lev = F.expr(f"levenshtein(a_p_name, b_p_name, {_FS_LEV_MAX})")
     name_ok = ((name_lev >= 0) & (name_lev <= _FS_LEV_MAX)).cast("int")
@@ -328,36 +350,47 @@ def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (F.lit(3) * name_ok + size_ok + price_ok).alias("score")
     return (
         pairs.select(
-            F.col("a_p_partkey").alias("id_a"),
-            F.col("b_p_partkey").alias("id_b"),
+            F.col("a_rep_key").alias("rep_a"),
+            F.col("b_rep_key").alias("rep_b"),
             name_lev.alias("name_lev"),
             size_ok.alias("size_agree"),
             price_ok.alias("price_agree"),
             score,
+            F.col("a_n_members").alias("n_members_a"),
+            F.col("b_n_members").alias("n_members_b"),
+            (F.col("a_n_members") * F.col("b_n_members")).alias(
+                "implied_pairs"
+            ),
         )
         .filter(F.col("score") >= _FS_MATCH_MIN)
     )
 
 
 _LINKAGE_SQL = f"""
-WITH p AS (
-  SELECT p_partkey, p_name, p_brand, p_type, p_size,
-         CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS price_bucket
+WITH profiles AS (
+  SELECT p_name, p_type, p_brand, p_size,
+         CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+         MIN(p_partkey) AS rep_key, COUNT(*) AS n_members
   FROM part
+  GROUP BY 1, 2, 3, 4, 5
 ),
 scored AS (
-  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+  SELECT a.rep_key AS rep_a, b.rep_key AS rep_b,
          levenshtein(a.p_name, b.p_name) AS name_lev,
          CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END AS size_agree,
-         CASE WHEN a.price_bucket = b.price_bucket THEN 1 ELSE 0 END AS price_agree
-  FROM p a JOIN p b
+         CASE WHEN a.price_bucket = b.price_bucket THEN 1 ELSE 0 END AS price_agree,
+         CAST(a.n_members AS BIGINT) AS n_members_a,
+         CAST(b.n_members AS BIGINT) AS n_members_b
+  FROM profiles a JOIN profiles b
     ON a.p_type = b.p_type AND a.p_brand = b.p_brand
    AND abs(a.p_size - b.p_size) <= 1
-   AND a.p_partkey < b.p_partkey
+   AND a.rep_key < b.rep_key
 )
-SELECT id_a, id_b, name_lev, size_agree, price_agree,
+SELECT rep_a, rep_b, name_lev, size_agree, price_agree,
        3 * (CASE WHEN name_lev <= {_FS_LEV_MAX} THEN 1 ELSE 0 END)
-         + size_agree + price_agree AS score
+         + size_agree + price_agree AS score,
+       n_members_a, n_members_b,
+       n_members_a * n_members_b AS implied_pairs
 FROM scored
 WHERE 3 * (CASE WHEN name_lev <= {_FS_LEV_MAX} THEN 1 ELSE 0 END)
         + size_agree + price_agree >= {_FS_MATCH_MIN}
