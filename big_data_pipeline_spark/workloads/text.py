@@ -1038,7 +1038,19 @@ def _prefix_candidates(sh: DataFrame, sizes: DataFrame, t: float) -> DataFrame:
 
 def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    # Join/verify on xxhash64(shingle), not the ~20-byte string: every
+    # downstream exchange (frequency count, prefix self-join, the two
+    # verify-side set joins) ships fixed 8-byte keys, and the verify
+    # intersect compares longs. Hash-as-identity preserves set equality
+    # exactly unless two DISTINCT shingles collide in 64 bits (~1e-6
+    # chance corpus-wide at 5M distinct shingles — negligible; the
+    # sf0.01 oracle universe is ~1e4). The subtree feeds three
+    # consumers (sizes, prefix ranking, verify sets), so materialize it
+    # once instead of re-running tokenize+explode per branch.
+    sh = exploded_shingles(docs, "doc_id", "text", 3).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     cand = _prefix_candidates(sh, sizes, _JACCARD_THRESHOLD)
     # Verify against the COMPACTED per-doc shingle set (one array row per
