@@ -137,6 +137,15 @@ _MODULES = (
 # sample_bottomk_docs, poisson_bootstrap_means, bpe_token_counts,
 # dataset_card_stats, lang_id_confusion, inverted_index_postings,
 # winsorized_priority_revenue.
+#
+# Late-round-4 adjustment: the four operators built after the above
+# froze (copurchase_link_prediction, t_closeness_audit,
+# weighted_median_brand_price, holt_linear_forecast — all hash-green
+# in the local sweep) take slots immediately under the same
+# newest-work-first rule; displaced to the round-5 rotation:
+# quality_rank_normalize, boilerplate_span_strip,
+# knn_matryoshka_rerank, stream_session_dynamic_gap (each family keeps
+# other in-window representation).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
@@ -160,7 +169,7 @@ _PRIORITY = (
     "event_transition_matrix",
     "rfm_user_segments",
     "table_checksum_audit",
-    "quality_rank_normalize",
+    "weighted_median_brand_price",
     # --- round-4 new: relational/behavior/timeseries analytics
     "ses_forecast_user_value",
     "rr_dp_status_counts",
@@ -168,10 +177,12 @@ _PRIORITY = (
     "theilsen_trend_per_user",
     "psi_value_drift",
     "gini_source_concentration",
+    "holt_linear_forecast",
+    "t_closeness_audit",
+    "copurchase_link_prediction",
     # --- first-timers: text / fingerprints (lang_id_confusion,
     # inverted_index_postings, winsorized_priority_revenue -> round-5
     # rotation; their slots fund the newest robust-ts/drift/Gini ops)
-    "boilerplate_span_strip",
     "token_cooccurrence_topk",
     "doc_fingerprint_winnow",
     # --- round-4 new: text / tokenizer / sketch
@@ -182,7 +193,6 @@ _PRIORITY = (
     "bpe_merge_learn",
     # --- first-timers: embeddings / ANN / curation
     "semdedup_prune",
-    "knn_matryoshka_rerank",
     "embedding_pq_codes",
     "hard_negative_mining",
     "lof_knn_outliers",
@@ -205,7 +215,6 @@ _PRIORITY = (
     "fk_integrity_audit",
     # --- first-timers: streaming + data quality
     "stream_windowed_topk",
-    "stream_session_dynamic_gap",
     "dq_orders_report",
 )
 

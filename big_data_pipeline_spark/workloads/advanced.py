@@ -967,7 +967,85 @@ WHERE NOT EXISTS (
 """
 
 
+# --- weighted_median_brand_price --------------------------------------------
+
+
+def weighted_median_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group — the order statistic
+    ``percentile_approx`` only approximates and plain ``median``
+    ignores weights for: per part brand, the smallest line price p such
+    that lines priced <= p carry at least half the total shipped
+    quantity. The canonical "median price paid per unit" metric.
+
+    Determinism & scale: quantities are whole numbers, so weights sum
+    as BIGINT and the half-mass test is the integer comparison
+    2*cumw >= totw — no float accumulation anywhere. Lines collapse to
+    (brand, price) weight sums first (map-side combinable), so the
+    cumulative window runs over DISTINCT prices per brand, not raw
+    lines; part is the broadcast dim side. The qualifying-price argmin
+    is a MIN aggregate, not a sort-limit.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+    )
+    per_price = li.groupBy("p_brand", "price").agg(F.sum("w").alias("pw"))
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_price.withColumn("cumw", F.sum("pw").over(wcum))
+    tot = per_price.groupBy("p_brand").agg(F.sum("pw").alias("totw"))
+    return (
+        cum.join(tot, "p_brand")
+        .filter(F.lit(2) * F.col("cumw") >= F.col("totw"))
+        .groupBy("p_brand", "totw")
+        .agg(F.min("price").alias("weighted_median_price"))
+        .select(
+            "p_brand",
+            F.col("totw").alias("total_quantity"),
+            "weighted_median_price",
+        )
+    )
+
+
+_WMEDIAN_SQL = """
+WITH li AS (
+  SELECT p.p_brand, l.l_extendedprice AS price,
+         CAST(l.l_quantity AS BIGINT) AS w
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+per_price AS (
+  SELECT p_brand, price, CAST(SUM(w) AS BIGINT) AS pw FROM li GROUP BY 1, 2
+),
+cum AS (
+  SELECT p_brand, price, pw,
+         CAST(SUM(pw) OVER (PARTITION BY p_brand ORDER BY price
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+  FROM per_price
+),
+tot AS (SELECT p_brand, CAST(SUM(pw) AS BIGINT) AS totw FROM per_price GROUP BY 1)
+SELECT c.p_brand, t.totw AS total_quantity,
+       MIN(c.price) AS weighted_median_price
+FROM cum c JOIN tot t USING (p_brand)
+WHERE 2 * c.cumw >= t.totw
+GROUP BY c.p_brand, t.totw
+"""
+
+
 QUERIES = {
+    "weighted_median_brand_price": weighted_median_brand_price,
     "anti_join_no_orders": anti_join_no_orders,
     "skyline_price_size": skyline_price_size,
     "nation_revenue_share": nation_revenue_share,
@@ -999,6 +1077,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "weighted_median_brand_price": _WMEDIAN_SQL,
     "surrogate_global_seq": _SURROGATE_SQL,
     "skyline_price_size": _SKYLINE_SQL,
     "nation_revenue_share": _nation_share_sql(),

@@ -277,11 +277,140 @@ FROM ranked WHERE "rank" <= {_CF_K}
 """
 
 
+# --- copurchase_link_prediction: resource-allocation index ------------------
+
+_RA_CAP = 20  # neighbors kept per wedge middle (see docstring)
+_RA_TOP_K = 100
+
+
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph via the
+    resource-allocation index (Zhou, Lü & Zhang 2009): for part pairs
+    with NO co-purchase edge, score = sum over common neighbors z of
+    1/deg(z) — hub-discounted shared context, the same family as
+    Adamic-Adar (whose 1/ln(deg) weight is monotone-equivalent here but
+    ln() is not correctly-rounded identically across engines, so the
+    rational 1/deg form is the cross-checkable one; cf.
+    bigram_lm_quality's same dodge).
+
+    Scale (100 TB): edges inherit the basket-bounded fan-out of
+    ``part_affinity_lift`` (k*(k-1)/2 per order, k = basket size).
+    Wedge enumeration through a middle z is deg(z)^2 — quadratic in hub
+    degree — so each node's adjacency is capped to its ``_RA_CAP``
+    strongest neighbors (by co-purchase count, id tie-break) BEFORE the
+    wedge self-join, bounding wedges at nodes * cap^2, linear in graph
+    size. Scoring weights use the TRUE pre-cap degree. 1/deg terms
+    accumulate as DECIMAL(38,6) (order-insensitive, equal both
+    engines); existing edges leave via a left-anti equi-join; the final
+    top-k is TakeOrderedAndProject, never a global sort.
+    """
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _MIN_PAIR_SUPPORT)
+    )
+    adj_dir = edges.select(
+        F.col("part1").alias("node"), F.col("part2").alias("nbr"), "n_pair"
+    ).unionByName(
+        edges.select(
+            F.col("part2").alias("node"), F.col("part1").alias("nbr"), "n_pair"
+        )
+    )
+    deg = adj_dir.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("node").orderBy(F.desc("n_pair"), F.asc("nbr"))
+    adj = (
+        adj_dir.withColumn("cap_rn", F.row_number().over(wcap))
+        .filter(F.col("cap_rn") <= _RA_CAP)
+        .select("node", "nbr")
+    )
+    left = adj.select(F.col("node").alias("z"), F.col("nbr").alias("pu"))
+    right = adj.select(F.col("node").alias("z"), F.col("nbr").alias("pw"))
+    wedges = left.join(right, "z").filter(F.col("pu") < F.col("pw"))
+    scored = (
+        wedges.join(deg.select(F.col("node").alias("z"), "deg"), "z")
+        .groupBy(F.col("pu").alias("part1"), F.col("pw").alias("part2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common_neighbors"),
+            F.sum((F.lit(1.0) / F.col("deg")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("ra_score"),
+        )
+    )
+    pred = scored.join(edges.select("part1", "part2"), ["part1", "part2"], "left_anti")
+    return pred.orderBy(
+        F.desc("ra_score"), "part1", "part2"
+    ).limit(_RA_TOP_K)
+
+
+_RA_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_MIN_PAIR_SUPPORT}
+),
+adj_dir AS (
+  SELECT part1 AS node, part2 AS nbr, n_pair FROM edges
+  UNION ALL
+  SELECT part2 AS node, part1 AS nbr, n_pair FROM edges
+),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj_dir GROUP BY node),
+adj AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr, ROW_NUMBER() OVER (PARTITION BY node
+             ORDER BY n_pair DESC, nbr ASC) AS cap_rn
+    FROM adj_dir
+  ) WHERE cap_rn <= {_RA_CAP}
+),
+wedges AS (
+  SELECT l.node AS z, l.nbr AS pu, r.nbr AS pw
+  FROM adj l JOIN adj r ON l.node = r.node AND l.nbr < r.nbr
+),
+scored AS (
+  SELECT pu AS part1, pw AS part2,
+         COUNT(*) AS n_common_neighbors,
+         CAST(CAST(SUM(CAST(1.0 / deg AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+           AS ra_score
+  FROM wedges JOIN deg ON deg.node = wedges.z
+  GROUP BY pu, pw
+)
+SELECT part1, part2, n_common_neighbors, ra_score
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges e WHERE e.part1 = s.part1 AND e.part2 = s.part2
+)
+ORDER BY ra_score DESC, part1, part2
+LIMIT {_RA_TOP_K}
+"""
+
+
 QUERIES = {
     "part_affinity_lift": part_affinity_lift,
     "item_item_cosine_topk": item_item_cosine_topk,
+    "copurchase_link_prediction": copurchase_link_prediction,
 }
 ORACLE = {
     "part_affinity_lift": _AFFINITY_SQL,
     "item_item_cosine_topk": _cf_sql(),
+    "copurchase_link_prediction": _RA_SQL,
 }

@@ -575,7 +575,87 @@ FROM ranked WHERE r = 1
 """
 
 
+# --- holt_linear_forecast ---------------------------------------------------
+# Holt's linear-trend double exponential smoothing (Holt 1957) per
+# user: level/trend recurrences l' = a*y + (1-a)*(l+b);
+# b' = g*(l'-l) + (1-g)*b over the time-ordered value series, forecast
+# = l+b. The trend-aware sibling of ``ses_forecast_user_value`` (whose
+# closed form can't carry a trend term).
+#
+# Determinism: a = g = 0.5 makes every update a correctly-rounded IEEE
+# add/halve, and BOTH engines execute the identical op sequence — the
+# pandas kernel and the recursive-CTE oracle (precedent:
+# markov_removal_attribution) agree bit-for-bit, no decimal detour
+# needed. Order ties break on (ts, event_id).
+#
+# Scale (100 TB): the recurrence is inherently sequential PER USER but
+# embarrassingly parallel ACROSS users — exactly applyInPandas' shape:
+# one shuffle on user_id, then an Arrow-batched numpy loop over each
+# user's own series (bounded by per-user activity, not corpus size).
+# State-shaped twin: streaming/stateful.py runs the same update rule
+# incrementally.
+
+_HOLT_ALPHA = 0.5  # must stay a negative power of 2 (see determinism note)
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        lvl = float(vals[0])
+        trd = 0.0
+        for y in vals[1:]:
+            y = float(y)
+            nxt = _HOLT_ALPHA * y + (1.0 - _HOLT_ALPHA) * (lvl + trd)
+            trd = _HOLT_ALPHA * (nxt - lvl) + (1.0 - _HOLT_ALPHA) * trd
+            lvl = nxt
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_obs": [len(vals)],
+                "level": [lvl],
+                "trend": [trd],
+                "forecast_next": [lvl + trd],
+            }
+        )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return events.groupBy("user_id").applyInPandas(
+        _holt,
+        "user_id bigint, n_obs bigint, level double, trend double, "
+        "forecast_next double",
+    )
+
+
+_HOLT_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+n AS (SELECT user_id, COUNT(*) AS n_obs FROM ev GROUP BY user_id),
+hw AS (
+  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         0.5e0 * e.value + 0.5e0 * (h.l + h.b),
+         0.5e0 * ((0.5e0 * e.value
+             + 0.5e0 * (h.l + h.b)) - h.l)
+           + 0.5e0 * h.b
+  FROM hw h JOIN ev e ON e.user_id = h.user_id AND e.rn = h.rn + 1
+)
+SELECT hw.user_id, n.n_obs, hw.l AS level, hw.b AS trend,
+       hw.l + hw.b AS forecast_next
+FROM hw JOIN n ON n.user_id = hw.user_id AND n.n_obs = hw.rn
+"""
+
+
 QUERIES = {
+    "holt_linear_forecast": holt_linear_forecast,
     "theilsen_trend_per_user": theilsen_trend_per_user,
     "max_drawdown_per_user": max_drawdown_per_user,
     "gap_fill_forward": gap_fill_forward,
@@ -587,6 +667,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "holt_linear_forecast": _HOLT_SQL,
     "theilsen_trend_per_user": _THEILSEN_SQL,
     "max_drawdown_per_user": _DRAWDOWN_SQL,
     "gap_fill_forward": _GAP_FILL_SQL,

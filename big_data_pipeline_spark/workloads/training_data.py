@@ -1136,7 +1136,161 @@ CROSS JOIN total
 """
 
 
+# --- t_closeness_audit ------------------------------------------------------
+
+_TC_K = 10  # ordered sensitive-attribute buckets
+_TC_LO = -1000.0
+_TC_WIDTH = 1100.0
+_TC_T = 0.2
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after ``pii_pseudonymize_kanon``
+    and ``ldiversity_audit``: l-diversity still leaks when a QI group's
+    sensitive values are diverse but SKEWED vs the population. Per QI
+    group (nation, market segment), compare the group's distribution of
+    the ordered sensitive attribute (account balance in ``_TC_K``
+    fixed-width buckets) to the global one with the earth-mover's
+    distance for ordered categories: EMD = sum_i |CumQ_i - CumP_i| /
+    (k-1). Groups with EMD > ``_TC_T`` fail.
+
+    Determinism: the cumulative fractions are compared in INTEGER form
+    — |cumq*N - cump*n_g| sums exactly as BIGINT (bounded by
+    k*n_g*N ~ 1e18 at a 1.5e9-customer scale, inside int64), and only
+    the final normalization divides once as double. Scale: two
+    map-side-combinable counts (per-group-bucket, global-bucket); the
+    dense group x bucket grid is groups x k rows via a literal
+    ``sequence`` explode (no data-sized cross join); the global bucket
+    CDF is a k-row broadcast; the per-group cumsum windows over the QI
+    key — high cardinality, never a global window.
+    """
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("c_acctbal") - F.lit(_TC_LO)) / F.lit(_TC_WIDTH)),
+            F.lit(0),
+        ),
+        F.lit(_TC_K - 1),
+    ).cast("bigint")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", bucket.alias("bucket")
+    )
+    grp_cnt = cust.groupBy("c_nationkey", "c_mktsegment", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gsz = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k_size")
+    )
+    glob = (
+        cust.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("gcnt"))
+        .withColumn(
+            "cump",
+            F.sum("gcnt").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select("bucket", "cump")
+    )
+    total = cust.agg(F.count(F.lit(1)).alias("n_total"))
+    dense = gsz.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k_size",
+        F.explode(F.sequence(F.lit(0), F.lit(_TC_K - 1))).alias("bucket"),
+    )
+    wq = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    terms = (
+        dense.join(grp_cnt, ["c_nationkey", "c_mktsegment", "bucket"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .withColumn("cumq", F.sum("cnt").over(wq))
+        .filter(F.col("bucket") < _TC_K - 1)
+        .join(F.broadcast(glob), "bucket")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "term",
+            F.abs(
+                F.col("cumq") * F.col("n_total")
+                - F.col("cump") * F.col("k_size")
+            ),
+        )
+    )
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment", "k_size", "n_total")
+        .agg(F.sum("term").alias("num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k_size",
+            (
+                F.col("num").cast("double")
+                / (
+                    F.col("k_size") * F.col("n_total") * F.lit(_TC_K - 1)
+                ).cast("double")
+            ).alias("emd"),
+        )
+        .withColumn("t_close", F.col("emd") <= _TC_T)
+    )
+
+
+_TCLOSE_SQL = f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         LEAST(GREATEST(CAST(FLOOR((c_acctbal - ({_TC_LO!r})) / {_TC_WIDTH!r})
+                             AS BIGINT), 0), {_TC_K - 1}) AS bucket
+  FROM customer
+),
+grp_cnt AS (
+  SELECT c_nationkey, c_mktsegment, bucket, COUNT(*) AS cnt
+  FROM cust GROUP BY 1, 2, 3
+),
+gsz AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS k_size
+  FROM cust GROUP BY 1, 2
+),
+gcdf AS (
+  SELECT bucket,
+         SUM(COUNT(*)) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+  FROM cust GROUP BY bucket
+),
+total AS (SELECT COUNT(*) AS n_total FROM cust),
+dense AS (
+  SELECT c_nationkey, c_mktsegment, k_size, CAST(u.b AS BIGINT) AS bucket
+  FROM gsz, UNNEST(range(0, {_TC_K})) AS u(b)
+),
+cum AS (
+  SELECT d.c_nationkey, d.c_mktsegment, d.k_size, d.bucket,
+         SUM(COALESCE(g.cnt, 0)) OVER (
+             PARTITION BY d.c_nationkey, d.c_mktsegment ORDER BY d.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq
+  FROM dense d
+  LEFT JOIN grp_cnt g
+    ON g.c_nationkey = d.c_nationkey AND g.c_mktsegment = d.c_mktsegment
+   AND g.bucket = d.bucket
+)
+SELECT c.c_nationkey, c.c_mktsegment, c.k_size,
+       CAST(SUM(ABS(c.cumq * t.n_total - gl.cump * c.k_size)) AS DOUBLE)
+         / CAST(c.k_size * t.n_total * {_TC_K - 1} AS DOUBLE) AS emd,
+       CAST(SUM(ABS(c.cumq * t.n_total - gl.cump * c.k_size)) AS DOUBLE)
+         / CAST(c.k_size * t.n_total * {_TC_K - 1} AS DOUBLE) <= {_TC_T!r}
+         AS t_close
+FROM cum c
+JOIN gcdf gl ON gl.bucket = c.bucket
+CROSS JOIN total t
+WHERE c.bucket < {_TC_K - 1}
+GROUP BY c.c_nationkey, c.c_mktsegment, c.k_size, t.n_total
+"""
+
+
 QUERIES = {
+    "t_closeness_audit": t_closeness_audit,
     "rr_dp_status_counts": rr_dp_status_counts,
     "incremental_dedup_new_batch": incremental_dedup_new_batch,
     "epoch_shuffle_shards": epoch_shuffle_shards,
@@ -1157,6 +1311,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t_closeness_audit": _TCLOSE_SQL,
     "rr_dp_status_counts": _rr_sql(),
     "epoch_shuffle_shards": _EPOCH_SHUFFLE_SQL,
     "incremental_neardup_batch": _INCR_NEARDUP_SQL,
