@@ -138,6 +138,11 @@ _MODULES = (
 # dataset_card_stats, lang_id_confusion, inverted_index_postings,
 # winsorized_priority_revenue.
 #
+# Late-round-4 adjustment (2): rrf_hybrid_retrieval,
+# part_triple_support, and time_decay_customer_value (hash-green local)
+# also take slots; displaced to round-5: token_cooccurrence_topk,
+# doc_fingerprint_winnow, hard_negative_mining.
+#
 # Late-round-4 adjustment: the four operators built after the above
 # froze (copurchase_link_prediction, t_closeness_audit,
 # weighted_median_brand_price, holt_linear_forecast — all hash-green
@@ -183,8 +188,8 @@ _PRIORITY = (
     # --- first-timers: text / fingerprints (lang_id_confusion,
     # inverted_index_postings, winsorized_priority_revenue -> round-5
     # rotation; their slots fund the newest robust-ts/drift/Gini ops)
-    "token_cooccurrence_topk",
-    "doc_fingerprint_winnow",
+    "part_triple_support",
+    "time_decay_customer_value",
     # --- round-4 new: text / tokenizer / sketch
     "nb_lang_confusion",
     "chi2_token_lang",
@@ -194,7 +199,7 @@ _PRIORITY = (
     # --- first-timers: embeddings / ANN / curation
     "semdedup_prune",
     "embedding_pq_codes",
-    "hard_negative_mining",
+    "rrf_hybrid_retrieval",
     "lof_knn_outliers",
     "blocklist_term_filter",
     "entity_clusters",

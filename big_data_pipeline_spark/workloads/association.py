@@ -404,13 +404,103 @@ LIMIT {_RA_TOP_K}
 """
 
 
+# --- part_triple_support: frequent 3-itemsets -------------------------------
+
+_TRIPLE_TOP_K = 100
+
+
+def part_triple_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining at the Apriori candidate level
+    (Agrawal & Srikant 1994 extended past pairs): part triples that
+    ship together in at least ``_MIN_PAIR_SUPPORT`` orders, with their
+    support. The pair → triple step is where naive basket mining
+    explodes; here the enumeration is two self-equi-joins on the
+    basket key with a strict ``<`` chain, so fan-out per basket is
+    C(k,3) with k = basket size — bounded by the order schema (~4-7
+    lines), linear in orders. An unbounded-k source would cap baskets
+    first (token_cooccurrence_topk's guard). Counts are one
+    map-side-combinable groupBy; the basket total is a broadcast 1-row
+    scalar; top-k via TakeOrderedAndProject.
+    """
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a, b, c = baskets.alias("a"), baskets.alias("b"), baskets.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("b.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+            F.col("c.l_partkey").alias("part3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= _MIN_PAIR_SUPPORT)
+    )
+    return (
+        triples.crossJoin(F.broadcast(n_orders))
+        .select(
+            "part1",
+            "part2",
+            "part3",
+            "n_baskets",
+            (F.col("n_baskets").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.desc("n_baskets"), "part1", "part2", "part3")
+        .limit(_TRIPLE_TOP_K)
+    )
+
+
+_TRIPLE_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+totals AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets
+),
+triples AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2, c.l_partkey AS part3,
+         COUNT(*) AS n_baskets
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+  JOIN baskets c ON b.l_orderkey = c.l_orderkey
+                AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {_MIN_PAIR_SUPPORT}
+)
+SELECT part1, part2, part3, n_baskets,
+       CAST(n_baskets AS DOUBLE) / n_orders AS support
+FROM triples CROSS JOIN totals
+ORDER BY n_baskets DESC, part1, part2, part3
+LIMIT {_TRIPLE_TOP_K}
+"""
+
+
 QUERIES = {
     "part_affinity_lift": part_affinity_lift,
     "item_item_cosine_topk": item_item_cosine_topk,
     "copurchase_link_prediction": copurchase_link_prediction,
+    "part_triple_support": part_triple_support,
 }
 ORACLE = {
     "part_affinity_lift": _AFFINITY_SQL,
     "item_item_cosine_topk": _cf_sql(),
     "copurchase_link_prediction": _RA_SQL,
+    "part_triple_support": _TRIPLE_SQL,
 }

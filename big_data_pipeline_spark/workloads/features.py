@@ -164,13 +164,89 @@ FROM terms GROUP BY user_id
 """
 
 
+# --- time_decay_customer_value ----------------------------------------------
+
+_DECAY_PERIOD_DAYS = 30  # one half-life per ~month of order age
+_DECAY_MAX_K = 48  # 2^-48 ~ 3.6e-15: below any 6dp-decimal resolution
+
+
+def time_decay_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed customer value: each order counts
+    o_totalprice * 0.5^k with k = whole ``_DECAY_PERIOD_DAYS``-day
+    periods between the order date and the corpus's newest order — the
+    recency-weighted LTV feature every churn/engagement model starts
+    from, and a decay the plain RFM recency rank can't express.
+
+    Determinism: the naive DECIMAL(38,6)-cast of ``price/2^k`` terms
+    hits SYSTEMATIC round-half ties (2-decimal prices divided by small
+    powers of two terminate at exactly 7 decimals), and the engines'
+    tie rules differ — so instead the whole sum is exact integer math:
+    Σ price·2^-k = (Σ cents·2^(K-k)) / (100·2^K) with K =
+    ``_DECAY_MAX_K`` (k clamped there; the dropped weight is ~4e-15).
+    The scaled products live in DECIMAL(38,0)/HUGEINT (~1e22 per term
+    — int64 would overflow, 38 digits never), the sum is
+    order-insensitive, and one final correctly-rounded double division
+    lands both engines on the identical double. No POWER(): float pow
+    is not bit-identical across engines. Scale: the anchor date is a
+    1-row broadcast; everything else is one map-side-combinable
+    groupBy on o_custkey.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("max_date"))
+    k = F.least(
+        F.floor(
+            F.datediff(F.col("max_date"), F.col("o_orderdate"))
+            / F.lit(_DECAY_PERIOD_DAYS)
+        ).cast("int"),
+        F.lit(_DECAY_MAX_K),
+    )
+    scaled = F.expr(
+        "CAST(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS DECIMAL(19,0))"
+        f" * CAST(shiftleft(CAST(1 AS BIGINT), {_DECAY_MAX_K} - k)"
+        "   AS DECIMAL(19,0))"
+    )
+    denom = float(100 * (1 << _DECAY_MAX_K))  # 25*2^50: exact double
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .withColumn("k", k)
+        .select("o_custkey", scaled.alias("scaled"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum("scaled").cast("double") / F.lit(denom)
+            ).alias("decayed_value"),
+        )
+    )
+
+
+_TIME_DECAY_SQL = f"""
+WITH anchor AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+terms AS (
+  SELECT o_custkey,
+         CAST(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS HUGEINT)
+           * (CAST(1 AS HUGEINT) << ({_DECAY_MAX_K} - LEAST(
+                CAST(FLOOR(date_diff('day', o_orderdate, max_date)
+                           / {_DECAY_PERIOD_DAYS}) AS INT),
+                {_DECAY_MAX_K}))) AS scaled
+  FROM orders, anchor
+)
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(CAST(SUM(scaled) AS VARCHAR) AS DOUBLE)
+         / {float(100 * (1 << _DECAY_MAX_K))!r} AS decayed_value
+FROM terms GROUP BY o_custkey
+"""
+
+
 QUERIES = {
+    "time_decay_customer_value": time_decay_customer_value,
     "user_value_features": user_value_features,
     "time_rollup_multigrain": time_rollup_multigrain,
     "ses_forecast_user_value": ses_forecast_user_value,
 }
 
 ORACLE = {
+    "time_decay_customer_value": _TIME_DECAY_SQL,
     "user_value_features": _FEATURES_SQL,
     "time_rollup_multigrain": _ROLLUP_MULTI_SQL,
     "ses_forecast_user_value": _SES_SQL,

@@ -1282,7 +1282,122 @@ SELECT query_id, "rank", doc_vec_id, maxsim FROM ranked WHERE "rank" <= {_MV_K}
 """
 
 
+# --- rrf_hybrid_retrieval: reciprocal-rank fusion of lexical + dense --------
+
+_RRF_C = 60  # the standard RRF constant (Cormack, Clarke & Buettcher 2009)
+_RRF_DEPTH = 100  # per-list fusion depth
+_RRF_OUT = 20
+_RRF_PROBE_ID = 0  # doc/vector 0 is the query; excluded from both lists
+
+
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): fuse the BM25 lexical ranking (workloads/text.py's
+    fixed-query scorer over ``documents``) with a dense cosine ranking
+    against the probe embedding (``vec_id = 0`` in ``embeddings``,
+    which is 1:1 with ``doc_id``), score = sum over lists of
+    1/(c + rank). This is the standard first-stage fusion in
+    RAG / training-data retrieval stacks — rank-based, so the two
+    scorers' incomparable score scales never need calibration.
+
+    Determinism: ranks are integers (ties pinned by doc_id), each
+    1/(c+rank) is one correctly-rounded double division and the fused
+    score is ONE two-term fixed-associativity sum — no float
+    aggregation at all. Scale (100 TB): each list is a
+    TakeOrderedAndProject top-``_RRF_DEPTH`` (never a global sort);
+    the rank window then runs over a <= ``_RRF_DEPTH``-row frame, so
+    the unpartitioned window is bounded by a constant, not the corpus;
+    the fusion join touches 2*depth rows.
+    """
+    from big_data_pipeline_spark.workloads.text import _bm25_scored
+
+    lexw = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("doc_id") != _RRF_PROBE_ID)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("lex_rank", F.row_number().over(lexw))
+    )
+    emb = read_table(spark, sf_dir, "embeddings").withColumn(
+        "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
+    )
+    probe = emb.filter(F.col("vec_id") == _RRF_PROBE_ID).select(
+        F.col("embedding").alias("p_vec"), F.col("sqn").alias("p_sqn")
+    )
+    semw = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    sem = (
+        emb.filter(F.col("vec_id") != _RRF_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            seq_cosine(
+                F.col("p_vec"), F.col("embedding"), F.col("p_sqn"), F.col("sqn")
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("sem_rank", F.row_number().over(semw))
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        lex.select("doc_id", "lex_rank")
+        .join(sem.select("doc_id", "sem_rank"), "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(_RRF_OUT)
+    )
+
+
+def _rrf_sql() -> str:
+    from big_data_pipeline_spark.workloads.text import _bm25_scored_sql
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM (
+    SELECT doc_id, bm25 FROM ({_bm25_scored_sql()})
+    WHERE doc_id <> {_RRF_PROBE_ID}
+    ORDER BY bm25 DESC, doc_id LIMIT {_RRF_DEPTH}
+  )
+),
+e AS (
+  SELECT vec_id, embedding,
+         {sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=1)} AS sqn
+  FROM embeddings
+),
+probe AS (
+  SELECT embedding AS p_vec, sqn AS p_sqn FROM e
+  WHERE vec_id = {_RRF_PROBE_ID}
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS sem_rank
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           ({dot_sql("p_vec", "embedding", EMB_DIMS_DEFAULT, offset=1)})
+             / (sqrt(p_sqn) * sqrt(sqn)) AS cos_sim
+    FROM e, probe WHERE e.vec_id <> {_RRF_PROBE_ID}
+    ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_DEPTH}
+  )
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       COALESCE(1.0e0 / ({_RRF_C} + lex_rank), 0.0e0)
+         + COALESCE(1.0e0 / ({_RRF_C} + sem_rank), 0.0e0) AS rrf_score
+FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_OUT}
+"""
+
+
 QUERIES = {
+    "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
     "knn_cosine_topk": knn_cosine_topk,
     "maxsim_multivector_topk": maxsim_multivector_topk,
     "semdedup_prune": semdedup_prune,
@@ -1302,6 +1417,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rrf_hybrid_retrieval": _rrf_sql(),
     "knn_cosine_topk": _KNN_SQL,
     "maxsim_multivector_topk": _maxsim_sql(),
     "semdedup_prune": _semdedup_sql(),

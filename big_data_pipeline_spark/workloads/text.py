@@ -1315,6 +1315,17 @@ def _bm25_score_expr() -> str:
 
 
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document BM25-scored for the fixed query (no top-k) —
+    shared by ``bm25_topk_docs`` and the RRF hybrid fusion in
+    workloads/similarity.py."""
     docs = read_table(spark, sf_dir, "documents")
     lens = docs.select(
         "doc_id",
@@ -1360,12 +1371,18 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.expr(_bm25_score_expr()).alias("bm25"),
         )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(_BM25_K)
     )
 
 
 def _bm25_sql() -> str:
+    return f"""
+{_bm25_scored_sql()}
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+def _bm25_scored_sql() -> str:
     tf_cols = ", ".join(
         f"MAX(CASE WHEN tok = '{t}' THEN tf END) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -1401,10 +1418,7 @@ dfreq AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
 dfreq_wide AS (SELECT {df_cols} FROM dfreq)
 SELECT doc_id, CAST(dl AS BIGINT) AS doc_len, {out_tfs},
        {_bm25_score_expr()} AS bm25
-FROM wide, stats, dfreq_wide
-ORDER BY bm25 DESC, doc_id
-LIMIT {_BM25_K}
-"""
+FROM wide, stats, dfreq_wide"""
 
 
 # --- doc_char_diversity: character-diversity quality signal -----------------
