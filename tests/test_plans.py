@@ -657,3 +657,63 @@ def test_backfill_plan_anti_join_tiny_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "partition_backfill_plan")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_caps_and_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "copurchase_link_prediction")
+    assert "CartesianProduct" not in plan
+    # adjacency cap via row_number group-limit before the wedge join
+    assert "WindowGroupLimit" in plan
+    # existing edges leave via anti join; top-k never global-sorts
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_t_closeness_dense_grid_not_data_cross_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "t_closeness_audit")
+    # bucket grid comes from a literal sequence explode off the
+    # group-sized frame; the k-row global CDF and the 1-row total are
+    # the only nested-loop sides
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(c_nationkey" in plan
+
+
+def test_weighted_median_broadcasts_part_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "weighted_median_brand_price")
+    assert "BroadcastHashJoin" in plan  # part is the dim side
+    assert "CartesianProduct" not in plan
+    # cumulative window + totals both key on brand
+    assert "hashpartitioning(p_brand" in plan
+
+
+def test_holt_one_user_shuffle_arrow_group_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "holt_linear_forecast")
+    assert "FlatMapGroupsInPandas" in plan  # Arrow-batched, not per-row
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_rrf_lists_are_top_k_bounded(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rrf_hybrid_retrieval")
+    # both source lists collapse through TakeOrderedAndProject before
+    # any unpartitioned rank window touches them
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triple_support_equi_joins_on_basket_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "part_triple_support")
+    assert "CartesianProduct" not in plan
+    # both triple-building joins meet on l_orderkey (plus the < chain)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_time_decay_anchor_broadcast_single_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "time_decay_customer_value")
+    # the max-date anchor is a 1-row broadcast; the only data exchange
+    # keys on o_custkey with map-side partial aggregation
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan
+    assert "hashpartitioning(o_custkey" in plan
+    assert "SortMergeJoin" not in plan
