@@ -30,6 +30,7 @@ from big_data_pipeline_spark.workloads import (  # noqa: E402
     data_quality,
     dedup,
     events,
+    experiments,
     features,
     fingerprints,
     graph_rank,
@@ -60,6 +61,7 @@ _MODULES = (
     advanced,
     behavior,
     events,
+    experiments,
     timeseries,
     features,
     text,

@@ -62,10 +62,105 @@ WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
 """
 
 
+# --- scd2_priority_history: slowly-changing dimension, type 2 ---------------
+# The operator (operators/scd.py) applied as a checkable query: a
+# customer dimension tracking each customer's latest order priority,
+# snapshotted at two cutoff dates. Batch 1 bootstraps the history;
+# batch 2 closes rows whose priority changed (valid_to = T2) and opens
+# fresh ones. The oracle reconstructs the same history with window
+# functions + a changed-key join — a genuinely different formulation
+# that must agree cell-exact, including null-safe change detection.
+#
+# Scale: each snapshot is one windowed latest-per-key (single shuffle
+# on the dimension key); scd2_apply joins updates against CURRENT rows
+# only and carries closed history through untouched — no history-sized
+# window, no driver logic.
+
+_SCD_T1 = "1997-01-01 00:00:00"
+_SCD_T2 = "1999-01-01 00:00:00"
+
+
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from big_data_pipeline_spark.operators.scd import scd2_apply, scd2_init
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+
+    def snap(cutoff: str) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+        return (
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "o_custkey",
+                "o_orderpriority",
+                F.lit(cutoff).cast("timestamp").alias("eff"),
+            )
+        )
+
+    hist = scd2_init(snap(_SCD_T1), "eff")
+    hist = scd2_apply(
+        hist,
+        snap(_SCD_T2),
+        key_cols=["o_custkey"],
+        tracked_cols=["o_orderpriority"],
+        effective="eff",
+    )
+    return hist.select(
+        "o_custkey", "o_orderpriority", "valid_from", "valid_to", "is_current"
+    )
+
+
+_SCD_SQL = f"""
+WITH b1 AS (
+  SELECT o_custkey, o_orderpriority FROM (
+    SELECT o_custkey, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_SCD_T1}'
+  ) WHERE rn = 1
+),
+b2 AS (
+  SELECT o_custkey, o_orderpriority FROM (
+    SELECT o_custkey, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_SCD_T2}'
+  ) WHERE rn = 1
+),
+changed AS (
+  SELECT b2.o_custkey, b2.o_orderpriority
+  FROM b2 LEFT JOIN b1 USING (o_custkey)
+  WHERE b1.o_custkey IS NULL
+     OR b1.o_orderpriority IS DISTINCT FROM b2.o_orderpriority
+)
+SELECT b1.o_custkey, b1.o_orderpriority,
+       TIMESTAMP '{_SCD_T1}' AS valid_from,
+       CASE WHEN c.o_custkey IS NOT NULL
+            THEN TIMESTAMP '{_SCD_T2}' END AS valid_to,
+       c.o_custkey IS NULL AS is_current
+FROM b1 LEFT JOIN changed c ON b1.o_custkey = c.o_custkey
+UNION ALL
+SELECT o_custkey, o_orderpriority,
+       TIMESTAMP '{_SCD_T2}' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current
+FROM changed
+"""
+
+
 QUERIES = {
     "cdc_orders_diff": cdc_orders_diff,
+    "scd2_priority_history": scd2_priority_history,
 }
 
 ORACLE = {
     "cdc_orders_diff": _CDC_SQL,
+    "scd2_priority_history": _SCD_SQL,
 }

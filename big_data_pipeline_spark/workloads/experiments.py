@@ -1,0 +1,256 @@
+"""Experimentation analytics: A/B testing statistics over the event log.
+
+The reference's analytics stop at descriptive aggregates (per-symbol
+OLS, scripts/predictor.py); a production event pipeline also feeds
+experiment readouts. Two canonical ops:
+
+- ``ab_conversion_ztest``: two-proportion z-test on user-level
+  conversion (variant = user_id parity — a deterministic hash split
+  stand-in). Counts are integers, rates/z are closed-form scalar
+  arithmetic, so the DuckDB oracle matches bit-for-bit.
+- ``cuped_adjusted_lift``: CUPED variance reduction (Deng, Xu, Kohavi
+  & Walker, WSDM 2013): theta = cov(pre, post)/var(pre) from exact
+  moment sums, adjusted metric y - theta*(x - mean(x)), then
+  per-variant means.
+
+Scale shape: both are one user-level groupBy (shuffle on user_id,
+map-side combinable) followed by a constant-size reduction — the
+moment sums are a single global aggregate (no window, no collect of
+row data; the 1-row theta frame joins back via broadcast). Per-user
+and cross-user double sums are routed through DECIMAL(38,6) per the
+repo's oracle-parity discipline (oracle.py) so the hash check is
+order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.oracle import DEC, _dec_to_double_sql
+
+# z critical value for a two-sided 95% test (shared literal so Spark
+# and the oracle compare against the identical constant)
+_Z_CRIT = 1.959963984540054
+
+# "conversion" = a purchase above this value. Every fixture user has
+# SOME purchase, so a bare any-purchase definition degenerates to
+# p = 1.0 (zero pooled variance → divide-by-zero z); the threshold
+# lands conversion near 50% at every SF (checked 0.001/0.01/0.1).
+_CONV_MIN_VALUE = 150.0
+
+# CUPED pre/post split of the one-month event window
+_CUPED_SPLIT = "2024-01-16 00:00:00"
+
+
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: variant B vs A on purchase conversion.
+
+    One row: per-arm user counts, conversions, rates, absolute lift,
+    pooled-variance z statistic, and the 95% significance flag. The
+    user-level collapse is the only shuffle; the final reduction is a
+    single partial-aggregatable global agg.
+    """
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN_VALUE),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    s = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = (rate_b - rate_a) / se
+    return s.select(
+        "n_a",
+        "conv_a",
+        rate_a.alias("rate_a"),
+        "n_b",
+        "conv_b",
+        rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("abs_lift"),
+        z.alias("z_stat"),
+        (F.abs(z) >= F.lit(_Z_CRIT)).alias("significant_95"),
+    )
+
+
+_ZTEST_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN_VALUE}
+                  THEN 1 ELSE 0 END) AS conv,
+         user_id % 2 AS variant
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, conv_a,
+       CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+       n_b, conv_b,
+       CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+       CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a AS abs_lift,
+       (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+         / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
+       abs((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))) >= {_Z_CRIT} AS significant_95
+FROM s
+"""
+
+
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted per-variant purchase value.
+
+    Per user: pre-period covariate x (purchase value before the split
+    date) and post-period metric y. theta = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx*Sx) over all users, then adj = y - theta*(x - Sx/n),
+    averaged per variant. Every cross-row sum is an exact decimal sum;
+    the per-row arithmetic (products, theta application) is IEEE
+    double, bit-identical on both engines.
+
+    Scale: the user collapse shuffles once on user_id; the moment frame
+    is ONE row (broadcast back — no second shuffle of user rows beyond
+    the final per-variant agg, itself 2 groups and map-side combined).
+    """
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(0.0)
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < split, purchase_val).cast(DEC))
+                .cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= split, purchase_val).cast(DEC))
+                .cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    stats = users.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("xbar"),
+    )
+    adj = users.crossJoin(F.broadcast(stats)).withColumn(
+        "adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))
+    )
+    return (
+        adj.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (
+                F.sum(F.col("y").cast(DEC)).cast("double") / F.count(F.lit(1))
+            ).alias("mean_post"),
+            (
+                F.sum(F.col("adj").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_adjusted"),
+            F.first("theta").alias("theta"),
+        )
+    )
+
+
+def _cuped_sql() -> str:
+    dsum = _dec_to_double_sql
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         COALESCE({dsum(f"SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}' THEN CAST(pv AS DECIMAL(38,6)) END)")}, 0.0) AS x,
+         COALESCE({dsum(f"SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN CAST(pv AS DECIMAL(38,6)) END)")}, 0.0) AS y,
+         user_id % 2 AS variant
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS pv
+    FROM events
+  ) GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum("SUM(CAST(x AS DECIMAL(38,6)))")} AS sx,
+         {dsum("SUM(CAST(y AS DECIMAL(38,6)))")} AS sy,
+         {dsum("SUM(CAST(x * y AS DECIMAL(38,6)))")} AS sxy,
+         {dsum("SUM(CAST(x * x AS DECIMAL(38,6)))")} AS sxx
+  FROM u
+),
+t AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         sx / n AS xbar
+  FROM m
+)
+SELECT variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       {dsum("SUM(CAST(y AS DECIMAL(38,6)))")} / COUNT(*) AS mean_post,
+       {dsum("SUM(CAST(y - theta * (x - xbar) AS DECIMAL(38,6)))")}
+         / COUNT(*) AS mean_adjusted,
+       ANY_VALUE(theta) AS theta
+FROM u, t
+GROUP BY variant
+"""
+
+
+QUERIES = {
+    "ab_conversion_ztest": ab_conversion_ztest,
+    "cuped_adjusted_lift": cuped_adjusted_lift,
+}
+
+ORACLE = {
+    "ab_conversion_ztest": _ZTEST_SQL,
+    "cuped_adjusted_lift": _cuped_sql(),
+}

@@ -407,14 +407,121 @@ FROM ranked WHERE out_rank <= {_LOF_TOP}
 """
 
 
+# --- target_encoding_loo: leave-one-out mean target encoding ----------------
+# The standard high-cardinality categorical encoder for tabular models
+# (Micci-Barreca 2001): replace a category with the mean of the target
+# over OTHER rows of the same category — leave-one-out so a row never
+# leaks its own label into its feature. Encoded here: o_orderpriority
+# by mean o_totalprice.
+#
+# Scale shape: one map-side-combinable groupBy builds (decimal_sum, n)
+# per category — a MODEL of |categories| rows that joins back via
+# broadcast, so the table is touched twice linearly with no window and
+# no second shuffle. LOO = (S - x) / (n - 1) with S exact decimal: the
+# subtraction is exact, one double divide per row, bit-identical on
+# both engines (the oracle routes its decimal→double cast through
+# VARCHAR per oracle.py).
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    g = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("s_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    loo = (F.col("s_dec") - F.col("o_totalprice").cast(DEC)).cast(
+        "double"
+    ) / (F.col("n") - F.lit(1)).cast("double")
+    return orders.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        loo.alias("loo_enc"),
+    )
+
+
+_TARGET_ENC_SQL = f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS s_dec,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       {_dec_to_double_sql("s_dec - CAST(o_totalprice AS DECIMAL(38,6))")}
+         / CAST(n - 1 AS DOUBLE) AS loo_enc
+FROM orders o JOIN g USING (o_orderpriority)
+"""
+
+
+# --- feature_hashing_vectorize: the hashing trick -----------------------------
+# Weinberger et al. (ICML 2009): token -> (bucket, sign) via a fixed
+# hash; the doc vector is the signed count sum per bucket. No
+# vocabulary pass, no driver state — the classic streaming-friendly
+# featurizer. Hash = the repo's md5-prefix→int scheme (identical in
+# both engines, same as cms_token_counts); sign from the next md5
+# nibble. Output is the sparse COO form (doc_id, bucket, weight):
+# array-typed cells would break the driver's pandas canonicalizer
+# (round-3 embedding_quantize_int8 lesson) and the sparse form is what
+# a 100 TB featurizer emits anyway.
+#
+# Scale shape: explode(tokens) -> groupBy(doc_id, bucket) with map-side
+# combine; output is bounded by n_docs * n_buckets regardless of
+# corpus token count. Entirely JVM-side expressions.
+
+_FH_BUCKETS = 64
+
+
+def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    sign_bit = (
+        F.conv(F.substring(F.md5(F.col("token")), 9, 1), 16, 10).cast("long")
+        % 2
+    )
+    return (
+        tok.select(
+            "doc_id",
+            (h % _FH_BUCKETS).alias("bucket"),
+            (sign_bit * 2 - 1).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("weight"))
+    )
+
+
+_FEATURE_HASH_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+)
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+         % {_FH_BUCKETS} AS bucket,
+       CAST(SUM((CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT) % 2)
+                * 2 - 1) AS BIGINT) AS weight
+FROM tok
+GROUP BY doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {_FH_BUCKETS}
+"""
+
+
 QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
     "chi2_token_lang": chi2_token_lang,
     "lof_knn_outliers": lof_knn_outliers,
+    "target_encoding_loo": target_encoding_loo,
+    "feature_hashing_vectorize": feature_hashing_vectorize,
 }
 
 ORACLE: dict[str, str] = {
     "nb_lang_confusion": _NB_SQL,
     "chi2_token_lang": _CHI2_SQL,
     "lof_knn_outliers": _lof_sql(),
+    "target_encoding_loo": _TARGET_ENC_SQL,
+    "feature_hashing_vectorize": _FEATURE_HASH_SQL,
 }

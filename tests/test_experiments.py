@@ -1,0 +1,125 @@
+"""Semantic invariants for the experimentation / encoder / SCD2 batch.
+
+The DuckDB oracle pins cell-exact values (tools/check_oracle.py); these
+tests pin the STATISTICAL and structural properties the oracle can't
+express — conservation laws, group identities, history invariants.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_pipeline_spark.workloads.cdc_feed import (
+    _SCD_T2,
+    scd2_priority_history,
+)
+from big_data_pipeline_spark.workloads.experiments import (
+    ab_conversion_ztest,
+    cuped_adjusted_lift,
+)
+from big_data_pipeline_spark.workloads.ml_prep import (
+    _FH_BUCKETS,
+    feature_hashing_vectorize,
+    target_encoding_loo,
+)
+
+
+def test_ztest_counts_partition_users(spark, sf_dir):
+    r = ab_conversion_ztest(spark, sf_dir).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert 0 < r.conv_a < r.n_a and 0 < r.conv_b < r.n_b
+    assert math.isfinite(r.z_stat)
+    assert r.significant_95 == (abs(r.z_stat) >= 1.959963984540054)
+    assert r.abs_lift == pytest.approx(r.rate_b - r.rate_a)
+
+
+def test_cuped_preserves_weighted_mean_and_reduces_variance(spark, sf_dir):
+    rows = {r.variant: r for r in cuped_adjusted_lift(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    a, b = rows[0], rows[1]
+    # one global theta
+    assert a.theta == b.theta and math.isfinite(a.theta)
+    # the adjustment term has zero mean over ALL users, so the pooled
+    # weighted mean is conserved (CUPED shifts variance, not the mean)
+    n = a.n_users + b.n_users
+    pooled_post = (a.mean_post * a.n_users + b.mean_post * b.n_users) / n
+    pooled_adj = (
+        a.mean_adjusted * a.n_users + b.mean_adjusted * b.n_users
+    ) / n
+    assert pooled_adj == pytest.approx(pooled_post, rel=1e-9)
+
+
+def test_target_encoding_loo_group_identity(spark, sf_dir):
+    enc = target_encoding_loo(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert enc.count() == orders.count()
+    # mean of LOO encodings within a category equals the category mean:
+    # avg_i (S - x_i)/(n-1) = (nS - S)/(n(n-1)) = S/n
+    got = {
+        r.o_orderpriority: r.m
+        for r in enc.groupBy("o_orderpriority")
+        .agg(F.avg("loo_enc").alias("m"))
+        .collect()
+    }
+    want = {
+        r.o_orderpriority: r.m
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    }
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_feature_hashing_shape_and_mass(spark, sf_dir):
+    fh = feature_hashing_vectorize(spark, sf_dir)
+    r = fh.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.sum(F.abs(F.col("weight"))).alias("mass"),
+    ).collect()[0]
+    assert 0 <= r.lo and r.hi < _FH_BUCKETS
+    n_tokens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .count()
+    )
+    # signed cancellation can only shrink the mass, never grow it
+    assert 0 < r.mass <= n_tokens
+    # deterministic: a second plan evaluates to the identical frame
+    assert fh.exceptAll(feature_hashing_vectorize(spark, sf_dir)).count() == 0
+
+
+def test_scd2_history_invariants(spark, sf_dir):
+    hist = scd2_priority_history(spark, sf_dir)
+    per_key = hist.groupBy("o_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # exactly one open row per key, at most one closed predecessor
+    assert per_key.filter(F.col("n_open") != 1).count() == 0
+    assert per_key.filter(F.col("n_rows") > 2).count() == 0
+    closed = hist.filter(~F.col("is_current"))
+    assert closed.filter(
+        F.col("valid_to") != F.lit(_SCD_T2).cast("timestamp")
+    ).count() == 0
+    # every closed row has a successor with a different tracked value
+    succ = closed.alias("c").join(
+        hist.filter(F.col("is_current")).alias("o"), "o_custkey"
+    )
+    assert succ.count() == closed.count()
+    assert (
+        succ.filter(
+            F.col("c.o_orderpriority") == F.col("o.o_orderpriority")
+        ).count()
+        == 0
+    )
