@@ -71,3 +71,70 @@ def range_join_binned(
         .filter(band)
         .select(*[f"l.{c}" for c in left.columns], *[f"r.{c}" for c in out_right])
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_sec: int,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join: rows where
+    ``[left_start, left_end]`` intersects ``[right_start, right_end]``
+    (closed ends, the SQL ``ls <= re AND rs <= le`` semantics).
+
+    Same bucketing idea as ``range_join_binned``, with the standard
+    exactly-once refinement: both sides explode to the bins their
+    interval touches, the equi-join meets on the shared bin, and the
+    residual keeps only the bin CONTAINING the overlap's start
+    (``greatest(ls, rs)``) — every overlapping pair matches in exactly
+    one bin, so no post-join ``distinct`` (a second full shuffle) is
+    needed. Fan-out per row is interval_length/bin_sec + 1; pick
+    ``bin_sec`` near the typical interval length.
+
+    Returns all left columns + all right columns (names must not
+    collide, except ``extra_on`` equi keys which are taken from left).
+    """
+    extra_on = extra_on or []
+    bin_us = bin_sec * 1_000_000
+
+    # unix_micros rejects TIMESTAMP_NTZ (the parquet date columns);
+    # the session runs in UTC, so the ntz→ltz cast is value-preserving
+    def _us(col: Column) -> Column:
+        return F.unix_micros(col.cast("timestamp"))
+
+    def to_bin(col: str) -> Column:
+        return F.floor(_us(F.col(col)) / bin_us)
+
+    lhs = left.withColumn(
+        _BIN, F.explode(F.sequence(to_bin(left_start), to_bin(left_end)))
+    )
+    rhs = right.withColumn(
+        _BIN, F.explode(F.sequence(to_bin(right_start), to_bin(right_end)))
+    )
+    cond = F.col(f"l.{_BIN}") == F.col(f"r.{_BIN}")
+    for k in extra_on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    overlap = (
+        _us(F.col(f"l.{left_start}")) <= _us(F.col(f"r.{right_end}"))
+    ) & (
+        _us(F.col(f"r.{right_start}")) <= _us(F.col(f"l.{left_end}"))
+    )
+    once = F.col(f"l.{_BIN}") == F.floor(
+        F.greatest(
+            _us(F.col(f"l.{left_start}")),
+            _us(F.col(f"r.{right_start}")),
+        )
+        / bin_us
+    )
+    out_right = [c for c in right.columns if c not in extra_on]
+    return (
+        lhs.alias("l")
+        .join(rhs.alias("r"), cond)
+        .filter(overlap & once)
+        .select(*[f"l.{c}" for c in left.columns], *[f"r.{c}" for c in out_right])
+    )

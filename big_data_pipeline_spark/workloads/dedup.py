@@ -397,9 +397,142 @@ WHERE 3 * (CASE WHEN name_lev <= {_FS_LEV_MAX} THEN 1 ELSE 0 END)
 """
 
 
+# --- golden_record_merge: survivorship after entity resolution --------------
+# The step master-data-management runs AFTER record linkage: collapse
+# each linked entity cluster to ONE golden record with per-attribute
+# survivorship rules — most-frequent size (smallest on ties),
+# max price bucket, first-record (minimum key) name — plus the
+# total source-record count the golden record absorbs. Runs on the
+# part-catalog linkage graph (record_linkage_score pairs), whose many
+# small clusters exercise real merge behavior (the customer name graph
+# chains into one giant component — no merge semantics to check).
+#
+# Scale shape: pairs come from the blocked linkage pipeline (linear,
+# never a cross join); clustering reuses the distributed
+# connected-components operator; survivorship is two
+# map-side-combinable groupBys keyed by cluster_id plus one window on
+# the (cluster, size) frequency frame — no driver logic. The oracle
+# recomputes the clusters with a recursive CTE and the mode with a
+# window, so two different cluster algorithms + two different mode
+# formulations must agree cell-exact.
+
+
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.dedup.clusters import connected_components
+
+    scored = record_linkage_score(spark, sf_dir)
+    clusters = connected_components(
+        scored.select("rep_a", "rep_b"), "rep_a", "rep_b"
+    ).select(F.col("id").alias("rep_key"), "cluster_id")
+    profiles = (
+        read_table(spark, sf_dir, "part")
+        .groupBy("p_name", "p_type", "p_brand", "p_size",
+                 F.floor(F.col("p_retailprice") / F.lit(100.0)).alias(
+                     "price_bucket"))
+        .agg(
+            F.min("p_partkey").alias("rep_key"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    members = clusters.join(profiles, "rep_key")
+    size_w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_sz"), F.asc("p_size")
+    )
+    size_pick = (
+        members.groupBy("cluster_id", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_sz"))
+        .withColumn("_rn", F.row_number().over(size_w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col("p_size").alias("size_mode"))
+    )
+    agg = members.groupBy("cluster_id").agg(
+        F.min("rep_key").alias("golden_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_profiles"),
+        F.sum("n_members").cast("bigint").alias("n_records"),
+        F.max("price_bucket").alias("price_bucket_max"),
+    )
+    name = profiles.select(
+        F.col("rep_key").alias("golden_id"), F.col("p_name").alias("name")
+    )
+    return (
+        agg.join(size_pick, "cluster_id")
+        .join(name, "golden_id")
+        .select(
+            "cluster_id", "golden_id", "name", "size_mode",
+            "price_bucket_max", "n_profiles", "n_records",
+        )
+    )
+
+
+_GOLDEN_SQL = f"""
+WITH RECURSIVE profiles AS (
+  SELECT p_name, p_type, p_brand, p_size,
+         CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+         MIN(p_partkey) AS rep_key, COUNT(*) AS n_members
+  FROM part GROUP BY 1, 2, 3, 4, 5
+),
+pairs AS (
+  SELECT a.rep_key AS ka, b.rep_key AS kb
+  FROM profiles a JOIN profiles b
+    ON a.p_type = b.p_type AND a.p_brand = b.p_brand
+   AND abs(a.p_size - b.p_size) <= 1
+   AND a.rep_key < b.rep_key
+  WHERE 3 * (CASE WHEN levenshtein(a.p_name, b.p_name) <= {_FS_LEV_MAX}
+                  THEN 1 ELSE 0 END)
+        + (CASE WHEN abs(a.p_size - b.p_size) <= 1 THEN 1 ELSE 0 END)
+        + (CASE WHEN a.price_bucket = b.price_bucket THEN 1 ELSE 0 END)
+        >= {_FS_MATCH_MIN}
+),
+edges AS (
+  SELECT ka AS a, kb AS b FROM pairs
+  UNION
+  SELECT kb AS a, ka AS b FROM pairs
+),
+reach(id, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+),
+clusters AS (
+  SELECT id AS rep_key, MIN(label) AS cluster_id
+  FROM reach GROUP BY id
+),
+members AS (
+  SELECT cl.cluster_id, p.rep_key, p.p_name, p.p_size, p.price_bucket,
+         p.n_members
+  FROM clusters cl JOIN profiles p USING (rep_key)
+),
+size_pick AS (
+  SELECT cluster_id, p_size AS size_mode
+  FROM (
+    SELECT cluster_id, p_size,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY COUNT(*) DESC, p_size ASC) AS rn
+    FROM members GROUP BY cluster_id, p_size
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT cluster_id, MIN(rep_key) AS golden_id,
+         CAST(COUNT(*) AS BIGINT) AS n_profiles,
+         CAST(SUM(n_members) AS BIGINT) AS n_records,
+         MAX(price_bucket) AS price_bucket_max
+  FROM members GROUP BY cluster_id
+)
+SELECT a.cluster_id, a.golden_id, p.p_name AS name, s.size_mode,
+       a.price_bucket_max, a.n_profiles, a.n_records
+FROM agg a
+JOIN size_pick s USING (cluster_id)
+JOIN profiles p ON p.rep_key = a.golden_id
+"""
+
+
 QUERIES = {
     "entity_blocking_pairs": entity_blocking_pairs,
     "entity_clusters": entity_clusters,
+    "golden_record_merge": golden_record_merge,
     "record_linkage_score": record_linkage_score,
     "sorted_neighborhood_neardup": sorted_neighborhood_neardup,
     "minhash_lsh_dedup": minhash_lsh_dedup,
@@ -409,6 +542,7 @@ QUERIES = {
 ORACLE: dict[str, str] = {
     "entity_blocking_pairs": _ENTITY_SQL,
     "entity_clusters": _ENTITY_CLUSTERS_SQL,
+    "golden_record_merge": _GOLDEN_SQL,
     "record_linkage_score": _LINKAGE_SQL,
     "sorted_neighborhood_neardup": _SNM_SQL,
 }

@@ -654,7 +654,92 @@ FROM hw JOIN n ON n.user_id = hw.user_id AND n.n_obs = hw.rn
 """
 
 
+# --- promo_interval_overlap: interval × interval overlap join ---------------
+# The third classic temporal-join shape (after as-of and band): which
+# order fulfillment windows [o_orderdate, last l_shipdate] intersect
+# which promotion windows, and how much revenue sits in each promo.
+# Spark has no interval join; operators/ranges.interval_overlap_join
+# composes it from bin-explosion + equi-join with an exactly-once bin
+# rule (match only in the bin containing greatest(start_l, start_r)),
+# so there is NO post-join distinct. DuckDB runs the same overlap as a
+# native IEJoin over a VALUES calendar — an independent formulation.
+#
+# Scale: order windows span ~1-5 months, bin = 30 days → fan-out ≤ ~6
+# per order; the promo side is a constant VALUES frame. Revenue sums
+# route through DECIMAL per oracle.py.
+
+_PROMOS = (
+    ("holiday95", "1995-11-15 00:00:00", "1995-12-31 00:00:00"),
+    ("summer96", "1996-06-01 00:00:00", "1996-06-14 00:00:00"),
+    ("holiday97", "1997-11-15 00:00:00", "1997-12-31 00:00:00"),
+    ("summer98", "1998-07-01 00:00:00", "1998-07-14 00:00:00"),
+    ("millennium", "2000-01-01 00:00:00", "2000-01-31 00:00:00"),
+)
+_PROMO_BIN_SEC = 30 * 86400
+
+
+def promo_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators import interval_overlap_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    last_ship = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    windows = orders.join(last_ship, "o_orderkey")
+    promos = spark.createDataFrame(
+        list(_PROMOS), "promo_id string, p_start string, p_end string"
+    ).select(
+        "promo_id",
+        F.col("p_start").cast("timestamp").alias("p_start"),
+        F.col("p_end").cast("timestamp").alias("p_end"),
+    )
+    hits = interval_overlap_join(
+        windows,
+        promos,
+        left_start="o_orderdate",
+        left_end="last_ship",
+        right_start="p_start",
+        right_end="p_end",
+        bin_sec=_PROMO_BIN_SEC,
+    )
+    return hits.groupBy("promo_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+    )
+
+
+def _promo_sql() -> str:
+    from big_data_pipeline_spark.oracle import exact_sum_sql
+
+    values = ",\n    ".join(
+        f"('{p}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for p, s, e in _PROMOS
+    )
+    return f"""
+WITH promos(promo_id, p_start, p_end) AS (
+  VALUES
+    {values}
+),
+win AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         MAX(l.l_shipdate) AS last_ship
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+)
+SELECT promo_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {exact_sum_sql("o_totalprice", "revenue")}
+FROM win JOIN promos
+  ON win.o_orderdate <= promos.p_end AND promos.p_start <= win.last_ship
+GROUP BY promo_id
+"""
+
+
 QUERIES = {
+    "promo_interval_overlap": promo_interval_overlap,
     "holt_linear_forecast": holt_linear_forecast,
     "theilsen_trend_per_user": theilsen_trend_per_user,
     "max_drawdown_per_user": max_drawdown_per_user,
@@ -667,6 +752,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "promo_interval_overlap": _promo_sql(),
     "holt_linear_forecast": _HOLT_SQL,
     "theilsen_trend_per_user": _THEILSEN_SQL,
     "max_drawdown_per_user": _DRAWDOWN_SQL,
