@@ -153,6 +153,17 @@ _MODULES = (
 # quality_rank_normalize, boilerplate_span_strip,
 # knn_matryoshka_rerank, stream_session_dynamic_gap (each family keeps
 # other in-window representation).
+#
+# Round-4 session-2 batch: the seven operators built this session
+# (ab_conversion_ztest, cuped_adjusted_lift, target_encoding_loo,
+# feature_hashing_vectorize, scd2_priority_history,
+# golden_record_merge, promo_interval_overlap — all hash-green in the
+# local sweep at sf0.01) take slots under the newest-work-first rule;
+# displaced to the round-5 rotation (families keep other in-window
+# representation): nation_revenue_share, customer_revenue_pareto,
+# join_fanout_audit, lineitem_regression_stats,
+# attribution_latency_stats, part_triple_support,
+# time_decay_customer_value.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
@@ -166,13 +177,15 @@ _PRIORITY = (
     "stream_tumbling_window_counts",
     # --- re-prove: r03's one error, now serialized driver-safe
     "embedding_quantize_int8",
-    # --- first-timers: relational analytics
-    "nation_revenue_share",
-    "customer_revenue_pareto",
-    "join_fanout_audit",
-    "lineitem_regression_stats",
+    # --- round-4 session-2: experimentation / encoding / warehouse ops
+    "ab_conversion_ztest",
+    "cuped_adjusted_lift",
+    "target_encoding_loo",
+    "feature_hashing_vectorize",
+    "scd2_priority_history",
+    "golden_record_merge",
+    "promo_interval_overlap",
     # --- first-timers: behavioral / event analytics
-    "attribution_latency_stats",
     "event_transition_matrix",
     "rfm_user_segments",
     "table_checksum_audit",
@@ -187,11 +200,6 @@ _PRIORITY = (
     "holt_linear_forecast",
     "t_closeness_audit",
     "copurchase_link_prediction",
-    # --- first-timers: text / fingerprints (lang_id_confusion,
-    # inverted_index_postings, winsorized_priority_revenue -> round-5
-    # rotation; their slots fund the newest robust-ts/drift/Gini ops)
-    "part_triple_support",
-    "time_decay_customer_value",
     # --- round-4 new: text / tokenizer / sketch
     "nb_lang_confusion",
     "chi2_token_lang",
