@@ -717,3 +717,40 @@ def test_time_decay_anchor_broadcast_single_agg(spark, sf_dir):
     assert "partial_sum" in plan
     assert "hashpartitioning(o_custkey" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_target_encoding_category_model_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "target_encoding_loo")
+    # the 5-row category model must broadcast back — never a sort-merge
+    # join of the fact table against itself
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine on the model build
+
+
+def test_feature_hashing_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "feature_hashing_vectorize")
+    # pure expression pipeline: no Python eval anywhere, one keyed agg
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "promo_interval_overlap")
+    # the bin trick must turn interval overlap into a hash-equi join;
+    # a BroadcastNestedLoopJoin/Cartesian means the rewrite regressed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ztest_single_pass_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ab_conversion_ztest")
+    assert "partial_" in plan  # user collapse is map-side combined
+    assert "Join" not in plan  # one linear pipeline, no self-join
+
+
+def test_cuped_theta_frame_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cuped_adjusted_lift")
+    # the 1-row moment frame re-joins via broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
