@@ -163,7 +163,10 @@ _MODULES = (
 # representation): nation_revenue_share, customer_revenue_pareto,
 # join_fanout_audit, lineitem_regression_stats,
 # attribution_latency_stats, part_triple_support,
-# time_decay_customer_value.
+# time_decay_customer_value, and table_checksum_audit (whose slot
+# funds grid_density_clusters, the grid-DBSCAN density family's first
+# driver row; fk_integrity_audit + dq_orders_report keep the audit
+# family in-window).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
@@ -188,7 +191,7 @@ _PRIORITY = (
     # --- first-timers: behavioral / event analytics
     "event_transition_matrix",
     "rfm_user_segments",
-    "table_checksum_audit",
+    "grid_density_clusters",
     "weighted_median_brand_price",
     # --- round-4 new: relational/behavior/timeseries analytics
     "ses_forecast_user_value",

@@ -1396,7 +1396,215 @@ LIMIT {_RRF_OUT}
 """
 
 
+# --- grid_density_clusters: grid-bucketed DBSCAN over 2-D projection --------
+# Density-based clustering, the grid approximation (cell side = eps):
+# bucket points into eps-cells, cells holding >= minPts points are
+# CORE; core cells connected through their 8-neighborhood form
+# clusters; points in non-core cells adjacent to a core cell join that
+# cluster as BORDER points (smallest cluster id on ties); everything
+# else is noise (cluster_id = -1). Runs on the first two embedding
+# dimensions — the footprint of DBSCAN over a learned 2-D projection.
+#
+# Scale shape — why grid, not point-pair, DBSCAN: the per-point
+# eps-neighborhood join is quadratic in dense regions; the grid version
+# is (1) one map-side-combinable groupBy to cells — bounded by grid
+# resolution, not corpus size, (2) an 8-shift EQUI-join between core
+# cells (each cell emits 8 neighbor keys; no distance join at all),
+# (3) connected components on the tiny cell graph via the same
+# distributed large-star machinery as the dedup clusters, (4) keyed
+# joins to label points. The DuckDB oracle recomputes the components
+# with a recursive CTE — different algorithm, must agree cell-exact.
+# Cell coordinates come from floor(x/eps) on IEEE doubles — identical
+# on both engines.
+
+_DBSCAN_EPS = 0.04
+_DBSCAN_MINPTS = 4
+_DBSCAN_OFF = 512  # shifts cell coords positive for the packed cell id
+_DBSCAN_W = 4096
+_DBSCAN_DRIVER_MAX_CELLS = 100_000  # union-find gate (cell graph = model)
+
+
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.dedup.clusters import connected_components
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.floor(
+            F.element_at("embedding", 1).cast("double") / _DBSCAN_EPS
+        ).alias("cx"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") / _DBSCAN_EPS
+        ).alias("cy"),
+    )
+    cid = (
+        (F.col("cx") + _DBSCAN_OFF) * _DBSCAN_W + (F.col("cy") + _DBSCAN_OFF)
+    ).cast("long")
+    cells = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cid", cid)
+    )
+    core = cells.filter(F.col("n") >= _DBSCAN_MINPTS)
+    shifts = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    nbr_keys = core.select(
+        F.col("cid").alias("a"),
+        F.explode(shifts).alias("s"),
+        "cx",
+        "cy",
+    ).select(
+        "a",
+        (F.col("cx") + F.col("s.dx")).alias("nx"),
+        (F.col("cy") + F.col("s.dy")).alias("ny"),
+    )
+    edges = nbr_keys.join(
+        core.select(
+            F.col("cid").alias("b"),
+            F.col("cx").alias("nx"),
+            F.col("cy").alias("ny"),
+        ),
+        ["nx", "ny"],
+    ).select("a", "b")
+    # The cell graph is bounded by GRID RESOLUTION, not corpus size
+    # (≤ (range/eps)² cells no matter how many points) — a model-sized
+    # graph like the IVF centroids or the pagerank driver-solve gate,
+    # so union-find on the collected CELL edges (never row data) beats
+    # ~10 rounds of distributed iteration. Above the cap (a grid so
+    # fine it stops being a model) fall back to the distributed
+    # large-star machinery.
+    if core.count() <= _DBSCAN_DRIVER_MAX_CELLS:
+        e = edges.collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in e:
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(x, find(x)) for x in parent]
+        comp = (
+            spark.createDataFrame(labels, "cid long, cluster_id long")
+            if labels
+            else spark.createDataFrame([], "cid long, cluster_id long")
+        )
+    else:  # pragma: no cover - exercised only on degenerate grids
+        comp = connected_components(edges, "a", "b").select(
+            F.col("id").alias("cid"), "cluster_id"
+        )
+    # core cells with no core neighbor are their own singleton cluster
+    cell_cluster = (
+        core.join(F.broadcast(comp), "cid", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "cid"))
+        .select("cx", "cy", "cid", "cluster_id")
+        .localCheckpoint()
+    )
+    labeled = pts.withColumn("cid", cid).join(
+        cell_cluster.select("cid", "cluster_id"), "cid", "left"
+    )
+    in_core = labeled.filter(F.col("cluster_id").isNotNull()).select(
+        "vec_id", "cluster_id", F.lit(True).alias("is_core")
+    )
+    border_cand = (
+        labeled.filter(F.col("cluster_id").isNull())
+        .select("vec_id", F.explode(shifts).alias("s"), "cx", "cy")
+        .select(
+            "vec_id",
+            (F.col("cx") + F.col("s.dx")).alias("nx"),
+            (F.col("cy") + F.col("s.dy")).alias("ny"),
+        )
+        .join(
+            cell_cluster.select(
+                F.col("cx").alias("nx"),
+                F.col("cy").alias("ny"),
+                "cluster_id",
+            ),
+            ["nx", "ny"],
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+            F.lit(False).alias("is_core"),
+        )
+    )
+    return in_core.unionByName(border_cand)
+
+
+def _dbscan_sql() -> str:
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / {_DBSCAN_EPS}) AS BIGINT) AS cx,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / {_DBSCAN_EPS}) AS BIGINT) AS cy
+  FROM embeddings
+),
+cells AS (
+  SELECT cx, cy, COUNT(*) AS n,
+         (cx + {_DBSCAN_OFF}) * {_DBSCAN_W} + (cy + {_DBSCAN_OFF}) AS cid
+  FROM pts GROUP BY cx, cy
+),
+core AS (SELECT * FROM cells WHERE n >= {_DBSCAN_MINPTS}),
+shifts(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)
+),
+edges0 AS (
+  SELECT a.cid AS a, b.cid AS b
+  FROM core a, shifts s
+  JOIN core b ON b.cx = a.cx + s.dx AND b.cy = a.cy + s.dy
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0),
+reach(id, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+),
+comp AS (SELECT id AS cid, MIN(label) AS cluster_id FROM reach GROUP BY id),
+cell_cluster AS (
+  SELECT core.cx, core.cy, core.cid,
+         COALESCE(comp.cluster_id, core.cid) AS cluster_id
+  FROM core LEFT JOIN comp USING (cid)
+),
+labeled AS (
+  SELECT p.vec_id, p.cx, p.cy, cc.cluster_id
+  FROM pts p LEFT JOIN cell_cluster cc ON cc.cx = p.cx AND cc.cy = p.cy
+),
+in_core AS (
+  SELECT vec_id, cluster_id, TRUE AS is_core
+  FROM labeled WHERE cluster_id IS NOT NULL
+),
+border AS (
+  SELECT l.vec_id,
+         COALESCE(MIN(cc.cluster_id), -1) AS cluster_id,
+         FALSE AS is_core
+  FROM labeled l
+  CROSS JOIN shifts s
+  LEFT JOIN cell_cluster cc
+    ON cc.cx = l.cx + s.dx AND cc.cy = l.cy + s.dy
+  WHERE l.cluster_id IS NULL
+  GROUP BY l.vec_id
+)
+SELECT vec_id, cluster_id, is_core FROM in_core
+UNION ALL
+SELECT vec_id, cluster_id, is_core FROM border
+"""
+
+
 QUERIES = {
+    "grid_density_clusters": grid_density_clusters,
     "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
     "knn_cosine_topk": knn_cosine_topk,
     "maxsim_multivector_topk": maxsim_multivector_topk,
@@ -1417,6 +1625,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "grid_density_clusters": _dbscan_sql(),
     "rrf_hybrid_retrieval": _rrf_sql(),
     "knn_cosine_topk": _KNN_SQL,
     "maxsim_multivector_topk": _maxsim_sql(),

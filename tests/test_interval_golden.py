@@ -75,3 +75,28 @@ def test_golden_record_survivorship(spark):
         # first-record survivorship: golden id names the cluster
         assert r.golden_id == r.cluster_id or r.golden_id >= 0
         assert r.name
+
+
+def test_grid_density_clusters_partition_and_noise(spark):
+    from big_data_pipeline_spark.workloads.similarity import (
+        grid_density_clusters,
+    )
+
+    df = grid_density_clusters(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    n_emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).count()
+    # every vector labeled exactly once
+    assert len(rows) == n_emb
+    assert len({r.vec_id for r in rows}) == n_emb
+    core = [r for r in rows if r.is_core]
+    noise = [r for r in rows if r.cluster_id == -1]
+    assert core and noise, "fixture must yield both core and noise points"
+    assert all(r.cluster_id >= 0 for r in core)
+    # border points only ever join an existing core cluster
+    core_clusters = {r.cluster_id for r in core}
+    for r in rows:
+        if not r.is_core and r.cluster_id != -1:
+            assert r.cluster_id in core_clusters
+    assert len(core_clusters) >= 2, "grid parameters must fragment the blob"
