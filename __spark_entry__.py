@@ -166,7 +166,9 @@ _MODULES = (
 # time_decay_customer_value, and table_checksum_audit (whose slot
 # funds grid_density_clusters, the grid-DBSCAN density family's first
 # driver row; fk_integrity_audit + dq_orders_report keep the audit
-# family in-window).
+# family in-window). srm_chi2_check and did_purchase_lift (hash-green
+# local) start in the round-5 rotation — the experimentation family
+# already holds two in-window slots (z-test, CUPED).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)

@@ -245,12 +245,175 @@ GROUP BY variant
 """
 
 
+# --- srm_chi2_check: sample-ratio-mismatch guardrail ------------------------
+# The first thing a trustworthy experiment readout checks (Kohavi et
+# al.): does the observed assignment split match the designed ratio?
+# Chi-squared goodness-of-fit against the 50/50 design; chi² >= 3.841
+# (df=1, α=.05) flags a broken randomizer / logging loss. Integer
+# counts → closed-form doubles, cell-exact on both engines. One
+# user-level collapse, then a 1-row reduction — same scale shape as
+# the z-test.
+
+_SRM_CHI2_CRIT = 3.841458820694124
+
+
+def srm_chi2_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select("user_id")
+    s = (
+        events.distinct()
+        .withColumn("variant", F.col("user_id") % 2)
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    exp = (F.col("n_a") + F.col("n_b")).cast("double") / F.lit(2.0)
+    chi2 = (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp + (
+        F.col("n_b") - exp
+    ) * (F.col("n_b") - exp) / exp
+    return s.select(
+        "n_a",
+        "n_b",
+        exp.alias("expected_per_arm"),
+        chi2.alias("chi2"),
+        (chi2 >= F.lit(_SRM_CHI2_CRIT)).alias("srm_detected"),
+    )
+
+
+_SRM_SQL = f"""
+WITH s AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT n_a, n_b,
+       CAST(n_a + n_b AS DOUBLE) / 2.0 AS expected_per_arm,
+       (n_a - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         * (n_a - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+       + (n_b - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         * (n_b - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         / (CAST(n_a + n_b AS DOUBLE) / 2.0) AS chi2,
+       (n_a - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         * (n_a - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+       + (n_b - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         * (n_b - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         / (CAST(n_a + n_b AS DOUBLE) / 2.0) >= {_SRM_CHI2_CRIT}
+         AS srm_detected
+FROM s
+"""
+
+
+# --- did_purchase_lift: difference-in-differences ------------------------------
+# The quasi-experimental twin of CUPED: per (variant, period) exact
+# mean of user purchase value, DiD estimate =
+# (B_post − B_pre) − (A_post − A_pre). Reuses the same user collapse
+# (pre = x, post = y, decimal-exact); the 2×2 cell means are one
+# 4-group map-side-combined agg, pivoted by conditional aggregation to
+# a single row so the estimate is one deterministic expression.
+
+
+def did_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(0.0)
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < split, purchase_val).cast(DEC))
+                .cast("double"),
+                F.lit(0.0),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= split, purchase_val).cast(DEC))
+                .cast("double"),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+
+    def cell(var: int, col: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("variant") == var, F.col(col)).otherwise(0.0).cast(DEC)
+        ).cast("double") / F.sum(
+            F.when(F.col("variant") == var, 1).otherwise(0)
+        )
+
+    s = users.agg(
+        cell(0, "x").alias("a_pre"),
+        cell(0, "y").alias("a_post"),
+        cell(1, "x").alias("b_pre"),
+        cell(1, "y").alias("b_post"),
+    )
+    return s.select(
+        "a_pre",
+        "a_post",
+        "b_pre",
+        "b_post",
+        (
+            (F.col("b_post") - F.col("b_pre"))
+            - (F.col("a_post") - F.col("a_pre"))
+        ).alias("did_estimate"),
+    )
+
+
+def _did_sql() -> str:
+    dsum = _dec_to_double_sql
+
+    def cell(var: int, col: str) -> str:
+        num = dsum(
+            f"SUM(CAST(CASE WHEN variant = {var} THEN {col} "
+            f"ELSE 0.0 END AS DECIMAL(38,6)))"
+        )
+        return f"{num} / SUM(CASE WHEN variant = {var} THEN 1 ELSE 0 END)"
+
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         COALESCE({dsum(f"SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}' THEN CAST(pv AS DECIMAL(38,6)) END)")}, 0.0) AS x,
+         COALESCE({dsum(f"SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN CAST(pv AS DECIMAL(38,6)) END)")}, 0.0) AS y,
+         user_id % 2 AS variant
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS pv
+    FROM events
+  ) GROUP BY user_id
+),
+s AS (
+  SELECT {cell(0, "x")} AS a_pre,
+         {cell(0, "y")} AS a_post,
+         {cell(1, "x")} AS b_pre,
+         {cell(1, "y")} AS b_post
+  FROM u
+)
+SELECT a_pre, a_post, b_pre, b_post,
+       (b_post - b_pre) - (a_post - a_pre) AS did_estimate
+FROM s
+"""
+
+
 QUERIES = {
     "ab_conversion_ztest": ab_conversion_ztest,
     "cuped_adjusted_lift": cuped_adjusted_lift,
+    "srm_chi2_check": srm_chi2_check,
+    "did_purchase_lift": did_purchase_lift,
 }
 
 ORACLE = {
     "ab_conversion_ztest": _ZTEST_SQL,
     "cuped_adjusted_lift": _cuped_sql(),
+    "srm_chi2_check": _SRM_SQL,
+    "did_purchase_lift": _did_sql(),
 }

@@ -123,3 +123,32 @@ def test_scd2_history_invariants(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_srm_check_counts_and_flag(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.experiments import srm_chi2_check
+
+    r = srm_chi2_check(spark, sf_dir).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert r.expected_per_arm == pytest.approx(n_users / 2)
+    assert r.chi2 >= 0
+    assert r.srm_detected == (r.chi2 >= 3.841458820694124)
+
+
+def test_did_estimate_identity(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.experiments import (
+        did_purchase_lift,
+    )
+
+    r = did_purchase_lift(spark, sf_dir).collect()[0]
+    assert r.did_estimate == pytest.approx(
+        (r.b_post - r.b_pre) - (r.a_post - r.a_pre)
+    )
+    for v in (r.a_pre, r.a_post, r.b_pre, r.b_post):
+        assert math.isfinite(v) and v >= 0
