@@ -697,9 +697,13 @@ def promo_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_start").cast("timestamp").alias("p_start"),
         F.col("p_end").cast("timestamp").alias("p_end"),
     )
+    # The promo calendar is a constant frame: force ITS side to build
+    # the broadcast. Catalyst's size estimate of the exploded orders
+    # side is tiny at sf0.01 and flips the build side without the hint
+    # — at scale that would broadcast the fact table.
     hits = interval_overlap_join(
         windows,
-        promos,
+        F.broadcast(promos),
         left_start="o_orderdate",
         left_end="last_ship",
         right_start="p_start",

@@ -741,6 +741,8 @@ def test_interval_overlap_is_equi_join_not_nested_loop(spark, sf_dir):
     # a BroadcastNestedLoopJoin/Cartesian means the rewrite regressed
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the constant promo calendar is the hinted broadcast build side
+    assert "BroadcastHashJoin" in plan
 
 
 def test_ztest_single_pass_partial_agg(spark, sf_dir):
