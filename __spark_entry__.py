@@ -168,7 +168,10 @@ _MODULES = (
 # driver row; fk_integrity_audit + dq_orders_report keep the audit
 # family in-window). srm_chi2_check and did_purchase_lift (hash-green
 # local) start in the round-5 rotation — the experimentation family
-# already holds two in-window slots (z-test, CUPED).
+# already holds two in-window slots (z-test, CUPED). Likewise
+# scd2_asof_snapshot (the SCD family's history query holds a slot) and
+# source_quota_sample (slot funds span_corruption_plan; the sampling
+# family keeps other coverage) move to round-5.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
@@ -229,7 +232,7 @@ _PRIORITY = (
     # --- first-timers: training-data prep / sampling
     "length_bucket_batches",
     "source_mix_drift",
-    "source_quota_sample",
+    "span_corruption_plan",
     # (weighted_sample_docs -> round-5 rotation; its slot funds the new
     # schema-wide FK integrity audit)
     "fk_integrity_audit",

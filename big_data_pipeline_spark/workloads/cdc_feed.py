@@ -155,12 +155,48 @@ FROM changed
 """
 
 
+# --- scd2_asof_snapshot: point-in-time dimension read ------------------------
+# The query SCD2 history exists to answer: the dimension's state AS OF
+# time T — rows where valid_from <= T < coalesce(valid_to, ∞). T sits
+# between the two snapshot batches, so the reconstruction must equal
+# the direct latest-order-per-customer computation at the FIRST cutoff
+# — the oracle computes that directly with a window, proving the
+# history's validity ranges really carry the temporal semantics (a
+# wrong valid_to/is_current would desync the two formulations).
+# Scale: one filter over history (partition-prunable on valid_from in
+# a date-partitioned layout) — the whole point of SCD2 is that PIT
+# reads are scans, not replays.
+
+_SCD_ASOF_T = "1998-06-01 00:00:00"
+
+
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.lit(_SCD_ASOF_T).cast("timestamp")
+    hist = scd2_priority_history(spark, sf_dir)
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("o_custkey", "o_orderpriority")
+
+
+_SCD_ASOF_SQL = f"""
+SELECT o_custkey, o_orderpriority FROM (
+  SELECT o_custkey, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_SCD_T1}'
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "cdc_orders_diff": cdc_orders_diff,
     "scd2_priority_history": scd2_priority_history,
+    "scd2_asof_snapshot": scd2_asof_snapshot,
 }
 
 ORACLE = {
     "cdc_orders_diff": _CDC_SQL,
     "scd2_priority_history": _SCD_SQL,
+    "scd2_asof_snapshot": _SCD_ASOF_SQL,
 }

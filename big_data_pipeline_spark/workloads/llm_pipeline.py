@@ -1257,7 +1257,118 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- span_corruption_plan: T5-style span-masking statistics ------------------
+# Pretraining data prep (Raffel et al., 2020): corrupt ~15% of tokens
+# as length-L spans. The plan stage is deterministic here — span
+# starts are chosen by the house md5-prefix hash on (doc_id, pos)
+# against a probability threshold, spans cover [start, start+L), and
+# overlapping spans merge (a position is masked if ANY start covers
+# it). Emitted per doc: token count, span-start count, distinct
+# masked positions, realized mask ratio — the stats a data pipeline
+# reports to confirm the corruption schedule before writing examples.
+#
+# Scale shape: one posexplode (linear in tokens), the start set
+# explodes ×L (L=3, constant), one distinct + one groupBy keyed on
+# doc_id — map-side combinable, no window, no Python. The oracle
+# replays the identical hash arithmetic, so even the "random" masking
+# is cell-exact across engines.
+
+_SPAN_LEN = 3
+_SPAN_START_PCT = 6  # P(start) = 6% of positions → ~15-18% masked
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "tok")
+    ).select("doc_id", "pos")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_tok = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    starts = pos.filter(h % 100 < _SPAN_START_PCT)
+    n_starts = starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    covered = (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + F.lit(_SPAN_LEN - 1)
+                )
+            ).alias("mpos"),
+        )
+        .join(
+            n_tok.select("doc_id", "n_tokens"), "doc_id"
+        )
+        .filter(F.col("mpos") < F.col("n_tokens"))
+        .select("doc_id", "mpos")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_masked"))
+    )
+    return (
+        n_tok.join(n_starts, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked"),
+            (
+                F.coalesce("n_masked", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("mask_ratio"),
+        )
+    )
+
+
+_SPAN_SQL = rf"""
+WITH pos AS (
+  SELECT doc_id, u.i - 1 AS pos
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents), UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+n_tok AS (SELECT doc_id, COUNT(*) AS n_tokens FROM pos GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, pos FROM pos
+  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+        CAST(pos AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < {_SPAN_START_PCT}
+),
+n_starts AS (SELECT doc_id, COUNT(*) AS n_spans FROM starts GROUP BY doc_id),
+covered AS (
+  SELECT doc_id, COUNT(*) AS n_masked FROM (
+    SELECT DISTINCT s.doc_id, s.pos + d.d AS mpos
+    FROM starts s
+    CROSS JOIN (SELECT UNNEST(range(0, {_SPAN_LEN})) AS d) d
+    JOIN n_tok n ON n.doc_id = s.doc_id
+    WHERE s.pos + d.d < n.n_tokens
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(c.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(COALESCE(c.n_masked, 0) AS DOUBLE) / t.n_tokens AS mask_ratio
+FROM n_tok t
+LEFT JOIN n_starts s USING (doc_id)
+LEFT JOIN covered c USING (doc_id)
+"""
+
+
 QUERIES = {
+    "span_corruption_plan": span_corruption_plan,
     "gini_source_concentration": gini_source_concentration,
     "hll_distinct_users": hll_distinct_users,
     "cms_token_counts": cms_token_counts,
@@ -1278,6 +1389,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "span_corruption_plan": _SPAN_SQL,
     "gini_source_concentration": _GINI_SQL,
     "hll_distinct_users": _hll_sql(),
     "cms_token_counts": _cms_sql(),

@@ -152,3 +152,45 @@ def test_did_estimate_identity(spark, sf_dir):
     )
     for v in (r.a_pre, r.a_post, r.b_pre, r.b_post):
         assert math.isfinite(v) and v >= 0
+
+
+def test_span_corruption_plan_ratio_and_bounds(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.llm_pipeline import (
+        _SPAN_LEN,
+        span_corruption_plan,
+    )
+
+    rows = span_corruption_plan(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    total_masked = sum(r.n_masked for r in rows)
+    total_tokens = sum(r.n_tokens for r in rows)
+    for r in rows:
+        # spans can overlap/truncate, never exceed L per start
+        assert r.n_masked <= min(r.n_tokens, r.n_spans * _SPAN_LEN)
+        assert (r.n_spans == 0) == (r.n_masked == 0)
+        assert r.mask_ratio == pytest.approx(r.n_masked / r.n_tokens)
+    # corpus-level realized ratio lands near the designed schedule
+    assert 0.05 < total_masked / total_tokens < 0.4
+
+
+def test_scd2_asof_equals_direct_snapshot(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.cdc_feed import (
+        _SCD_T1,
+        scd2_asof_snapshot,
+    )
+    from pyspark.sql import Window
+
+    got = scd2_asof_snapshot(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    direct = (
+        orders.filter(F.col("o_orderdate") < F.lit(_SCD_T1).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderpriority")
+    )
+    assert got.exceptAll(direct).count() == 0
+    assert direct.exceptAll(got).count() == 0
