@@ -219,7 +219,12 @@ _PRIORITY = (
     "embedding_pq_codes",
     "rrf_hybrid_retrieval",
     "lof_knn_outliers",
-    "blocklist_term_filter",
+    # minhash_lsh_dedup re-enters the window now that it carries the
+    # exact-pairs oracle (precision 1.0 by construction + recall 1.0 on
+    # this corpus): its prior driver rows were rows-only; this converts
+    # the flagship near-dedup to a cell-exact driver check.
+    # (blocklist_term_filter -> round-5; curation keeps other slots.)
+    "minhash_lsh_dedup",
     "entity_clusters",
     "curation_pipeline_v2",
     # --- first-timers: multimodal

@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from big_data_pipeline_spark.dedup.minhash import minhash_dedup_pairs
 from big_data_pipeline_spark.dedup.simhash import simhash_pairs
 from big_data_pipeline_spark.io import read_table
+from big_data_pipeline_spark.workloads.text import (
+    _JACCARD_SQL as _EXACT_PAIRS_SQL,
+)
 
 
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,10 +542,21 @@ QUERIES = {
     "simhash_near_dups": simhash_near_dups,
 }
 
+# minhash_lsh_dedup gets the EXACT-pairs oracle (same SQL as
+# shingle_jaccard_pairs): precision 1.0 holds by construction (every
+# banding candidate is exact-verified), and on this corpus the recall
+# test pins banding recall at 1.0, so LSH output == the exact pair set
+# and the driver can hash-check the whole approximate pipeline
+# cell-exact. On a corpus where banding missed a pair this would fail
+# loudly — that's the point: it upgrades the recall assertion from
+# "builder's pytest" to driver-grade evidence. simhash_near_dups stays
+# rows-only: its signature hash is Spark's xxhash64, which DuckDB
+# cannot replay.
 ORACLE: dict[str, str] = {
     "entity_blocking_pairs": _ENTITY_SQL,
     "entity_clusters": _ENTITY_CLUSTERS_SQL,
     "golden_record_merge": _GOLDEN_SQL,
+    "minhash_lsh_dedup": _EXACT_PAIRS_SQL,
     "record_linkage_score": _LINKAGE_SQL,
     "sorted_neighborhood_neardup": _SNM_SQL,
 }
