@@ -9,6 +9,9 @@ independent implementations — a strong cross-check.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -599,35 +602,63 @@ _HOLT_ALPHA = 0.5  # must stay a negative power of 2 (see determinism note)
 
 
 def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
 
-    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        vals = pdf["value"].to_numpy()
-        lvl = float(vals[0])
-        trd = 0.0
-        for y in vals[1:]:
-            y = float(y)
-            nxt = _HOLT_ALPHA * y + (1.0 - _HOLT_ALPHA) * (lvl + trd)
-            trd = _HOLT_ALPHA * (nxt - lvl) + (1.0 - _HOLT_ALPHA) * trd
-            lvl = nxt
+    # One shuffle to (user, time-ordered value array) — the sort and the
+    # struct→value projection stay JVM-side — then a SINGLE pandas_udf
+    # advances ALL users' recurrences in lockstep: step t is one masked
+    # numpy op across the whole batch, so Python runs max_len
+    # iterations total instead of one applyInPandas call per user
+    # (measured at sf0.1: 3.9s → the per-group invocation overhead was
+    # the whole cost; identical op order per user keeps the IEEE
+    # sequence, and the oracle, unchanged).
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("n_obs", T.LongType()),
+                T.StructField("level", T.DoubleType()),
+                T.StructField("trend", T.DoubleType()),
+                T.StructField("forecast_next", T.DoubleType()),
+            ]
+        )
+    )
+    def _holt_batch(series: pd.Series) -> pd.DataFrame:
+        vals = [np.asarray(s, dtype=np.float64) for s in series]
+        n = np.array([len(v) for v in vals], dtype=np.int64)
+        width = int(n.max()) if len(n) else 1
+        pad = np.full((len(vals), width), np.nan)
+        for i, v in enumerate(vals):
+            pad[i, : len(v)] = v
+        lvl = pad[:, 0].copy()
+        trd = np.zeros(len(vals))
+        for t in range(1, width):
+            y = pad[:, t]
+            m = ~np.isnan(y)
+            nxt = _HOLT_ALPHA * y[m] + (1.0 - _HOLT_ALPHA) * (lvl[m] + trd[m])
+            trd[m] = _HOLT_ALPHA * (nxt - lvl[m]) + (1.0 - _HOLT_ALPHA) * trd[m]
+            lvl[m] = nxt
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_obs": [len(vals)],
-                "level": [lvl],
-                "trend": [trd],
-                "forecast_next": [lvl + trd],
+                "n_obs": n,
+                "level": lvl,
+                "trend": trd,
+                "forecast_next": lvl + trd,
             }
         )
 
     events = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-    return events.groupBy("user_id").applyInPandas(
-        _holt,
-        "user_id bigint, n_obs bigint, level double, trend double, "
-        "forecast_next double",
+    series = events.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("series")
+    )
+    out = series.select("user_id", _holt_batch("series").alias("r"))
+    return out.select(
+        "user_id", "r.n_obs", "r.level", "r.trend", "r.forecast_next"
     )
 
 

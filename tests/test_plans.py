@@ -687,9 +687,13 @@ def test_weighted_median_broadcasts_part_dim(spark, sf_dir):
     assert "hashpartitioning(p_brand" in plan
 
 
-def test_holt_one_user_shuffle_arrow_group_map(spark, sf_dir):
+def test_holt_one_user_shuffle_arrow_batch(spark, sf_dir):
     plan = _plan(spark, sf_dir, "holt_linear_forecast")
-    assert "FlatMapGroupsInPandas" in plan  # Arrow-batched, not per-row
+    # one Arrow-batched kernel over collect_list series — NOT a
+    # per-group FlatMapGroupsInPandas (measured 4x slower: one Python
+    # invocation per user vs one per batch)
+    assert "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "Join" not in plan
     assert "hashpartitioning(user_id" in plan
 
