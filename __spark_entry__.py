@@ -165,8 +165,10 @@ _MODULES = (
 # attribution_latency_stats, part_triple_support,
 # time_decay_customer_value, and table_checksum_audit (whose slot
 # funds grid_density_clusters, the grid-DBSCAN density family's first
-# driver row; fk_integrity_audit + dq_orders_report keep the audit
-# family in-window). srm_chi2_check and did_purchase_lift (hash-green
+# driver row; fk_integrity_audit keeps the audit family in-window —
+# dq_orders_report later yielded its slot to the multimodal
+# quarantine op and joins the round-5 rotation too).
+# srm_chi2_check and did_purchase_lift (hash-green
 # local) start in the round-5 rotation — the experimentation family
 # already holds two in-window slots (z-test, CUPED). Likewise
 # scd2_asof_snapshot (the SCD family's history query holds a slot) and
@@ -227,8 +229,11 @@ _PRIORITY = (
     "minhash_lsh_dedup",
     "entity_clusters",
     "curation_pipeline_v2",
-    # --- first-timers: multimodal
+    # --- first-timers: multimodal (dq_orders_report -> round-5; its
+    # slot funds the quarantine op so the decode-validate path gets a
+    # driver row; fk_integrity_audit keeps the audit family in-window)
     "multimodal_image_ahash",
+    "multimodal_corrupt_quarantine",
     # --- round-4 NEW operators: newest work accumulates driver rows
     # immediately (displacing map_props_stats / array_ops_tokens to the
     # round-5 rotation)
@@ -243,7 +248,6 @@ _PRIORITY = (
     "fk_integrity_audit",
     # --- first-timers: streaming + data quality
     "stream_windowed_topk",
-    "dq_orders_report",
 )
 
 

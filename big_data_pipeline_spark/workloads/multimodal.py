@@ -25,6 +25,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -371,7 +373,95 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_NEARDUP_THRESHOLD}
 """
 
 
+# --- multimodal_corrupt_quarantine: decode-validate + quarantine split ------
+# The ingest guard every large media pipeline runs before feature
+# extraction: validate each payload with the REAL decoder and route
+# rows to ok / quarantine with a reason. Corruption is injected
+# deterministically (doc_id % 7 == 0: magic byte overwritten;
+# doc_id % 7 == 1: raster truncated below the header's promise), the
+# classification comes from the actual pure-Python netpbm parse in an
+# Arrow-batched UDF — and the DuckDB oracle derives the EXPECTED
+# status analytically from the same corruption rule, so a parser that
+# misclassifies any payload breaks the hash match.
+#
+# Scale shape: one narrow Arrow pass over the payload column (no
+# shuffle); the quarantine split is a status filter downstream. The
+# payload column is pruned immediately after validation.
+
+
+def multimodal_corrupt_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from big_data_pipeline_spark.multimodal import (
+        attach_ppm_media,
+        decode_netpbm,
+    )
+
+    docs = attach_ppm_media(read_table(spark, sf_dir, "documents"))
+    corrupted = docs.withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            # overwrite the magic's first byte
+            F.concat(
+                F.encode(F.lit("X"), "UTF-8"),
+                F.substring("media", 2, 1 << 30),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            # cut 10 bytes off the tail: raster < header's promise
+            F.substring("media", 1, F.octet_length("media") - F.lit(10)),
+        )
+        .otherwise(F.col("media")),
+    )
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("status", T.StringType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+            ]
+        )
+    )
+    def validate(media: pd.Series) -> pd.DataFrame:
+        out = []
+        for payload in media:
+            b = bytes(payload)
+            if b[:2] not in (b"P5", b"P6"):
+                out.append(("bad_magic", None, None))
+                continue
+            try:
+                _, w, h, _, _ = decode_netpbm(b)
+                out.append(("ok", w, h))
+            except ValueError:
+                out.append(("truncated", None, None))
+        return pd.DataFrame(out, columns=["status", "width", "height"])
+
+    v = corrupted.select("doc_id", validate("media").alias("v"))
+    return v.select("doc_id", "v.status", "v.width", "v.height")
+
+
+_QUARANTINE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'bad_magic'
+            WHEN doc_id % 7 = 1 THEN 'truncated'
+            ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 7 IN (0, 1) THEN NULL
+            ELSE 16 END AS width,
+       CASE WHEN doc_id % 7 IN (0, 1) THEN NULL
+            ELSE CAST(GREATEST(1, CEIL(octet_length(encode(text)) / 48.0))
+                      AS INTEGER) END AS height
+FROM documents
+"""
+
+
 QUERIES = {
+    "multimodal_corrupt_quarantine": multimodal_corrupt_quarantine,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_audio_features": multimodal_audio_features,
@@ -382,6 +472,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "multimodal_corrupt_quarantine": _QUARANTINE_SQL,
     "multimodal_binary_meta": _BINARY_META_SQL,
     "multimodal_feature_extract": _FEATURE_SQL,
     "multimodal_audio_features": _AUDIO_SQL,

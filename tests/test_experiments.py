@@ -194,3 +194,22 @@ def test_scd2_asof_equals_direct_snapshot(spark, sf_dir):
     )
     assert got.exceptAll(direct).count() == 0
     assert direct.exceptAll(got).count() == 0
+
+
+def test_corrupt_quarantine_statuses(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.multimodal import (
+        multimodal_corrupt_quarantine,
+    )
+
+    rows = multimodal_corrupt_quarantine(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.status, []).append(r)
+    assert set(by) == {"ok", "bad_magic", "truncated"}
+    for r in by["ok"]:
+        assert r.width == 16 and r.height >= 1
+    for s in ("bad_magic", "truncated"):
+        assert all(r.width is None and r.height is None for r in by[s])
+        # the deterministic corruption rule drives classification
+        mod = 0 if s == "bad_magic" else 1
+        assert all(r.doc_id % 7 == mod for r in by[s])
