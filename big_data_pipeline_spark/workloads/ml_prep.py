@@ -510,12 +510,138 @@ GROUP BY doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
 """
 
 
+# --- conformal_interval_report: split-conformal prediction intervals --------
+# Distribution-free uncertainty (Vovk et al.; Lei et al. 2018), the
+# modern calibration layer over ANY point predictor. Predictor here:
+# each purchase is predicted by the user's trailing mean of prior
+# purchases (decimal-exact cumulative sums). Split: calibration =
+# first half of the event window, test = second half. q = the
+# ceil((n_cal+1)(1−α))-th smallest calibration |residual| (the exact
+# finite-sample conformal rank rule, NOT an interpolated quantile);
+# the report checks empirical coverage of prediction ± q on the test
+# half — guaranteed ≥ 1−α in expectation under exchangeability.
+#
+# Scale shape: trailing means are per-user windows (keyed shuffle);
+# the ONLY global step is the k-th order statistic, computed with the
+# house sharded prefix-sum rank (operators/prefix.py — never a
+# single-task global window); q is a 1-row frame broadcast to the
+# test side. The oracle replays everything with window SQL.
+
+_CONF_ALPHA_PCT = 10  # α = 0.10 → 90% intervals
+_CONF_SPLIT = "2024-01-16 00:00:00"
+
+
+def conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pred = (
+        ev.withColumn("cum_dec", F.sum(F.col("value").cast(DEC)).over(w))
+        .withColumn("n_prior", F.row_number().over(w) - 1)
+        .filter(F.col("n_prior") >= 1)
+        .withColumn(
+            "prediction",
+            (F.col("cum_dec") - F.col("value").cast(DEC)).cast("double")
+            / F.col("n_prior"),
+        )
+        .withColumn("abs_resid", F.abs(F.col("value") - F.col("prediction")))
+    )
+    split = F.lit(_CONF_SPLIT).cast("timestamp")
+    cal = pred.filter(F.col("ts") < split)
+    test = pred.filter(F.col("ts") >= split)
+    n_cal = cal.count()
+    k = -((n_cal + 1) * (100 - _CONF_ALPHA_PCT) // -100)  # ceil
+    k = min(k, n_cal)
+    ranked = sharded_running_sum(
+        cal.withColumn("o", F.col("abs_resid")),
+        part_cols=[],
+        order_col="o",
+        value_col=F.lit(1).cast("long"),
+        out_col="rank",
+        tiebreak_cols=["event_id"],
+    )
+    q = ranked.filter(F.col("rank") == k).select(
+        F.col("abs_resid").alias("q_alpha")
+    )
+    covered = test.crossJoin(F.broadcast(q)).select(
+        (F.abs(F.col("value") - F.col("prediction")) <= F.col("q_alpha"))
+        .cast("int")
+        .alias("c"),
+        "q_alpha",
+    )
+    return covered.agg(
+        F.lit(n_cal).cast("bigint").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.first("q_alpha").alias("q_alpha"),
+        F.sum("c").cast("bigint").alias("n_covered"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("coverage"),
+    )
+
+
+def _conformal_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+pred AS (
+  SELECT event_id, ts, value,
+         {_dec_to_double_sql(
+             "SUM(CAST(value AS DECIMAL(38,6))) OVER "
+             "(PARTITION BY user_id ORDER BY ts, event_id) "
+             "- CAST(value AS DECIMAL(38,6))"
+         )}
+           / (ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1) AS prediction
+  FROM p
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) >= 2
+),
+cal AS (
+  SELECT abs(value - prediction) AS abs_resid, event_id
+  FROM pred WHERE ts < TIMESTAMP '{_CONF_SPLIT}'
+),
+test AS (
+  SELECT value, prediction FROM pred
+  WHERE ts >= TIMESTAMP '{_CONF_SPLIT}'
+),
+kq AS (
+  SELECT LEAST(CAST(CEIL((COUNT(*) + 1) * {100 - _CONF_ALPHA_PCT} / 100.0)
+                    AS BIGINT), COUNT(*)) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_cal
+  FROM cal
+),
+q AS (
+  SELECT abs_resid AS q_alpha, n_cal FROM (
+    SELECT c.abs_resid, kq.n_cal, kq.k,
+           ROW_NUMBER() OVER (ORDER BY c.abs_resid, c.event_id) AS r
+    FROM cal c, kq
+  ) WHERE r = k
+)
+SELECT q.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ANY_VALUE(q.q_alpha) AS q_alpha,
+       CAST(SUM(CASE WHEN abs(value - prediction) <= q.q_alpha
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN abs(value - prediction) <= q.q_alpha
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage
+FROM test, q
+GROUP BY q.n_cal
+"""
+
+
 QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
     "chi2_token_lang": chi2_token_lang,
     "lof_knn_outliers": lof_knn_outliers,
     "target_encoding_loo": target_encoding_loo,
     "feature_hashing_vectorize": feature_hashing_vectorize,
+    "conformal_interval_report": conformal_interval_report,
 }
 
 ORACLE: dict[str, str] = {
@@ -524,4 +650,5 @@ ORACLE: dict[str, str] = {
     "lof_knn_outliers": _lof_sql(),
     "target_encoding_loo": _TARGET_ENC_SQL,
     "feature_hashing_vectorize": _FEATURE_HASH_SQL,
+    "conformal_interval_report": _conformal_sql(),
 }

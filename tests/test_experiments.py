@@ -213,3 +213,17 @@ def test_corrupt_quarantine_statuses(spark, sf_dir):
         # the deterministic corruption rule drives classification
         mod = 0 if s == "bad_magic" else 1
         assert all(r.doc_id % 7 == mod for r in by[s])
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.ml_prep import (
+        conformal_interval_report,
+    )
+
+    r = conformal_interval_report(spark, sf_dir).collect()[0]
+    assert r.n_cal > 0 and r.n_test > 0
+    assert r.q_alpha > 0
+    assert r.n_covered <= r.n_test
+    # split-conformal guarantees >= 1 - alpha coverage in expectation;
+    # allow finite-sample slack below the nominal 0.9
+    assert r.coverage >= 0.8
