@@ -492,13 +492,122 @@ LIMIT {_TRIPLE_TOP_K}
 """
 
 
+# --- cf_hitrate_eval: temporal-split recommender evaluation -----------------
+# The offline eval harness every recommender ships with: train on
+# orders BEFORE the cutoff, recommend each segment its top-K most
+# popular parts, and measure hit-rate@K on the customers who ordered
+# AFTER the cutoff (fraction with at least one recommended part in
+# their future basket). Popularity-per-segment is the standard
+# baseline the CF models above have to beat — putting the EVAL next
+# to the model ops makes the family complete.
+#
+# Scale shape: train popularity is one (segment, part) count with
+# map-side combine; top-K per segment runs through a rank window on
+# the aggregated (small) frame — WindowGroupLimit applies; the test
+# join hits the top-K frame (|segments| × K rows, broadcast). Hits
+# collapse per customer before the per-segment rollup, all keyed —
+# no cross join, nothing driver-side.
+
+_HITRATE_CUT = "1998-01-01 00:00:00"
+_HITRATE_K = 10
+
+
+def cf_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lines = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cut = F.lit(_HITRATE_CUT).cast("timestamp")
+    baskets = orders.join(lines, "o_orderkey").join(cust, "o_custkey")
+    train = baskets.filter(F.col("o_orderdate") < cut)
+    test = baskets.filter(F.col("o_orderdate") >= cut)
+
+    pop = train.groupBy("c_mktsegment", "l_partkey").agg(
+        F.count(F.lit(1)).alias("n_buys")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n_buys"), F.asc("l_partkey")
+    )
+    topk = (
+        pop.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _HITRATE_K)
+        .select("c_mktsegment", "l_partkey")
+    )
+    test_users = test.select("o_custkey", "c_mktsegment").distinct()
+    hits = (
+        test.join(F.broadcast(topk), ["c_mktsegment", "l_partkey"])
+        .select("o_custkey", "c_mktsegment")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        test_users.join(hits, ["o_custkey", "c_mktsegment"], "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_users"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hitrate_at_k"),
+        )
+    )
+
+
+_HITRATE_SQL = f"""
+WITH baskets AS (
+  SELECT o.o_custkey, o.o_orderdate, l.l_partkey, c.c_mktsegment
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+),
+train AS (SELECT * FROM baskets
+          WHERE o_orderdate < TIMESTAMP '{_HITRATE_CUT}'),
+test AS (SELECT * FROM baskets
+         WHERE o_orderdate >= TIMESTAMP '{_HITRATE_CUT}'),
+topk AS (
+  SELECT c_mktsegment, l_partkey FROM (
+    SELECT c_mktsegment, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY COUNT(*) DESC, l_partkey ASC) AS rn
+    FROM train GROUP BY c_mktsegment, l_partkey
+  ) WHERE rn <= {_HITRATE_K}
+),
+test_users AS (SELECT DISTINCT o_custkey, c_mktsegment FROM test),
+hits AS (
+  SELECT DISTINCT t.o_custkey, t.c_mktsegment
+  FROM test t JOIN topk k
+    ON k.c_mktsegment = t.c_mktsegment AND k.l_partkey = t.l_partkey
+)
+SELECT u.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_test_users,
+       CAST(SUM(CASE WHEN h.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN h.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS hitrate_at_k
+FROM test_users u
+LEFT JOIN hits h
+  ON h.o_custkey = u.o_custkey AND h.c_mktsegment = u.c_mktsegment
+GROUP BY u.c_mktsegment
+"""
+
+
 QUERIES = {
+    "cf_hitrate_eval": cf_hitrate_eval,
     "part_affinity_lift": part_affinity_lift,
     "item_item_cosine_topk": item_item_cosine_topk,
     "copurchase_link_prediction": copurchase_link_prediction,
     "part_triple_support": part_triple_support,
 }
 ORACLE = {
+    "cf_hitrate_eval": _HITRATE_SQL,
     "part_affinity_lift": _AFFINITY_SQL,
     "item_item_cosine_topk": _cf_sql(),
     "copurchase_link_prediction": _RA_SQL,

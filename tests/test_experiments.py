@@ -227,3 +227,15 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
     # split-conformal guarantees >= 1 - alpha coverage in expectation;
     # allow finite-sample slack below the nominal 0.9
     assert r.coverage >= 0.8
+
+
+def test_hitrate_eval_bounds(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.association import cf_hitrate_eval
+
+    rows = cf_hitrate_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_test_users
+        assert r.hitrate_at_k == pytest.approx(r.n_hit / r.n_test_users)
+    # popularity baseline must beat zero somewhere on this corpus
+    assert any(r.n_hit > 0 for r in rows)
