@@ -404,11 +404,104 @@ FROM s
 """
 
 
+# --- delta_method_ratio_ci: ratio-metric variance ----------------------------
+# Revenue-per-purchase is a RATIO of two user-level quantities, so the
+# naive SE (treating events as iid) is wrong — the unit of
+# randomization is the user. Delta method (Deng et al., KDD 2018):
+# R = Ȳ/N̄; Var(R) ≈ (σ²_y − 2R·σ_yn + R²·σ²_n) / (n·N̄²), with the
+# user-level (co)variances from exact decimal moment sums. Per
+# variant: ratio, standard error, normal 95% CI. Same scale shape as
+# the rest of the family — user collapse, constant-size reduction.
+
+
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    users = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("y"),
+            F.count(F.lit(1)).cast("double").alias("m"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    g = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.col("m").cast(DEC)).cast("double").alias("sm"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
+        F.sum((F.col("y") * F.col("m")).cast(DEC)).cast("double").alias("sym"),
+        F.sum((F.col("m") * F.col("m")).cast(DEC)).cast("double").alias("smm"),
+    )
+    ybar = F.col("sy") / F.col("n")
+    mbar = F.col("sm") / F.col("n")
+    ratio = F.col("sy") / F.col("sm")
+    var_y = F.col("syy") / F.col("n") - ybar * ybar
+    cov_ym = F.col("sym") / F.col("n") - ybar * mbar
+    var_m = F.col("smm") / F.col("n") - mbar * mbar
+    var_r = (
+        var_y - F.lit(2.0) * ratio * cov_ym + ratio * ratio * var_m
+    ) / (F.col("n") * mbar * mbar)
+    se = F.sqrt(var_r)
+    return g.select(
+        "variant",
+        F.col("n").cast("bigint").alias("n_users"),
+        ratio.alias("ratio"),
+        se.alias("se"),
+        (ratio - F.lit(_Z_CRIT) * se).alias("ci_low"),
+        (ratio + F.lit(_Z_CRIT) * se).alias("ci_high"),
+    )
+
+
+def _delta_sql() -> str:
+    dsum = _dec_to_double_sql
+    ybar = "(sy / n)"
+    mbar = "(sm / n)"
+    ratio = "(sy / sm)"
+    var_y = f"(syy / n - {ybar} * {ybar})"
+    cov_ym = f"(sym / n - {ybar} * {mbar})"
+    var_m = f"(smm / n - {mbar} * {mbar})"
+    var_r = (
+        f"(({var_y} - 2.0 * {ratio} * {cov_ym} + {ratio} * {ratio} * {var_m})"
+        f" / (n * {mbar} * {mbar}))"
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         {dsum("SUM(CAST(value AS DECIMAL(38,6)))")} AS y,
+         CAST(COUNT(*) AS DOUBLE) AS m,
+         user_id % 2 AS variant
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+g AS (
+  SELECT variant,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum("SUM(CAST(y AS DECIMAL(38,6)))")} AS sy,
+         {dsum("SUM(CAST(m AS DECIMAL(38,6)))")} AS sm,
+         {dsum("SUM(CAST(y * y AS DECIMAL(38,6)))")} AS syy,
+         {dsum("SUM(CAST(y * m AS DECIMAL(38,6)))")} AS sym,
+         {dsum("SUM(CAST(m * m AS DECIMAL(38,6)))")} AS smm
+  FROM u GROUP BY variant
+)
+SELECT variant,
+       CAST(n AS BIGINT) AS n_users,
+       {ratio} AS ratio,
+       sqrt({var_r}) AS se,
+       {ratio} - {_Z_CRIT} * sqrt({var_r}) AS ci_low,
+       {ratio} + {_Z_CRIT} * sqrt({var_r}) AS ci_high
+FROM g
+"""
+
+
 QUERIES = {
     "ab_conversion_ztest": ab_conversion_ztest,
     "cuped_adjusted_lift": cuped_adjusted_lift,
     "srm_chi2_check": srm_chi2_check,
     "did_purchase_lift": did_purchase_lift,
+    "delta_method_ratio_ci": delta_method_ratio_ci,
 }
 
 ORACLE = {
@@ -416,4 +509,5 @@ ORACLE = {
     "cuped_adjusted_lift": _cuped_sql(),
     "srm_chi2_check": _SRM_SQL,
     "did_purchase_lift": _did_sql(),
+    "delta_method_ratio_ci": _delta_sql(),
 }

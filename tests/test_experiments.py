@@ -239,3 +239,16 @@ def test_hitrate_eval_bounds(spark, sf_dir):
         assert r.hitrate_at_k == pytest.approx(r.n_hit / r.n_test_users)
     # popularity baseline must beat zero somewhere on this corpus
     assert any(r.n_hit > 0 for r in rows)
+
+
+def test_delta_method_ci_brackets_ratio(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.experiments import (
+        delta_method_ratio_ci,
+    )
+
+    rows = delta_method_ratio_ci(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.se > 0
+        assert r.ci_low < r.ratio < r.ci_high
+        assert r.ci_high - r.ratio == pytest.approx(r.ratio - r.ci_low)
