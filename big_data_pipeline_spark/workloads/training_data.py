@@ -1289,7 +1289,222 @@ GROUP BY c.c_nationkey, c.c_mktsegment, c.k_size, t.n_total
 """
 
 
+# --- preference_pair_assembly: DPO/RLHF pair construction --------------------
+# Preference-tuning data prep: within each source, pair the r-th BEST
+# document (by the corpus quality score) with the r-th WORST as
+# (chosen, rejected), keeping pairs with a positive quality margin —
+# the deterministic skeleton of how DPO datasets are assembled from
+# scored candidate pools (strong vs weak completions per prompt
+# group; source plays the prompt-group role here).
+#
+# Scale shape: the score is the existing single-scan quality
+# projection; both rank windows partition by source (keyed shuffle,
+# WindowGroupLimit applies — only top/bottom M survive the shuffle);
+# the pair join keys on (source, rank) — |sources| × M rows.
+
+_PREF_M = 20
+
+
+def preference_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from big_data_pipeline_spark.workloads.text import doc_quality_score
+
+    q = doc_quality_score(spark, sf_dir).select("doc_id", "quality")
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = src.join(q, "doc_id")
+    w_best = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    w_worst = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("r", F.row_number().over(w_best))
+        .filter(F.col("r") <= _PREF_M)
+        .select(
+            "source",
+            "r",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("quality").alias("chosen_q"),
+        )
+    )
+    worst = (
+        scored.withColumn("r", F.row_number().over(w_worst))
+        .filter(F.col("r") <= _PREF_M)
+        .select(
+            "source",
+            "r",
+            F.col("doc_id").alias("rejected_id"),
+            F.col("quality").alias("rejected_q"),
+        )
+    )
+    return (
+        best.join(worst, ["source", "r"])
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source",
+            F.col("r").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            (F.col("chosen_q") - F.col("rejected_q")).alias("margin"),
+        )
+        .filter(F.col("margin") > 0)
+    )
+
+
+def _pref_sql() -> str:
+    from big_data_pipeline_spark.workloads.text import _QUALITY_SQL
+
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality
+  FROM documents d JOIN q USING (doc_id)
+),
+best AS (
+  SELECT source, r, doc_id AS chosen_id, quality AS chosen_q FROM (
+    SELECT source, doc_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY quality DESC, doc_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {_PREF_M}
+),
+worst AS (
+  SELECT source, r, doc_id AS rejected_id, quality AS rejected_q FROM (
+    SELECT source, doc_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY quality ASC, doc_id ASC) AS r
+    FROM scored
+  ) WHERE r <= {_PREF_M}
+)
+SELECT source, r AS pair_rank, chosen_id, rejected_id,
+       chosen_q - rejected_q AS margin
+FROM best JOIN worst USING (source, r)
+WHERE chosen_id <> rejected_id AND chosen_q - rejected_q > 0
+"""
+
+
+# --- sgns_training_pairs: word2vec skip-gram-with-negatives prep -------------
+# The (center, context, label) frequency table SGNS training consumes
+# (Mikolov et al. 2013): positives are adjacent-token pairs in both
+# orientations; each position also draws one deterministic negative —
+# the vocab token ranked hash(doc_id, pos) mod |V| — labeled 0. Output
+# is aggregated counts, bounded by |V|² regardless of corpus size.
+#
+# Scale shape: positives come from one zip of the token array with its
+# shift (no self-join of the exploded corpus); negatives are one
+# md5-mod join against the RANKED VOCAB — a model-sized frame (the
+# rank window runs over distinct tokens, not the corpus; at 100 TB the
+# vocab is still just a model). Counts collapse map-side.
+
+
+def sgns_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    adj = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", F.col("p.0").alias("a"), F.col("p.1").alias("b")
+    )
+    positives = adj.select(
+        F.col("a").alias("center"), F.col("b").alias("context")
+    ).unionAll(
+        adj.select(F.col("b").alias("center"), F.col("a").alias("context"))
+    )
+    vocab = (
+        toks.select(F.explode("t").alias("tok"))
+        .distinct()
+        .withColumn(
+            "vrank",
+            F.row_number().over(Window.orderBy("tok")) - 1,
+        )
+    )
+    n_vocab = vocab.count()
+    pos_idx = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "center")
+    )
+    neg_rank = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sgns:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_vocab
+    )
+    negatives = pos_idx.withColumn("vrank", neg_rank).join(
+        F.broadcast(vocab), "vrank"
+    ).select("center", F.col("tok").alias("context"))
+    return (
+        positives.withColumn("label", F.lit(1))
+        .unionAll(negatives.withColumn("label", F.lit(0)))
+        .groupBy("center", "context", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_SGNS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, u.i - 1 AS p, t[u.i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+adj AS (
+  SELECT a.tok AS ca, b.tok AS cb
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+),
+positives AS (
+  SELECT ca AS center, cb AS context FROM adj
+  UNION ALL
+  SELECT cb AS center, ca AS context FROM adj
+),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS vrank
+  FROM (SELECT DISTINCT tok FROM pos)
+),
+nv AS (SELECT COUNT(*) AS v FROM vocab),
+negatives AS (
+  SELECT p.tok AS center, vb.tok AS context
+  FROM pos p, nv
+  JOIN vocab vb
+    ON vb.vrank = CAST(concat('0x', substr(md5(concat('sgns:',
+         CAST(p.doc_id AS VARCHAR), ':', CAST(p.p AS VARCHAR))), 1, 8))
+         AS BIGINT) % nv.v
+)
+SELECT center, context, label, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT center, context, 1 AS label FROM positives
+  UNION ALL
+  SELECT center, context, 0 AS label FROM negatives
+)
+GROUP BY center, context, label
+"""
+
+
 QUERIES = {
+    "preference_pair_assembly": preference_pair_assembly,
+    "sgns_training_pairs": sgns_training_pairs,
     "t_closeness_audit": t_closeness_audit,
     "rr_dp_status_counts": rr_dp_status_counts,
     "incremental_dedup_new_batch": incremental_dedup_new_batch,
@@ -1311,6 +1526,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "preference_pair_assembly": _pref_sql(),
+    "sgns_training_pairs": _SGNS_SQL,
     "t_closeness_audit": _TCLOSE_SQL,
     "rr_dp_status_counts": _rr_sql(),
     "epoch_shuffle_shards": _EPOCH_SHUFFLE_SQL,

@@ -252,3 +252,44 @@ def test_delta_method_ci_brackets_ratio(spark, sf_dir):
         assert r.se > 0
         assert r.ci_low < r.ratio < r.ci_high
         assert r.ci_high - r.ratio == pytest.approx(r.ratio - r.ci_low)
+
+
+def test_preference_pairs_positive_margin_disjoint(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.training_data import (
+        preference_pair_assembly,
+    )
+
+    rows = preference_pair_assembly(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.margin > 0
+        assert r.chosen_id != r.rejected_id
+    # a document never appears as chosen AND rejected within a source
+    per_src = {}
+    for r in rows:
+        c, x = per_src.setdefault(r.source, (set(), set()))
+        c.add(r.chosen_id)
+        x.add(r.rejected_id)
+    for c, x in per_src.values():
+        assert not (c & x)
+
+
+def test_sgns_pairs_mass_and_labels(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.training_data import (
+        sgns_training_pairs,
+    )
+
+    df = sgns_training_pairs(spark, sf_dir)
+    agg = {
+        r.label: r.s
+        for r in df.groupBy("label").agg(F.sum("n").alias("s")).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    ).count()
+    n_docs = docs.count()
+    # positives: 2 orientations x (n_tokens - n_docs) adjacent pairs
+    assert agg[1] == 2 * (n_tokens - n_docs)
+    # exactly one negative per position
+    assert agg[0] == n_tokens
