@@ -365,7 +365,35 @@ FROM long GROUP BY l_returnflag, measure
 """
 
 
+# --- sql_text_interface: ONE SQL text, both engines --------------------------
+# The EP3 programmatic surface proven end-to-end: io.register_views
+# exposes the lake by name and the IDENTICAL ANSI text runs through
+# spark.sql(...) AND the DuckDB oracle — no DataFrame translation in
+# between, so dialect-intersection SQL (explicit BIGINT casts for
+# COUNT, exact DECIMAL sums, VARCHAR-routed decimal→double) is proven
+# portable, not just equivalent. Catalyst still plans it like any
+# DataFrame query: pushdown/pruning apply to the view scan.
+
+_SQL_TEXT = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR(64))
+            AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TEXT)
+
+
 QUERIES = {
+    "sql_text_interface": sql_text_interface,
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project": filter_project,
     "distinct_flag_status": distinct_flag_status,
@@ -380,6 +408,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_text_interface": _SQL_TEXT,
     "q1_pricing_summary": _Q1_SQL,
     "filter_project": _FILTER_PROJECT_SQL,
     "distinct_flag_status": _DISTINCT_SQL,
