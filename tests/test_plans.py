@@ -760,3 +760,13 @@ def test_cuped_theta_frame_broadcasts(spark, sf_dir):
     # the 1-row moment frame re-joins via broadcast, never a shuffle
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sql_text_interface_pushes_filter_through_view(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_text_interface")
+    # the temp-view indirection must be transparent to Catalyst:
+    # the date predicate reaches the parquet scan and unused columns
+    # are pruned from ReadSchema
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_custkey" not in schema
