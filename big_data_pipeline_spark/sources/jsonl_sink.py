@@ -1,0 +1,113 @@
+"""Custom Python DataSource WRITER: a transactional JSONL directory sink.
+
+The reader side of the Python DataSource API is covered by the ticker
+source (sources/ticker.py); this is the WRITER side — the Spark-4 shape
+of the reference's "serialize rows to JSON and put them in a bucket"
+sink (reference ``scripts/stock_ingestor.py:29-37`` + MinIO put): each
+task streams its partition to a staging part file and returns a commit
+message; the driver makes the job visible ATOMICALLY by renaming the
+staged parts into the target directory and writing a ``_SUCCESS``
+manifest only after every task succeeded. A failed job leaves the
+target untouched (``abort`` removes the staging dir) — the
+write-visibility contract object-store pipelines need and the
+reference's per-object puts lack (a crashed run leaves partial
+objects visible).
+
+Usage::
+
+    spark.dataSource.register(JsonlDirDataSource)
+    df.write.format("jsonldir").mode("append") \
+        .option("path", "/lake/events_json").save()
+
+Scale shape: one part file per task, no driver row traffic (the driver
+sees only file-name commit messages), rename-based publish. On a real
+object store the rename becomes a server-side copy/finalize — the
+manifest-last protocol is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+_STAGING = "__staging"
+
+
+class _PartCommit(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class _JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("jsonldir requires option('path', ...)")
+        self.overwrite = overwrite
+        self.staging = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
+
+    # executor-side: stream the partition to ONE staged part file
+    def write(self, iterator: Iterator) -> _PartCommit:
+        os.makedirs(self.staging, exist_ok=True)
+        part = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartCommit(part, n)
+
+    # driver-side: publish staged parts, manifest LAST
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name != _STAGING and not name.startswith("."):
+                    full = os.path.join(self.path, name)
+                    if os.path.isfile(full):
+                        os.remove(full)
+        total = 0
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            dest = os.path.join(self.path, os.path.basename(m.staged_path))
+            os.replace(m.staged_path, dest)
+            files.append(os.path.basename(dest))
+            total += m.n_rows
+        manifest = {"n_rows": total, "files": sorted(files)}
+        tmp = os.path.join(self.path, "._SUCCESS.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(json.dumps(manifest))
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
+        shutil.rmtree(os.path.dirname(self.staging), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(self.staging), ignore_errors=True)
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.write.format("jsonldir")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonldir"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlDirWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)

@@ -274,3 +274,55 @@ def test_ticker_stream_reader_drains_to_batch_equality(spark, tmp_path):
     # no new history: a replayed drain adds nothing (exactly-once)
     drain(120)
     assert spark.read.parquet(out).count() == 240
+
+
+def test_jsonldir_sink_commits_atomically(spark, tmp_path):
+    """Custom Python DataSource WRITER: parts publish via rename, the
+    _SUCCESS manifest lands last and carries exact row/file counts."""
+    import json
+    import os
+
+    from big_data_pipeline_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    target = str(tmp_path / "out")
+    os.makedirs(target)
+    df = spark.range(0, 1000).selectExpr(
+        "id", "concat('u', CAST(id % 7 AS STRING)) AS tag"
+    ).repartition(4)
+    df.write.format("jsonldir").mode("append").option("path", target).save()
+
+    manifest = json.loads(open(os.path.join(target, "_SUCCESS")).read())
+    assert manifest["n_rows"] == 1000
+    parts = [p for p in os.listdir(target) if p.startswith("part-")]
+    assert sorted(parts) == manifest["files"]
+    assert len(parts) == 4
+    # no staging residue, and the data round-trips through a JSON scan
+    assert not os.path.exists(os.path.join(target, "__staging"))
+    back = spark.read.json(os.path.join(target, "part-*.jsonl"))
+    assert back.count() == 1000
+    assert back.selectExpr("sum(id)").collect()[0][0] == 499500
+
+
+def test_jsonldir_sink_overwrite_replaces_parts(spark, tmp_path):
+    import json
+    import os
+
+    from big_data_pipeline_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    target = str(tmp_path / "out2")
+    os.makedirs(target)
+    for n in (100, 10):
+        (
+            spark.range(0, n)
+            .repartition(2)
+            .write.format("jsonldir")
+            .mode("overwrite")
+            .option("path", target)
+            .save()
+        )
+    manifest = json.loads(open(os.path.join(target, "_SUCCESS")).read())
+    assert manifest["n_rows"] == 10
+    back = spark.read.json(os.path.join(target, "part-*.jsonl"))
+    assert back.count() == 10
