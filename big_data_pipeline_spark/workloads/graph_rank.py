@@ -461,14 +461,108 @@ FROM final f JOIN sizes s USING (label) JOIN nation n ON n.n_nationkey = f.id
 """
 
 
+# --- bfs_trade_hops: shortest hop distance (frontier BFS) --------------------
+# The remaining classic graph primitive: single-source shortest paths
+# in hops over the thresholded strong-trade graph (same exact-decimal
+# threshold discipline as the triangle query). Distributed frontier
+# BFS: each round joins the CURRENT frontier (shrinking) against the
+# edge list, anti-joins the visited set, and cuts lineage — O(diameter)
+# rounds, never a full-graph recomputation per round. The DuckDB
+# oracle walks the same graph with a recursive CTE and takes MIN(hop)
+# per node — a different traversal that must agree cell-exact.
+#
+# Scale: the frontier join keys on the node id (keyed shuffle against
+# the materialized, key-cardinality-bounded edge list); visited/
+# frontier are node-sized. Unreachable nodes are simply absent —
+# semantics every BFS consumer expects.
+
+_BFS_SOURCE = "NATION_0"
+_BFS_FACTOR = 2.3
+_BFS_MAX_HOPS = 6
+
+
+def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = trade_edges(spark, sf_dir)
+    avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
+    strong = (
+        edges.crossJoin(F.broadcast(avg_rev))
+        .filter(F.col("revenue") > _BFS_FACTOR * F.col("avg_rev"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        strong.unionByName(
+            strong.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = spark.createDataFrame(
+        [(_BFS_SOURCE, 0)], "nation string, hop int"
+    ).localCheckpoint()
+    visited = frontier
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier["nation"] == und["a"])
+            .select(F.col("b").alias("nation"))
+            .distinct()
+            .join(visited.select("nation"), "nation", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT s.n_name AS src, c2.n_name AS dst,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation s ON supplier.s_nationkey = s.n_nationkey
+  JOIN nation c2 ON customer.c_nationkey = c2.n_nationkey
+  GROUP BY 1, 2
+),
+strong AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e, (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS VARCHAR)
+                       AS DOUBLE) / COUNT(*) AS avg_rev FROM e) t
+  WHERE revenue > {_BFS_FACTOR} * avg_rev AND src <> dst
+),
+und AS (SELECT a, b FROM strong UNION SELECT b AS a, a AS b FROM strong),
+walk(n, hop) AS (
+  SELECT '{_BFS_SOURCE}', 0
+  UNION
+  SELECT u.b, w.hop + 1
+  FROM walk w JOIN und u ON u.a = w.n
+  WHERE w.hop < {_BFS_MAX_HOPS}
+)
+SELECT n AS nation, CAST(MIN(hop) AS INTEGER) AS hop
+FROM walk GROUP BY n
+"""
+
+
 QUERIES = {
     "pagerank_nation_trade": pagerank_nation_trade,
     "triangle_count_trade": triangle_count_trade,
     "kcore_trade_graph": kcore_trade_graph,
     "lpa_trade_communities": lpa_trade_communities,
+    "bfs_trade_hops": bfs_trade_hops,
 }
 
 ORACLE: dict[str, str] = {
+    "bfs_trade_hops": _BFS_SQL,
     "pagerank_nation_trade": _PAGERANK_SQL,
     "triangle_count_trade": _TRIANGLE_SQL,
     "kcore_trade_graph": _KCORE_SQL,

@@ -109,3 +109,19 @@ def test_kcore_peel_empty_when_k_too_high(spark):
     )
     assert kcore_peel(und, 3).count() == 0  # triangle has max degree 2
     assert kcore_peel(und, 2).count() == 6  # symmetric triangle edges
+
+
+def test_bfs_hops_are_consistent(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.graph_rank import (
+        _BFS_SOURCE,
+        bfs_trade_hops,
+    )
+
+    rows = {r.nation: r.hop for r in bfs_trade_hops(
+        spark, "/root/testdata/sf0.01").collect()}
+    assert rows[_BFS_SOURCE] == 0
+    assert all(h >= 0 for h in rows.values())
+    # hop levels are contiguous: if any node sits at hop h > 0, some
+    # node sits at h - 1 (frontier BFS can't skip a level)
+    levels = set(rows.values())
+    assert levels == set(range(max(levels) + 1))
