@@ -1567,7 +1567,113 @@ GROUP BY doc_id
 """
 
 
+# --- zipf_fit_report: corpus frequency-law fit --------------------------------
+# Vocabulary diagnostics for tokenizer design: fit ln(freq) ~
+# a + b·ln(rank) over the full frequency table (Zipf's law predicts
+# b ≈ −1). Logs go through the house micro-log discipline
+# (round(ln·1e6) as BIGINT, the NB-classifier pattern): per-type x/y
+# are exact integers, every cross-type sum is an exact integer sum,
+# and the OLS closed form runs on exactly-converted doubles — so the
+# fit is cell-exact on both engines despite the libm logs. The slope
+# is scale-invariant under the shared 1e6 factor; the intercept is
+# divided back out.
+#
+# Scale shape: one token count (map-side combine); the rank window
+# runs over the DISTINCT-TOKEN frequency table — the vocab is a model
+# (bounded), not the corpus, the same justification as the SGNS vocab
+# rank and the BPE trainer's word table.
+
+_ZIPF_MICRO = 1_000_000
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))),
+    )
+    micro = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * _ZIPF_MICRO)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * _ZIPF_MICRO)
+        .cast("bigint")
+        .alias("y"),
+        "n",
+    )
+    s = micro.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    num = s["k"] * s["sxy"] - s["sx"] * s["sy"]
+    den = s["k"] * s["sxx"] - s["sx"] * s["sx"]
+    slope = num / den
+    return s.select(
+        F.col("k").cast("bigint").alias("n_types"),
+        "n_tokens",
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy") - slope * F.col("sx"))
+            / F.col("k")
+            / F.lit(float(_ZIPF_MICRO))
+        ).alias("intercept_ln"),
+        (
+            num * num
+            / (den * (s["k"] * s["syy"] - s["sy"] * s["sy"]))
+        ).alias("r2"),
+    )
+
+
+_ZIPF_SQL = rf"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS r FROM freq
+),
+micro AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * {_ZIPF_MICRO}) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * {_ZIPF_MICRO}) AS BIGINT) AS y,
+         n
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(n) AS BIGINT) AS n_tokens
+  FROM micro
+)
+SELECT CAST(k AS BIGINT) AS n_types,
+       n_tokens,
+       (k * sxy - sx * sy) / (k * sxx - sx * sx) AS zipf_slope,
+       (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k
+         / {float(_ZIPF_MICRO)} AS intercept_ln,
+       (k * sxy - sx * sy) * (k * sxy - sx * sy)
+         / ((k * sxx - sx * sx) * (k * syy - sy * sy)) AS r2
+FROM s
+"""
+
+
 QUERIES = {
+    "zipf_fit_report": zipf_fit_report,
     "doc_chunk_overlap": doc_chunk_overlap,
     "blocklist_term_filter": blocklist_term_filter,
     "doc_char_diversity": doc_char_diversity,
@@ -1595,6 +1701,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "zipf_fit_report": _ZIPF_SQL,
     "doc_chunk_overlap": _CHUNK_SQL,
     "blocklist_term_filter": _blocklist_sql(),
     "doc_char_diversity": _char_diversity_sql(),

@@ -293,3 +293,13 @@ def test_sgns_pairs_mass_and_labels(spark, sf_dir):
     assert agg[1] == 2 * (n_tokens - n_docs)
     # exactly one negative per position
     assert agg[0] == n_tokens
+
+
+def test_zipf_fit_sane(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.text import zipf_fit_report
+
+    r = zipf_fit_report(spark, sf_dir).collect()[0]
+    assert r.n_types > 0 and r.n_tokens >= r.n_types
+    # frequency decreases with rank: negative slope, meaningful fit
+    assert r.zipf_slope < 0
+    assert 0 <= r.r2 <= 1
