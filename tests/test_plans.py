@@ -770,3 +770,41 @@ def test_sql_text_interface_pushes_filter_through_view(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan
     schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "o_custkey" not in schema
+
+
+def test_sgns_positives_avoid_exploded_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sgns_training_pairs")
+    # positives come from the shift-zip of the token array (Generate),
+    # not a corpus-sized exploded self-join; the vocab join broadcasts
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_preference_pairs_keep_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "preference_pair_assembly")
+    # both rank windows are per-source and must push the top-M limit
+    # below the shuffle
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_hitrate_topk_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cf_hitrate_eval")
+    assert "WindowGroupLimit" in plan  # per-segment top-K
+    assert "BroadcastHashJoin" in plan  # topk + dims broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_conformal_q_is_broadcast_scalar(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "conformal_interval_report")
+    # the k-th order statistic joins back as a 1-row broadcast, and the
+    # rank machinery must never collapse the corpus to one partition
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quarantine_single_arrow_pass_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_corrupt_quarantine")
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan  # scan -> build -> validate, no shuffle
