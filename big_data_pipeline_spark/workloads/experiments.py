@@ -496,12 +496,94 @@ FROM g
 """
 
 
+# --- ab_power_mde: sensitivity planning from observed traffic ----------------
+# The pre-experiment readout: with the traffic and base conversion the
+# log actually shows, what's the minimum detectable effect at 80%
+# power / 95% two-sided confidence? MDE = (z_{α/2} + z_β) ·
+# sqrt(2·p(1−p)/n) with n = min arm size — closed-form from the same
+# integer user counts as the z-test, so it's cell-exact.
+
+_Z_BETA_80 = 0.8416212335729143
+
+
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _CONV_MIN_VALUE),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    s = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    p = F.col("n_conv").cast("double") / (F.col("n_a") + F.col("n_b"))
+    n_min = F.least("n_a", "n_b").cast("double")
+    mde = (
+        F.lit(_Z_CRIT + _Z_BETA_80)
+        * F.sqrt(F.lit(2.0) * p * (F.lit(1.0) - p) / n_min)
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        p.alias("base_rate"),
+        mde.alias("mde_abs"),
+        (mde / p).alias("mde_rel"),
+    )
+
+
+_POWER_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > {_CONV_MIN_VALUE}
+                  THEN 1 ELSE 0 END) AS conv,
+         user_id % 2 AS variant
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM u
+)
+SELECT n_a, n_b,
+       CAST(n_conv AS DOUBLE) / (n_a + n_b) AS base_rate,
+       {_Z_CRIT + _Z_BETA_80}
+         * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(n_conv AS DOUBLE) / (n_a + n_b))
+                / CAST(LEAST(n_a, n_b) AS DOUBLE)) AS mde_abs,
+       ({_Z_CRIT + _Z_BETA_80}
+         * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(n_conv AS DOUBLE) / (n_a + n_b))
+                / CAST(LEAST(n_a, n_b) AS DOUBLE)))
+         / (CAST(n_conv AS DOUBLE) / (n_a + n_b)) AS mde_rel
+FROM s
+"""
+
+
 QUERIES = {
     "ab_conversion_ztest": ab_conversion_ztest,
     "cuped_adjusted_lift": cuped_adjusted_lift,
     "srm_chi2_check": srm_chi2_check,
     "did_purchase_lift": did_purchase_lift,
     "delta_method_ratio_ci": delta_method_ratio_ci,
+    "ab_power_mde": ab_power_mde,
 }
 
 ORACLE = {
@@ -510,4 +592,5 @@ ORACLE = {
     "srm_chi2_check": _SRM_SQL,
     "did_purchase_lift": _did_sql(),
     "delta_method_ratio_ci": _delta_sql(),
+    "ab_power_mde": _POWER_SQL,
 }

@@ -303,3 +303,14 @@ def test_zipf_fit_sane(spark, sf_dir):
     # frequency decreases with rank: negative slope, meaningful fit
     assert r.zipf_slope < 0
     assert 0 <= r.r2 <= 1
+
+
+def test_power_mde_consistent_with_ztest(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.experiments import ab_power_mde
+
+    r = ab_power_mde(spark, sf_dir).collect()[0]
+    assert 0 < r.base_rate < 1
+    assert r.mde_abs > 0
+    assert r.mde_rel == pytest.approx(r.mde_abs / r.base_rate)
+    # shrinking traffic can only inflate the MDE: se scales 1/sqrt(n)
+    assert r.mde_abs < 1.0
