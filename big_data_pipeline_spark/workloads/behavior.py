@@ -692,7 +692,115 @@ FROM re, tot_re
 """
 
 
+# --- conversion_hazard_table: discrete-time survival analysis ----------------
+# Time-to-conversion as a life table: for each day d since a user's
+# first event, the risk set (users not yet converted and not yet
+# censored before d), the conversions at d, the censorings at d, and
+# the discrete hazard d_conv/n_at_risk. Conversion = first purchase
+# above the value threshold; users without one are right-censored at
+# the end of their observation window. Everything is integer counts
+# plus one exact division per day — no cumulative survival PRODUCT
+# (the Kaplan-Meier product is fp-order-trouble; the hazard table is
+# the exact-arithmetic form every survival stack builds first).
+#
+# Scale shape: one user-level collapse (keyed shuffle), one per-day
+# count (≤ observation-window days, a bounded frame), and the reverse
+# cumulative risk set computed on that DAY-SIZED frame — the window
+# runs over ~31 rows, not the corpus.
+
+_HAZARD_CONV_VALUE = 150.0
+
+
+def conversion_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    users = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > _HAZARD_CONV_VALUE),
+                F.col("ts"),
+            )
+        ).alias("conv_ts"),
+    )
+    day = lambda a, b: F.floor(  # noqa: E731
+        (F.unix_timestamp(a) - F.unix_timestamp(b)) / F.lit(86400)
+    )
+    per_user = users.select(
+        F.when(F.col("conv_ts").isNotNull(), day("conv_ts", "first_ts"))
+        .otherwise(day("last_ts", "first_ts"))
+        .alias("day"),
+        F.col("conv_ts").isNotNull().alias("converted"),
+    )
+    daily = per_user.groupBy("day").agg(
+        F.sum(F.col("converted").cast("long")).alias("n_conv"),
+        F.sum((~F.col("converted")).cast("long")).alias("n_censored"),
+    )
+    # reverse cumulative risk set over the DAY-sized frame (~31 rows)
+    w = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn(
+            "n_at_risk", F.sum(F.col("n_conv") + F.col("n_censored")).over(w)
+        )
+        .select(
+            "day",
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("n_conv").cast("bigint").alias("n_conv"),
+            F.col("n_censored").cast("bigint").alias("n_censored"),
+            (
+                F.col("n_conv").cast("double") / F.col("n_at_risk")
+            ).alias("hazard"),
+        )
+    )
+
+
+_HAZARD_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(ts) AS first_ts,
+         MAX(ts) AS last_ts,
+         MIN(CASE WHEN event_type = 'purchase'
+                   AND value > {_HAZARD_CONV_VALUE} THEN ts END) AS conv_ts
+  FROM events GROUP BY user_id
+),
+per_user AS (
+  SELECT CASE WHEN conv_ts IS NOT NULL
+              THEN CAST(FLOOR((epoch(conv_ts) - epoch(first_ts)) / 86400)
+                        AS BIGINT)
+              ELSE CAST(FLOOR((epoch(last_ts) - epoch(first_ts)) / 86400)
+                        AS BIGINT) END AS day,
+         conv_ts IS NOT NULL AS converted
+  FROM u
+),
+daily AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+         CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_censored
+  FROM per_user GROUP BY day
+)
+SELECT day,
+       CAST(SUM(n_conv + n_censored)
+            OVER (ORDER BY day DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk,
+       n_conv, n_censored,
+       CAST(n_conv AS DOUBLE)
+         / SUM(n_conv + n_censored)
+             OVER (ORDER BY day DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS hazard
+FROM daily
+"""
+
+
 QUERIES = {
+    "conversion_hazard_table": conversion_hazard_table,
     "attribution_latency_stats": attribution_latency_stats,
     "markov_removal_attribution": markov_removal_attribution,
     "event_transition_matrix": event_transition_matrix,
@@ -704,6 +812,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "conversion_hazard_table": _HAZARD_SQL,
     "attribution_latency_stats": _ATTR_LATENCY_SQL,
     "markov_removal_attribution": _MRA_SQL,
     "event_transition_matrix": _TRANSITION_SQL,

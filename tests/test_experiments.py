@@ -314,3 +314,25 @@ def test_power_mde_consistent_with_ztest(spark, sf_dir):
     assert r.mde_rel == pytest.approx(r.mde_abs / r.base_rate)
     # shrinking traffic can only inflate the MDE: se scales 1/sqrt(n)
     assert r.mde_abs < 1.0
+
+
+def test_hazard_table_risk_set_telescopes(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.behavior import (
+        conversion_hazard_table,
+    )
+
+    rows = sorted(
+        conversion_hazard_table(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # the earliest risk set is everyone; each day's exits telescope
+    assert rows[0].n_at_risk == n_users
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_at_risk == prev.n_at_risk - prev.n_conv - prev.n_censored
+        assert 0 <= cur.hazard <= 1
