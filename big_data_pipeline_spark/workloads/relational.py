@@ -392,7 +392,47 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_TEXT)
 
 
+# --- keyset_pagination_page: OFFSET-free pagination ---------------------------
+# The pagination pattern that survives scale: instead of
+# ORDER BY … OFFSET n (which scans and discards n rows per page —
+# quadratic across a full export), the page is anchored at the last
+# row of the previous page with a keyset predicate on the total order
+# (o_totalprice DESC, o_orderkey ASC). The predicate prunes at the
+# scan, and the page itself compiles to TakeOrderedAndProject — every
+# page costs one bounded top-k, independent of page number.
+
+_PAGE_ANCHOR_PRICE = 150000.0
+_PAGE_ANCHOR_KEY = 0
+_PAGE_SIZE = 10
+
+
+def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    after = (F.col("o_totalprice") < _PAGE_ANCHOR_PRICE) | (
+        (F.col("o_totalprice") == _PAGE_ANCHOR_PRICE)
+        & (F.col("o_orderkey") > _PAGE_ANCHOR_KEY)
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(after)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(_PAGE_SIZE)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_KEYSET_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice < {_PAGE_ANCHOR_PRICE}
+   OR (o_totalprice = {_PAGE_ANCHOR_PRICE}
+       AND o_orderkey > {_PAGE_ANCHOR_KEY})
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {_PAGE_SIZE}
+"""
+
+
 QUERIES = {
+    "keyset_pagination_page": keyset_pagination_page,
     "sql_text_interface": sql_text_interface,
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project": filter_project,
@@ -409,6 +449,7 @@ QUERIES = {
 
 ORACLE = {
     "sql_text_interface": _SQL_TEXT,
+    "keyset_pagination_page": _KEYSET_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "filter_project": _FILTER_PROJECT_SQL,
     "distinct_flag_status": _DISTINCT_SQL,

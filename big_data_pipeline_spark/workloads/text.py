@@ -1672,7 +1672,123 @@ FROM s
 """
 
 
+# --- percolator_match_counts: reverse search (stored-query alerting) ---------
+# The percolator shape: queries are STORED, documents stream past them
+# — which alerts fire per document? Each stored query is a conjunction
+# of required terms plus optional forbidden terms; a doc matches when
+# its token set contains every required term and no forbidden one.
+#
+# Scale shape: the stored-query table is a model (broadcast); matching
+# is ONE pass over distinct doc tokens — an equi-join on the token,
+# counted per (doc, query) and compared to the query's required-term
+# count (set containment as counting, no per-query scan of the
+# corpus); forbidden terms are the same join with an anti filter.
+# Output is per-query match counts — the alert volume dashboard.
+
+_PERCOLATOR_QUERIES = (
+    # (query_id, required terms, forbidden terms)
+    ("slow_tables", ("slow", "table"), ("fast",)),
+    ("spark_sort", ("spark", "sort"), ()),
+    ("hash_merge", ("hash", "merge"), ("scan",)),
+    ("plain_rows", ("row",), ("window", "hash")),
+)
+
+
+def percolator_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokenize("text")).alias("tok")
+    ).distinct()
+    req = spark.createDataFrame(
+        [(q, t) for q, terms, _ in _PERCOLATOR_QUERIES for t in terms],
+        "query_id string, tok string",
+    )
+    n_req = spark.createDataFrame(
+        [(q, len(terms)) for q, terms, _ in _PERCOLATOR_QUERIES],
+        "query_id string, n_required long",
+    )
+    forb = spark.createDataFrame(
+        [(q, t) for q, _, terms in _PERCOLATOR_QUERIES for t in terms]
+        or [("__none__", "__none__")],
+        "query_id string, tok string",
+    )
+    hits = (
+        tok.join(F.broadcast(req), "tok")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(n_req), "query_id")
+        .filter(F.col("n_hit") == F.col("n_required"))
+        .select("doc_id", "query_id")
+    )
+    blocked = (
+        tok.join(F.broadcast(forb), "tok")
+        .select("doc_id", "query_id")
+        .distinct()
+    )
+    fired = hits.join(blocked, ["doc_id", "query_id"], "left_anti")
+    qids = spark.createDataFrame(
+        [(q,) for q, _, _ in _PERCOLATOR_QUERIES], "query_id string"
+    )
+    return (
+        qids.join(fired, "query_id", "left")
+        .groupBy("query_id")
+        .agg(F.count("doc_id").cast("bigint").alias("n_matching_docs"))
+    )
+
+
+def _percolator_sql() -> str:
+    req_rows = ",\n    ".join(
+        f"('{q}', '{t}')" for q, terms, _ in _PERCOLATOR_QUERIES for t in terms
+    )
+    forb_rows = ",\n    ".join(
+        f"('{q}', '{t}')" for q, _, terms in _PERCOLATOR_QUERIES for t in terms
+    ) or "('__none__', '__none__')"
+    nreq_rows = ",\n    ".join(
+        f"('{q}', {len(terms)})" for q, terms, _ in _PERCOLATOR_QUERIES
+    )
+    qid_rows = ",\n    ".join(f"('{q}')" for q, _, _ in _PERCOLATOR_QUERIES)
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+),
+req(query_id, tok) AS (VALUES
+    {req_rows}
+),
+n_req(query_id, n_required) AS (VALUES
+    {nreq_rows}
+),
+forb(query_id, tok) AS (VALUES
+    {forb_rows}
+),
+hits AS (
+  SELECT t.doc_id, r.query_id
+  FROM tok t
+  JOIN req r USING (tok)
+  JOIN n_req n ON n.query_id = r.query_id
+  GROUP BY t.doc_id, r.query_id, n.n_required
+  HAVING COUNT(*) = n.n_required
+),
+blocked AS (
+  SELECT DISTINCT doc_id, query_id FROM tok JOIN forb USING (tok)
+),
+fired AS (
+  SELECT h.doc_id, h.query_id
+  FROM hits h ANTI JOIN blocked b
+    ON b.doc_id = h.doc_id AND b.query_id = h.query_id
+),
+qids(query_id) AS (VALUES
+    {qid_rows}
+)
+SELECT q.query_id,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_matching_docs
+FROM qids q LEFT JOIN fired f USING (query_id)
+GROUP BY q.query_id
+"""
+
+
 QUERIES = {
+    "percolator_match_counts": percolator_match_counts,
     "zipf_fit_report": zipf_fit_report,
     "doc_chunk_overlap": doc_chunk_overlap,
     "blocklist_term_filter": blocklist_term_filter,
@@ -1702,6 +1818,7 @@ QUERIES = {
 
 ORACLE = {
     "zipf_fit_report": _ZIPF_SQL,
+    "percolator_match_counts": _percolator_sql(),
     "doc_chunk_overlap": _CHUNK_SQL,
     "blocklist_term_filter": _blocklist_sql(),
     "doc_char_diversity": _char_diversity_sql(),

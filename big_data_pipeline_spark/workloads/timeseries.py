@@ -773,7 +773,64 @@ GROUP BY promo_id
 """
 
 
+# --- ohlc_daily_resample: bar resampling (the reference's own domain) --------
+# The canonical market-data op the reference's pipeline implies but
+# never implements (it re-downloads instead): resample a fine-grained
+# stream to daily OHLCV bars — open/close = first/last value in
+# (ts, event_id) order, high/low = extrema, volume = row count, plus
+# the exact-decimal value sum. Events stand in for ticks (user_id =
+# symbol). Open/close use the conditional-aggregate form over asc/desc
+# row numbers — both windows share the (user, day) partitioning, so
+# the whole resample is ONE keyed shuffle, and the deterministic
+# tie-break makes the oracle cell-exact.
+
+def ohlc_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    day = F.to_date("ts").alias("day")
+    base = ev.select("user_id", day, "ts", "event_id", "value")
+    w_asc = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = base.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    return marked.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+
+
+_OHLC_SQL = """
+WITH marked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM marked
+GROUP BY user_id, day
+"""
+
+
 QUERIES = {
+    "ohlc_daily_resample": ohlc_daily_resample,
     "promo_interval_overlap": promo_interval_overlap,
     "holt_linear_forecast": holt_linear_forecast,
     "theilsen_trend_per_user": theilsen_trend_per_user,
@@ -787,6 +844,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ohlc_daily_resample": _OHLC_SQL,
     "promo_interval_overlap": _promo_sql(),
     "holt_linear_forecast": _HOLT_SQL,
     "theilsen_trend_per_user": _THEILSEN_SQL,

@@ -336,3 +336,52 @@ def test_hazard_table_risk_set_telescopes(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.n_at_risk == prev.n_at_risk - prev.n_conv - prev.n_censored
         assert 0 <= cur.hazard <= 1
+
+
+def test_ohlc_bars_internally_consistent(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.timeseries import (
+        ohlc_daily_resample,
+    )
+
+    rows = ohlc_daily_resample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.volume >= 1
+        if r.volume == 1:
+            assert r.open == r.close == r.high == r.low
+
+
+def test_percolator_respects_forbidden_terms(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.text import (
+        percolator_match_counts,
+    )
+
+    got = {
+        r.query_id: r.n_matching_docs
+        for r in percolator_match_counts(spark, sf_dir).collect()
+    }
+    assert set(got) == {"slow_tables", "spark_sort", "hash_merge",
+                        "plain_rows"}
+    assert all(v >= 0 for v in got.values())
+    assert any(v > 0 for v in got.values())
+
+
+def test_keyset_page_matches_offset_semantics(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.relational import (
+        _PAGE_ANCHOR_KEY,
+        _PAGE_ANCHOR_PRICE,
+        keyset_pagination_page,
+    )
+
+    page = keyset_pagination_page(spark, sf_dir).collect()
+    assert 0 < len(page) <= 10
+    # every row is strictly after the anchor in the total order
+    for r in page:
+        assert (r.o_totalprice, -r.o_orderkey) < (
+            _PAGE_ANCHOR_PRICE,
+            -_PAGE_ANCHOR_KEY,
+        )
+    prices = [(-r.o_totalprice, r.o_orderkey) for r in page]
+    assert prices == sorted(prices)
