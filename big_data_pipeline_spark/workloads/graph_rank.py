@@ -553,16 +553,131 @@ FROM walk GROUP BY n
 """
 
 
+# --- sssp_trade_cost: weighted shortest paths (Bellman-Ford rounds) ----------
+# The weighted sibling of bfs_trade_hops: minimum total edge cost from
+# the source over the SAME strong-trade graph, with integer edge costs
+# (floor(revenue/1e5)+1 — heavier trade = cheaper hop is deliberately
+# NOT used; cost grows with bucketed revenue so paths differ from hop
+# counts). Distributed Bellman-Ford: each round joins current
+# distances against the edge list, takes the min per node, and cuts
+# lineage — |V|-1 rounds bound exact convergence; the fixed round
+# budget matches the BFS diameter bound. Integer arithmetic end to
+# end, so the DuckDB oracle (bounded-depth recursive walk + MIN) is
+# cell-exact.
+
+_SSSP_MAX_ROUNDS = 6
+
+
+def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = trade_edges(spark, sf_dir)
+    avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
+    strong = (
+        edges.crossJoin(F.broadcast(avg_rev))
+        .filter(F.col("revenue") > _BFS_FACTOR * F.col("avg_rev"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            (F.floor(F.col("revenue") / F.lit(100000.0)) + 1)
+            .cast("long")
+            .alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    und = (
+        strong.unionByName(
+            strong.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "w"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame(
+        [(_BFS_SOURCE, 0)], "nation string, cost long"
+    ).localCheckpoint()
+    for _ in range(_SSSP_MAX_ROUNDS):
+        relaxed = (
+            dist.join(und, dist["nation"] == und["a"])
+            .select(
+                F.col("b").alias("nation"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            .unionByName(dist)
+            .groupBy("nation")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+        # converged when no distance improved this round
+        changed = (
+            relaxed.join(
+                dist.withColumnRenamed("cost", "old"), "nation", "left"
+            )
+            .filter(
+                F.col("old").isNull() | (F.col("cost") < F.col("old"))
+            )
+            .isEmpty()
+        )
+        dist = relaxed
+        if changed:
+            break
+    return dist
+
+
+_SSSP_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT s.n_name AS src, c2.n_name AS dst,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation s ON supplier.s_nationkey = s.n_nationkey
+  JOIN nation c2 ON customer.c_nationkey = c2.n_nationkey
+  GROUP BY 1, 2
+),
+strong AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         MIN(CAST(FLOOR(revenue / 100000.0) + 1 AS BIGINT)) AS w
+  FROM e, (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS VARCHAR)
+                       AS DOUBLE) / COUNT(*) AS avg_rev FROM e) t
+  WHERE revenue > {_BFS_FACTOR} * avg_rev AND src <> dst
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT a, b, MIN(w) AS w FROM (
+    SELECT a, b, w FROM strong
+    UNION ALL
+    SELECT b AS a, a AS b, w FROM strong
+  ) GROUP BY a, b
+),
+walk(n, cost, hop) AS (
+  SELECT '{_BFS_SOURCE}', CAST(0 AS BIGINT), 0
+  UNION
+  SELECT u.b, w.cost + u.w, w.hop + 1
+  FROM walk w JOIN und u ON u.a = w.n
+  WHERE w.hop < {_SSSP_MAX_ROUNDS}
+)
+SELECT n AS nation, MIN(cost) AS cost
+FROM walk GROUP BY n
+"""
+
+
 QUERIES = {
     "pagerank_nation_trade": pagerank_nation_trade,
     "triangle_count_trade": triangle_count_trade,
     "kcore_trade_graph": kcore_trade_graph,
     "lpa_trade_communities": lpa_trade_communities,
     "bfs_trade_hops": bfs_trade_hops,
+    "sssp_trade_cost": sssp_trade_cost,
 }
 
 ORACLE: dict[str, str] = {
     "bfs_trade_hops": _BFS_SQL,
+    "sssp_trade_cost": _SSSP_SQL,
     "pagerank_nation_trade": _PAGERANK_SQL,
     "triangle_count_trade": _TRIANGLE_SQL,
     "kcore_trade_graph": _KCORE_SQL,

@@ -829,7 +829,56 @@ GROUP BY user_id, day
 """
 
 
+# --- yoy_revenue_growth: calendarized year-over-year comparison --------------
+# The BI staple: monthly revenue joined to the SAME month one year
+# earlier (an explicit (year-1, month) self-join of the month-level
+# aggregate — robust to calendar gaps, unlike lag(12) over a dense
+# month sequence). Growth is one double division over exact-decimal
+# month sums. The self-join runs on the MONTH-LEVEL frame (bounded by
+# the calendar, not the fact table), so it broadcasts at any scale.
+
+
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    prev = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        "mo",
+        F.col("revenue").alias("revenue_prev_year"),
+    )
+    return monthly.join(F.broadcast(prev), ["yr", "mo"]).select(
+        "yr",
+        "mo",
+        "revenue",
+        "revenue_prev_year",
+        (
+            (F.col("revenue") - F.col("revenue_prev_year"))
+            / F.col("revenue_prev_year")
+        ).alias("yoy_pct"),
+    )
+
+
+_YOY_SQL = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+              AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT cur.yr, cur.mo, cur.revenue,
+       prev.revenue AS revenue_prev_year,
+       (cur.revenue - prev.revenue) / prev.revenue AS yoy_pct
+FROM monthly cur
+JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+"""
+
+
 QUERIES = {
+    "yoy_revenue_growth": yoy_revenue_growth,
     "ohlc_daily_resample": ohlc_daily_resample,
     "promo_interval_overlap": promo_interval_overlap,
     "holt_linear_forecast": holt_linear_forecast,
@@ -844,6 +893,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "yoy_revenue_growth": _YOY_SQL,
     "ohlc_daily_resample": _OHLC_SQL,
     "promo_interval_overlap": _promo_sql(),
     "holt_linear_forecast": _HOLT_SQL,

@@ -125,3 +125,21 @@ def test_bfs_hops_are_consistent(spark, sf_dir):
     # node sits at h - 1 (frontier BFS can't skip a level)
     levels = set(rows.values())
     assert levels == set(range(max(levels) + 1))
+
+
+def test_sssp_dominated_by_bfs_structure(spark):
+    from big_data_pipeline_spark.workloads.graph_rank import (
+        _BFS_SOURCE,
+        bfs_trade_hops,
+        sssp_trade_cost,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    hops = {r.nation: r.hop for r in bfs_trade_hops(spark, sf).collect()}
+    costs = {r.nation: r.cost for r in sssp_trade_cost(spark, sf).collect()}
+    # same reachable set, zero at the source
+    assert set(hops) == set(costs)
+    assert costs[_BFS_SOURCE] == 0
+    # every edge costs >= 1, so cost dominates hop count
+    for n, h in hops.items():
+        assert costs[n] >= h
