@@ -799,7 +799,95 @@ FROM daily
 """
 
 
+# --- position_attribution_credit: U-shaped multi-touch model -----------------
+# The third standard attribution model next to the Markov
+# removal-effect and time-decay queries: 40% credit to the first
+# touch, 40% to the last, 20% split evenly across the middle touches
+# of each converting user's pre-purchase path (single-touch paths get
+# 100%, two-touch 50/50). Credit fractions are exact dyadic/decimal
+# rationals only when the middle count divides nicely, so credit is
+# accumulated in exact INTEGER MILLI-CREDITS: per-touch credit =
+# round(weight*1000/k) with the rounding remainder assigned to the
+# first middle touch — total credit per user is exactly 1000, so
+# channel sums are integers and the oracle is cell-exact by
+# construction (no fp division order anywhere).
+#
+# Scale shape: per-user paths come from one keyed window (first/last/
+# count), per-touch credit is a projection, channel rollup is
+# map-side combinable. Same single-shuffle shape as the funnels.
+
+
+def position_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id")
+    conv = events.withColumn(
+        "conv_ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w),
+    ).filter(F.col("conv_ts").isNotNull())
+    touches = conv.filter(
+        (F.col("ts") < F.col("conv_ts"))
+        & (F.col("event_type") != "purchase")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        touches.withColumn("pos", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    k_mid = F.col("n") - 2
+    base_mid = F.floor(F.lit(200) / k_mid)
+    rem = F.lit(200) - base_mid * k_mid
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000))
+        .when(F.col("n") == 2, F.lit(500))
+        .when(F.col("pos") == 1, F.lit(400))
+        .when(F.col("pos") == F.col("n"), F.lit(400))
+        .when(F.col("pos") == 2, base_mid + rem)  # first middle touch
+        .otherwise(base_mid)
+    )
+    return (
+        marked.select("event_type", credit.cast("long").alias("milli"))
+        .groupBy("event_type")
+        .agg(F.sum("milli").cast("bigint").alias("milli_credit"))
+    )
+
+
+_POSITION_ATTR_SQL = """
+WITH conv AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           AS conv_ts
+  FROM events GROUP BY user_id
+),
+touches AS (
+  SELECT e.user_id, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY e.user_id) AS n
+  FROM events e JOIN conv c USING (user_id)
+  WHERE c.conv_ts IS NOT NULL
+    AND e.ts < c.conv_ts AND e.event_type <> 'purchase'
+)
+SELECT event_type,
+       CAST(SUM(CASE
+         WHEN n = 1 THEN 1000
+         WHEN n = 2 THEN 500
+         WHEN pos = 1 THEN 400
+         WHEN pos = n THEN 400
+         WHEN pos = 2 THEN CAST(FLOOR(200 / (n - 2)) AS BIGINT)
+                           + 200 - CAST(FLOOR(200 / (n - 2)) AS BIGINT)
+                             * (n - 2)
+         ELSE CAST(FLOOR(200 / (n - 2)) AS BIGINT)
+       END) AS BIGINT) AS milli_credit
+FROM touches
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "position_attribution_credit": position_attribution_credit,
     "conversion_hazard_table": conversion_hazard_table,
     "attribution_latency_stats": attribution_latency_stats,
     "markov_removal_attribution": markov_removal_attribution,
@@ -813,6 +901,7 @@ QUERIES = {
 
 ORACLE = {
     "conversion_hazard_table": _HAZARD_SQL,
+    "position_attribution_credit": _POSITION_ATTR_SQL,
     "attribution_latency_stats": _ATTR_LATENCY_SQL,
     "markov_removal_attribution": _MRA_SQL,
     "event_transition_matrix": _TRANSITION_SQL,

@@ -385,3 +385,30 @@ def test_keyset_page_matches_offset_semantics(spark, sf_dir):
         )
     prices = [(-r.o_totalprice, r.o_orderkey) for r in page]
     assert prices == sorted(prices)
+
+
+def test_position_attribution_conserves_credit(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.behavior import (
+        position_attribution_credit,
+    )
+
+    rows = position_attribution_credit(spark, sf_dir).collect()
+    total = sum(r.milli_credit for r in rows)
+    # exactly 1000 milli-credits per converting user with >= 1 touch
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    n_users = (
+        events.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total == 1000 * n_users
