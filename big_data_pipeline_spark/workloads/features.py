@@ -238,7 +238,77 @@ FROM terms GROUP BY o_custkey
 """
 
 
+# --- churn_label_features: leakage-safe label + feature snapshot --------------
+# The supervised-learning prep step every retention model starts with:
+# split the observation window into a FEATURE period (weeks 1-3) and a
+# LABEL period (week 4); features may only read the feature period
+# (event counts, purchase value, distinct active days, recency), the
+# label is "no activity in the label period". The time split is the
+# leakage guard — a feature computed over the label window would
+# trivially predict it (the audit twin of split_leakage_audit).
+#
+# Scale shape: one user-level groupBy with conditional aggregates —
+# single keyed shuffle, map-side combinable, every column from the
+# same pass; no window, no join.
+
+_CHURN_SPLIT = "2024-01-24 00:00:00"
+
+
+def churn_label_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    split = F.lit(_CHURN_SPLIT).cast("timestamp")
+    feat = F.col("ts") < split
+    return ev.groupBy("user_id").agg(
+        F.sum(feat.cast("long")).cast("bigint").alias("n_events_feat"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    feat & (F.col("event_type") == "purchase"),
+                    F.col("value"),
+                ).cast(DEC)
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("purchase_value_feat"),
+        F.count_distinct(
+            F.when(feat, F.to_date("ts"))
+        ).cast("bigint").alias("active_days_feat"),
+        F.max(F.when(feat, F.col("ts"))).alias("last_seen_feat"),
+        (
+            F.sum(
+                ((~feat) & (F.col("event_type") == "purchase")).cast("long")
+            )
+            == 0
+        ).alias("churned"),
+    ).filter(F.col("n_events_feat") > 0)
+
+
+_CHURN_SQL = f"""
+SELECT user_id,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CHURN_SPLIT}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_events_feat,
+       COALESCE(CAST(CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CHURN_SPLIT}'
+                          AND event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(38,6)) END) AS VARCHAR)
+                AS DOUBLE), 0.0) AS purchase_value_feat,
+       CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '{_CHURN_SPLIT}'
+                     THEN CAST(ts AS DATE) END) AS BIGINT)
+         AS active_days_feat,
+       MAX(CASE WHEN ts < TIMESTAMP '{_CHURN_SPLIT}' THEN ts END)
+         AS last_seen_feat,
+       SUM(CASE WHEN ts >= TIMESTAMP '{_CHURN_SPLIT}'
+                AND event_type = 'purchase'
+                THEN 1 ELSE 0 END) = 0 AS churned
+FROM events
+GROUP BY user_id
+HAVING SUM(CASE WHEN ts < TIMESTAMP '{_CHURN_SPLIT}'
+                THEN 1 ELSE 0 END) > 0
+"""
+
+
 QUERIES = {
+    "churn_label_features": churn_label_features,
     "time_decay_customer_value": time_decay_customer_value,
     "user_value_features": user_value_features,
     "time_rollup_multigrain": time_rollup_multigrain,
@@ -246,6 +316,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "churn_label_features": _CHURN_SQL,
     "time_decay_customer_value": _TIME_DECAY_SQL,
     "user_value_features": _FEATURES_SQL,
     "time_rollup_multigrain": _ROLLUP_MULTI_SQL,

@@ -412,3 +412,23 @@ def test_position_attribution_conserves_credit(spark, sf_dir):
         .count()
     )
     assert total == 1000 * n_users
+
+
+def test_churn_labels_are_leakage_safe(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.features import (
+        _CHURN_SPLIT,
+        churn_label_features,
+    )
+
+    df = churn_label_features(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    split = _CHURN_SPLIT
+    for r in rows:
+        # features never read the label period
+        assert str(r.last_seen_feat) < split
+        assert r.n_events_feat > 0
+        assert r.active_days_feat >= 1
+    # both classes exist, otherwise the label is degenerate
+    labels = {r.churned for r in rows}
+    assert labels == {True, False}
