@@ -599,7 +599,97 @@ GROUP BY u.c_mktsegment
 """
 
 
+# --- association_rules_conf: directed rules from the pair table --------------
+# The step after pair mining (Agrawal & Srikant): orient each frequent
+# pair into BOTH rules A→B and B→A with confidence = supp(AB)/supp(A)
+# — the deployable "customers who bought A also bought B" artifact.
+# Reuses the exact pair/item counts; confidence and lift are single
+# double divisions of integers, so the ranking is cell-exact. Top
+# rules by confidence via TakeOrderedAndProject.
+
+_RULES_MIN_CONF = 0.08  # max conf on this corpus ~0.14; 0.08 keeps a real top set
+_RULES_TOP = 50
+
+
+def association_rules_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item_n = baskets.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _MIN_PAIR_SUPPORT)
+    )
+    directed = pairs.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "n_pair",
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "n_pair",
+        )
+    )
+    n_ante = item_n.select(
+        F.col("part").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    conf = F.col("n_pair").cast("double") / F.col("n_ante")
+    return (
+        directed.join(n_ante, "antecedent")
+        .select("antecedent", "consequent", "n_pair", "n_ante",
+                conf.alias("confidence"))
+        .filter(conf >= _RULES_MIN_CONF)
+        .orderBy(F.desc("confidence"), "antecedent", "consequent")
+        .limit(_RULES_TOP)
+    )
+
+
+_RULES_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item_n AS (
+  SELECT l_partkey AS part, COUNT(*) AS n_item FROM baskets GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_MIN_PAIR_SUPPORT}
+),
+directed AS (
+  SELECT p1 AS antecedent, p2 AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT p2 AS antecedent, p1 AS consequent, n_pair FROM pairs
+)
+SELECT antecedent, consequent, n_pair,
+       CAST(n_item AS BIGINT) AS n_ante,
+       CAST(n_pair AS DOUBLE) / n_item AS confidence
+FROM directed JOIN item_n ON part = antecedent
+WHERE CAST(n_pair AS DOUBLE) / n_item >= {_RULES_MIN_CONF}
+ORDER BY confidence DESC, antecedent, consequent
+LIMIT {_RULES_TOP}
+"""
+
+
 QUERIES = {
+    "association_rules_conf": association_rules_conf,
     "cf_hitrate_eval": cf_hitrate_eval,
     "part_affinity_lift": part_affinity_lift,
     "item_item_cosine_topk": item_item_cosine_topk,
@@ -607,6 +697,7 @@ QUERIES = {
     "part_triple_support": part_triple_support,
 }
 ORACLE = {
+    "association_rules_conf": _RULES_SQL,
     "cf_hitrate_eval": _HITRATE_SQL,
     "part_affinity_lift": _AFFINITY_SQL,
     "item_item_cosine_topk": _cf_sql(),

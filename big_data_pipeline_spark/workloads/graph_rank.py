@@ -666,6 +666,107 @@ FROM walk GROUP BY n
 """
 
 
+# --- closeness_trade_centrality: multi-source BFS centrality -----------------
+# The centrality family member PageRank can't substitute for:
+# closeness = (reachable-1) / Σ hop-distance, computed for EVERY node
+# at once. Same frontier machinery as bfs_trade_hops with the source
+# id carried in the key — ALL single-source searches advance in the
+# same round's keyed join ((src, node) frontier vs the edge list), so
+# all-pairs distances cost diameter rounds, not |V| sequential runs.
+# Distance sums are exact integers; one double division per node.
+
+
+def closeness_trade_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = trade_edges(spark, sf_dir)
+    avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
+    strong = (
+        edges.crossJoin(F.broadcast(avg_rev))
+        .filter(F.col("revenue") > _BFS_FACTOR * F.col("avg_rev"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        strong.unionByName(
+            strong.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("a").alias("nation")).distinct()
+    frontier = nodes.select(
+        F.col("nation").alias("source"), "nation", F.lit(0).alias("hop")
+    ).localCheckpoint()
+    visited = frontier
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier["nation"] == und["a"])
+            .select("source", F.col("b").alias("nation"))
+            .distinct()
+            .join(
+                visited.select("source", "nation"),
+                ["source", "nation"],
+                "left_anti",
+            )
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.groupBy(F.col("source").alias("nation")).agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reachable"),
+        F.sum("hop").cast("bigint").alias("total_dist"),
+        (
+            (F.count(F.lit(1)) - 1).cast("double") / F.sum("hop")
+        ).alias("closeness"),
+    ).filter(F.col("total_dist") > 0)
+
+
+_CLOSENESS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT s.n_name AS src, c2.n_name AS dst,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation s ON supplier.s_nationkey = s.n_nationkey
+  JOIN nation c2 ON customer.c_nationkey = c2.n_nationkey
+  GROUP BY 1, 2
+),
+strong AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e, (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS VARCHAR)
+                       AS DOUBLE) / COUNT(*) AS avg_rev FROM e) t
+  WHERE revenue > {_BFS_FACTOR} * avg_rev AND src <> dst
+),
+und AS (SELECT a, b FROM strong UNION SELECT b AS a, a AS b FROM strong),
+walk(source, n, hop) AS (
+  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT w.source, u.b, w.hop + 1
+  FROM walk w JOIN und u ON u.a = w.n
+  WHERE w.hop < {_BFS_MAX_HOPS}
+),
+dists AS (
+  SELECT source, n, MIN(hop) AS hop FROM walk GROUP BY source, n
+)
+SELECT source AS nation,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable,
+       CAST(SUM(hop) AS BIGINT) AS total_dist,
+       CAST(COUNT(*) - 1 AS DOUBLE) / SUM(hop) AS closeness
+FROM dists
+GROUP BY source
+HAVING SUM(hop) > 0
+"""
+
+
 QUERIES = {
     "pagerank_nation_trade": pagerank_nation_trade,
     "triangle_count_trade": triangle_count_trade,
@@ -673,11 +774,13 @@ QUERIES = {
     "lpa_trade_communities": lpa_trade_communities,
     "bfs_trade_hops": bfs_trade_hops,
     "sssp_trade_cost": sssp_trade_cost,
+    "closeness_trade_centrality": closeness_trade_centrality,
 }
 
 ORACLE: dict[str, str] = {
     "bfs_trade_hops": _BFS_SQL,
     "sssp_trade_cost": _SSSP_SQL,
+    "closeness_trade_centrality": _CLOSENESS_SQL,
     "pagerank_nation_trade": _PAGERANK_SQL,
     "triangle_count_trade": _TRIANGLE_SQL,
     "kcore_trade_graph": _KCORE_SQL,

@@ -143,3 +143,23 @@ def test_sssp_dominated_by_bfs_structure(spark):
     # every edge costs >= 1, so cost dominates hop count
     for n, h in hops.items():
         assert costs[n] >= h
+
+
+def test_closeness_agrees_with_single_source_bfs(spark):
+    from big_data_pipeline_spark.workloads.graph_rank import (
+        _BFS_SOURCE,
+        bfs_trade_hops,
+        closeness_trade_centrality,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    hops = {r.nation: r.hop for r in bfs_trade_hops(spark, sf).collect()}
+    cc = {
+        r.nation: r for r in closeness_trade_centrality(spark, sf).collect()
+    }
+    # the multi-source run must reproduce the single-source BFS exactly
+    src = cc[_BFS_SOURCE]
+    assert src.n_reachable == len(hops) - 1
+    assert src.total_dist == sum(hops.values())
+    for r in cc.values():
+        assert 0 < r.closeness <= 1
