@@ -490,7 +490,87 @@ FROM run GROUP BY 1
 """
 
 
+# --- interarrival_rate_mle: point-process rate estimation --------------------
+# Inter-arrival analysis per event type: gaps between a user's
+# consecutive events of that type (integer microseconds — exact), then
+# per-type MLE rate = 1/mean_gap and the coefficient of variation from
+# closed-form integer moments (CV ≈ 1 ⇒ Poisson-like, the standard
+# burstiness diagnostic for traffic modeling / load planning).
+#
+# Scale shape: ONE keyed window per (user, type) for the lag, then a
+# map-side-combinable per-type aggregate of integer gap moments; the
+# CV closed form avoids order-sensitive stddev. No global sort.
+
+
+def interarrival_rate_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # gaps in SECONDS as doubles: the µs integers square past int64, and
+    # the µs→sec division is one deterministic double op on identical
+    # integers — same result in both engines
+    gaps = (
+        ev.withColumn(
+            "gap_sec",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))
+            ).cast("double")
+            / F.lit(1e6),
+        )
+        .filter(F.col("gap_sec").isNotNull())
+        .select("event_type", "gap_sec")
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("gap_sec").cast(DEC)).cast("double").alias("s1"),
+        F.sum((F.col("gap_sec") * F.col("gap_sec")).cast(DEC))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean_sec = F.col("s1") / F.col("n")
+    var_sec = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n") * (F.col("n") - F.lit(1.0))
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        mean_sec.alias("mean_gap_sec"),
+        (F.lit(3600.0) / mean_sec).alias("rate_per_hour"),
+        (F.sqrt(var_sec) / mean_sec).alias("cv"),
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts), 1)
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS DOUBLE) / 1e6 AS gap_sec
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(gap_sec AS DECIMAL(38,6))) AS VARCHAR)
+              AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(gap_sec * gap_sec AS DECIMAL(38,6))) AS VARCHAR)
+              AS DOUBLE) AS s2
+  FROM gaps WHERE gap_sec IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       s1 / n AS mean_gap_sec,
+       3600.0 / (s1 / n) AS rate_per_hour,
+       sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) / (s1 / n) AS cv
+FROM s
+"""
+
+
 QUERIES = {
+    "interarrival_rate_mle": interarrival_rate_mle,
     "window_lead_next_value": window_lead_next_value,
     "latest_event_per_user": latest_event_per_user,
     "global_argmax_latest": global_argmax_latest,
@@ -506,6 +586,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "interarrival_rate_mle": _INTERARRIVAL_SQL,
     "window_lead_next_value": _LEAD_SQL,
     "latest_event_per_user": _LATEST_PER_USER_SQL,
     "global_argmax_latest": _GLOBAL_ARGMAX_SQL,

@@ -432,3 +432,17 @@ def test_churn_labels_are_leakage_safe(spark, sf_dir):
     # both classes exist, otherwise the label is degenerate
     labels = {r.churned for r in rows}
     assert labels == {True, False}
+
+
+def test_interarrival_rates_sane(spark, sf_dir):
+    from big_data_pipeline_spark.workloads.events import (
+        interarrival_rate_mle,
+    )
+
+    rows = interarrival_rate_mle(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r.n_gaps > 0
+        assert r.mean_gap_sec > 0
+        assert r.rate_per_hour == pytest.approx(3600.0 / r.mean_gap_sec)
+        assert r.cv > 0
