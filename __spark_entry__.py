@@ -174,6 +174,21 @@ _MODULES = (
 # scd2_asof_snapshot (the SCD family's history query holds a slot) and
 # source_quota_sample (slot funds span_corruption_plan; the sampling
 # family keeps other coverage) move to round-5.
+#
+# Round-4 session-2 closing tally: eleven session ops hold window
+# slots (the nine listed above plus grid_density_clusters,
+# multimodal_corrupt_quarantine, minhash_lsh_dedup's re-entry,
+# span_corruption_plan); the other twenty-three session ops are
+# hash-green in the full local sweep (0 failures, CERTIFIED at session
+# end) and queue for the round-5 rotation: srm_chi2_check,
+# did_purchase_lift, delta_method_ratio_ci, ab_power_mde,
+# conformal_interval_report, cf_hitrate_eval, preference_pair_assembly,
+# sgns_training_pairs, sql_text_interface, bfs_trade_hops,
+# sssp_trade_cost, closeness_trade_centrality, zipf_fit_report,
+# ohlc_daily_resample, yoy_revenue_growth, percolator_match_counts,
+# keyset_pagination_page, conversion_hazard_table,
+# position_attribution_credit, churn_label_features,
+# interarrival_rate_mle, association_rules_conf, scd2_asof_snapshot.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r03)
