@@ -66,16 +66,37 @@ class _JsonlDirWriter(DataSourceWriter):
                 n += 1
         return _PartCommit(part, n)
 
-    # driver-side: publish staged parts, manifest LAST
+    # driver-side: publish staged parts, manifest LAST.
+    #
+    # Crash-ordering contract (both modes): staged parts rename in
+    # FIRST (uuid names — never collide with live parts), the manifest
+    # flips atomically SECOND, and only then (overwrite) are the old
+    # generation's parts deleted. A crash before the manifest flip
+    # leaves the previous generation fully intact and still described
+    # by the previous manifest; a crash after it leaves at worst
+    # orphaned old parts that no manifest references. In append mode
+    # the manifest MERGES the pre-existing generation's files and row
+    # count, so a manifest-trusting reader keeps seeing every
+    # committed row, not just the last batch.
     def commit(self, messages) -> None:
         import shutil
 
-        if self.overwrite:
-            for name in os.listdir(self.path):
-                if name != _STAGING and not name.startswith("."):
-                    full = os.path.join(self.path, name)
-                    if os.path.isfile(full):
-                        os.remove(full)
+        prev_files: list[str] = []
+        prev_rows = 0
+        success = os.path.join(self.path, "_SUCCESS")
+        if os.path.isfile(success):
+            try:
+                with open(success, encoding="utf-8") as f:
+                    prev = json.load(f)
+                prev_files = [
+                    name
+                    for name in prev.get("files", [])
+                    if os.path.isfile(os.path.join(self.path, name))
+                ]
+                prev_rows = int(prev.get("n_rows", 0))
+            except (json.JSONDecodeError, OSError, ValueError):
+                prev_files, prev_rows = [], 0
+
         total = 0
         files = []
         for m in messages:
@@ -85,11 +106,27 @@ class _JsonlDirWriter(DataSourceWriter):
             os.replace(m.staged_path, dest)
             files.append(os.path.basename(dest))
             total += m.n_rows
+
+        if not self.overwrite:
+            files.extend(prev_files)
+            total += prev_rows
         manifest = {"n_rows": total, "files": sorted(files)}
         tmp = os.path.join(self.path, "._SUCCESS.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(json.dumps(manifest))
-        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
+        os.replace(tmp, success)
+
+        if self.overwrite:
+            keep = set(files)
+            for name in os.listdir(self.path):
+                if (
+                    name != _STAGING
+                    and not name.startswith(".")
+                    and name != "_SUCCESS"
+                    and name not in keep
+                    and os.path.isfile(os.path.join(self.path, name))
+                ):
+                    os.remove(os.path.join(self.path, name))
         shutil.rmtree(os.path.dirname(self.staging), ignore_errors=True)
 
     def abort(self, messages) -> None:

@@ -1437,8 +1437,29 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("embedding", 2).cast("double") / _DBSCAN_EPS
         ).alias("cy"),
     )
-    cid = (
-        (F.col("cx") + _DBSCAN_OFF) * _DBSCAN_W + (F.col("cy") + _DBSCAN_OFF)
+    # Packing is only injective while both cell coords sit inside
+    # [-OFF, W-OFF); coordinates beyond |eps·OFF| (~|x| > 20.5 here)
+    # would silently collide packed ids and merge unrelated cells —
+    # and the oracle replays the same packing, so the hash check
+    # cannot catch it. Guard the range INSIDE the expression: any
+    # out-of-range coordinate fails the job loudly instead.
+    _in = lambda c: (F.col(c) >= -_DBSCAN_OFF) & (  # noqa: E731
+        F.col(c) < _DBSCAN_W - _DBSCAN_OFF
+    )
+    cid = F.when(
+        _in("cx") & _in("cy"),
+        (F.col("cx") + _DBSCAN_OFF) * _DBSCAN_W + (F.col("cy") + _DBSCAN_OFF),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "grid_density_clusters: cell (%d,%d) outside packable "
+                "range [-%d, %d); raise _DBSCAN_W/_DBSCAN_OFF",
+                F.col("cx"),
+                F.col("cy"),
+                F.lit(_DBSCAN_OFF),
+                F.lit(_DBSCAN_W - _DBSCAN_OFF),
+            )
+        )
     ).cast("long")
     cells = (
         pts.groupBy("cx", "cy")

@@ -1612,9 +1612,21 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("k"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        # Each product is ~1.3e14 (micro-logs ~1.4e7 squared) — fits
+        # int64 — but the SUM crosses int64 once the vocabulary nears
+        # ~1e5 types (Spark 4 ANSI would throw ARITHMETIC_OVERFLOW;
+        # DuckDB silently promotes to HUGEINT). Route the accumulation
+        # through DECIMAL(38,0) on BOTH engines: exact 128-bit sums,
+        # identical values, no overflow until ~1e24 types.
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
         F.sum("n").cast("bigint").alias("n_tokens"),
     )
     num = s["k"] * s["sxy"] - s["sx"] * s["sy"]
@@ -1655,9 +1667,9 @@ s AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS k,
          CAST(SUM(x) AS DOUBLE) AS sx,
          CAST(SUM(y) AS DOUBLE) AS sy,
-         CAST(SUM(x * x) AS DOUBLE) AS sxx,
-         CAST(SUM(x * y) AS DOUBLE) AS sxy,
-         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
          CAST(SUM(n) AS BIGINT) AS n_tokens
   FROM micro
 )

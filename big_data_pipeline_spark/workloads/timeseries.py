@@ -656,6 +656,16 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["value"],
         ).alias("series")
     )
+    # Memory bound of the batched kernel: the pad is O(batch_rows ×
+    # max_len_in_batch) float64 — one very long series would inflate
+    # the whole ~10k-row Arrow batch (the skew hazard the old
+    # per-group applyInPandas did not have). Sorting by series length
+    # WITHIN partitions (no shuffle) makes consecutive Arrow batches
+    # length-homogeneous, so each batch pads to ≈ its own lengths and
+    # the worst case degrades to O(batch × its_own_max), not
+    # O(batch × global_max). Order of rows is irrelevant to the
+    # per-row recurrence, so results are unchanged.
+    series = series.sortWithinPartitions(F.size("series"))
     out = series.select("user_id", _holt_batch("series").alias("r"))
     return out.select(
         "user_id", "r.n_obs", "r.level", "r.trend", "r.forecast_next"

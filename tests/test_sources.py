@@ -326,3 +326,37 @@ def test_jsonldir_sink_overwrite_replaces_parts(spark, tmp_path):
     assert manifest["n_rows"] == 10
     back = spark.read.json(os.path.join(target, "part-*.jsonl"))
     assert back.count() == 10
+    # overwrite removed every part of the previous generation — the
+    # manifest and the directory agree exactly
+    parts = [p for p in os.listdir(target) if p.startswith("part-")]
+    assert sorted(parts) == manifest["files"]
+
+
+def test_jsonldir_sink_append_merges_manifest(spark, tmp_path):
+    """Append mode must not disown earlier generations: the manifest
+    accumulates every committed part file and the total row count, so a
+    manifest-trusting reader sees all rows, not just the last batch."""
+    import json
+    import os
+
+    from big_data_pipeline_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    target = str(tmp_path / "out3")
+    os.makedirs(target)
+    for n in (100, 50):
+        (
+            spark.range(0, n)
+            .repartition(2)
+            .write.format("jsonldir")
+            .mode("append")
+            .option("path", target)
+            .save()
+        )
+    manifest = json.loads(open(os.path.join(target, "_SUCCESS")).read())
+    assert manifest["n_rows"] == 150
+    parts = [p for p in os.listdir(target) if p.startswith("part-")]
+    assert len(parts) == 4
+    assert sorted(parts) == manifest["files"]
+    back = spark.read.json(os.path.join(target, "part-*.jsonl"))
+    assert back.count() == 150
