@@ -85,113 +85,54 @@ _MODULES = (
 )
 
 
-# The driver's correctness run covers a budgeted prefix of the registry
-# (observed rounds 1-3: exactly the first 50 entries). Order therefore
-# IS coverage. Round-4 rotation: CORRECTNESS_r01..r03 accumulated
-# driver rows for 120 of the 173 registered queries (119 green; the
-# one r03 error — embedding_quantize_int8's array<int> output crashing
-# the driver's pandas canonicalizer — is fixed by serializing the
-# vector, and the query stays in the window to re-prove it at the
-# driver). This window keeps 8 never-regress ANCHORS (one per SURVEY
-# §2 / LLM-pipeline family, hash-green in every round they appeared)
-# and fills the other 41 slots with never-driver-checked queries (all
-# hash-green in the local tools/check_oracle.py sweep).
+# The driver's correctness run covers a budgeted prefix of the
+# registry (observed rounds 1-4: exactly the first 50 entries), so
+# order IS coverage. Rounds 1-4 accumulated driver rows for 160 of the
+# 270 registered queries (153 hash-green, 7 rows-only-no-err, 0
+# genuine failures). Round-5 rotation (VERDICT r4 item 1): keep the 8
+# never-regress ANCHORS (one per SURVEY §2 / LLM-pipeline family,
+# hash-green every round they appeared) and fill the other 42 slots
+# with never-driver-checked queries — all hash-green in the full local
+# tools/check_oracle.py sweep. Two of the 42 carry this round's code
+# changes and re-prove them at the driver: zipf_fit_report (moment
+# sums rerouted through DECIMAL(38,0) after the r4 overflow advice)
+# and jaccard_prefix_filter_pairs (ppjoin positional/suffix filters,
+# VERDICT item 2). New operators built this round take slots under the
+# newest-work-first rule as they land, displacing tail first-timers to
+# the round-6 rotation.
 #
-# 15 never-checked entries remain for the round-5 window (they pass
-# the local sweep; 4 are rows-only by nature so a driver row adds the
-# least evidence): approx_theta_overlap, approx_heavy_tokens,
-# approx_sketch_rollup, approx_corpus_stats, pagerank_nation_trade
-# (oracle-checkable since round 4: augmented-edge recursive CTE),
-# stratified_sample_docs (oracle-checkable since the round-4 switch to
-# the deterministic hash-threshold sampler), tumbling_window_counts,
-# sliding_window_counts, session_windows, lang_stats,
-# embedding_norm_stats, zscore_outlier_orders, map_props_stats,
-# array_ops_tokens, weighted_sample_docs (15 after the round-4 window
-# froze), plus the five operators added after the freeze (all green in
-# the local sweep at sf0.001+sf0.01): jaccard_prefix_filter_pairs,
-# bigram_lm_quality, measure_corr_matrix, benford_deviation_audit,
-# part_affinity_lift, cusum_changepoint_per_user, flesch_readability,
-# table_profile_summary, kcore_trade_graph, acf_lag_autocorr,
-# session_concurrency_peak, bm25_topk_docs, key_skew_profile,
-# mad_robust_outliers, ks_drift_stat, spearman_rank_corr,
-# mannwhitney_shift_test, knn_label_vote, funnel_window_timeout,
-# text_normalize_dedup, surrogate_global_seq, equidepth_histogram,
-# and the late-round-4 batch: seasonal_residual_outliers,
-# gap_fill_forward, contrastive_negative_pairs (displaced below in
-# favor of the newest audit ops), fd_violation_audit,
-# doc_char_diversity, epoch_shuffle_shards, plus everything committed
-# after this comment — all green in the local sweep
-# (plus rows-only ann_recall_report).
-#
-# Mid-round-4 adjustment: twelve of the fifteen operators built THIS
-# round (nb_lang_confusion, chi2_token_lang, lof_knn_outliers,
-# item_item_cosine_topk, rr_dp_status_counts, ses_forecast_user_value,
-# shingle_containment_pairs, cms_token_counts, theilsen_trend_per_user,
-# psi_value_drift, gini_source_concentration, and rows-only
-# bpe_merge_learn) take window slots immediately (r02 verdict item 7:
-# newest work accumulates driver rows early); the other three round-4
-# ops (max_drawdown_per_user, partition_backfill_plan,
-# hll_distinct_users — all green in the local sweep at sf0.001+sf0.01)
-# join the round-5 rotation. Displaced to the FRONT of the round-5
-# rotation, families still represented in-window:
+# Round-6 rotation queue (the 68 remaining never-driver-checked
+# entries, minus whatever this round's new ops displace into it; all
+# green in the local sweep — the five approx_* / ann_recall entries
+# are rows-only by nature): keyset_pagination_page, sql_text_interface,
+# lineitem_measures_unpivot, association_rules_conf, cf_hitrate_eval,
+# part_affinity_lift, part_triple_support, skyline_price_size,
 # except_all_item_quantities, nth_order_values_per_customer,
-# salted_agg_flag_stats, sequence_pattern_counts, event_type_pivot,
-# sample_bottomk_docs, poisson_bootstrap_means, bpe_token_counts,
-# dataset_card_stats, lang_id_confusion, inverted_index_postings,
-# winsorized_priority_revenue.
-#
-# Late-round-4 adjustment (2): rrf_hybrid_retrieval,
-# part_triple_support, and time_decay_customer_value (hash-green local)
-# also take slots; displaced to round-5: token_cooccurrence_topk,
-# doc_fingerprint_winnow, hard_negative_mining.
-#
-# Late-round-4 adjustment: the four operators built after the above
-# froze (copurchase_link_prediction, t_closeness_audit,
-# weighted_median_brand_price, holt_linear_forecast — all hash-green
-# in the local sweep) take slots immediately under the same
-# newest-work-first rule; displaced to the round-5 rotation:
-# quality_rank_normalize, boilerplate_span_strip,
-# knn_matryoshka_rerank, stream_session_dynamic_gap (each family keeps
-# other in-window representation).
-#
-# Round-4 session-2 batch: the seven operators built this session
-# (ab_conversion_ztest, cuped_adjusted_lift, target_encoding_loo,
-# feature_hashing_vectorize, scd2_priority_history,
-# golden_record_merge, promo_interval_overlap — all hash-green in the
-# local sweep at sf0.01) take slots under the newest-work-first rule;
-# displaced to the round-5 rotation (families keep other in-window
-# representation): nation_revenue_share, customer_revenue_pareto,
-# join_fanout_audit, lineitem_regression_stats,
-# attribution_latency_stats, part_triple_support,
-# time_decay_customer_value, and table_checksum_audit (whose slot
-# funds grid_density_clusters, the grid-DBSCAN density family's first
-# driver row; fk_integrity_audit keeps the audit family in-window —
-# dq_orders_report later yielded its slot to the multimodal
-# quarantine op and joins the round-5 rotation too).
-# srm_chi2_check and did_purchase_lift (hash-green
-# local) start in the round-5 rotation — the experimentation family
-# already holds two in-window slots (z-test, CUPED). Likewise
-# scd2_asof_snapshot (the SCD family's history query holds a slot) and
-# source_quota_sample (slot funds span_corruption_plan; the sampling
-# family keeps other coverage) move to round-5.
-#
-# Round-4 session-2 closing tally: eleven session ops hold window
-# slots (the nine listed above plus grid_density_clusters,
-# multimodal_corrupt_quarantine, minhash_lsh_dedup's re-entry,
-# span_corruption_plan); the other twenty-three session ops are
-# hash-green in the full local sweep (0 failures, CERTIFIED at session
-# end) and queue for the round-5 rotation: srm_chi2_check,
-# did_purchase_lift, delta_method_ratio_ci, ab_power_mde,
-# conformal_interval_report, cf_hitrate_eval, preference_pair_assembly,
-# sgns_training_pairs, sql_text_interface, bfs_trade_hops,
-# sssp_trade_cost, closeness_trade_centrality, zipf_fit_report,
-# ohlc_daily_resample, yoy_revenue_growth, percolator_match_counts,
-# keyset_pagination_page, conversion_hazard_table,
-# position_attribution_credit, churn_label_features,
-# interarrival_rate_mle, association_rules_conf, scd2_asof_snapshot.
+# surrogate_global_seq, position_attribution_credit,
+# conversion_hazard_table, attribution_latency_stats,
+# markov_removal_attribution, funnel_window_timeout,
+# sequence_pattern_counts, interarrival_rate_mle, event_type_pivot,
+# yoy_revenue_growth, ohlc_daily_resample, gap_fill_forward,
+# seasonal_residual_outliers, cusum_changepoint_per_user,
+# acf_lag_autocorr, churn_label_features, time_decay_customer_value,
+# percolator_match_counts, blocklist_term_filter, doc_char_diversity,
+# boilerplate_span_strip, token_cooccurrence_topk,
+# quality_rank_normalize, lang_id_confusion, inverted_index_postings,
+# bpe_token_counts, bigram_lm_quality, flesch_readability,
+# bm25_topk_docs, text_normalize_dedup, doc_fingerprint_winnow,
+# maxsim_multivector_topk, knn_matryoshka_rerank, hard_negative_mining,
+# contrastive_negative_pairs, ann_recall_report, knn_label_vote,
+# record_linkage_score, sorted_neighborhood_neardup,
+# conformal_interval_report, dataset_card_stats, approx_theta_overlap,
+# approx_heavy_tokens, approx_sketch_rollup, sample_bottomk_docs,
+# approx_corpus_stats, winsorized_priority_revenue,
+# fd_violation_audit, table_checksum_audit, poisson_bootstrap_means,
+# preference_pair_assembly, sgns_training_pairs, epoch_shuffle_shards,
+# source_quota_sample, lineitem_regression_stats,
+# dsir_importance_score, ldiversity_audit, split_leakage_audit.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
-    # text + streaming (hash-green r01..r03)
+    # text + streaming (hash-green r01..r04)
     "q1_pricing_summary",
     "filter_project",
     "topk_orders",
@@ -200,69 +141,56 @@ _PRIORITY = (
     "exact_dedup",
     "doc_token_stats",
     "stream_tumbling_window_counts",
-    # --- re-prove: r03's one error, now serialized driver-safe
-    "embedding_quantize_int8",
-    # --- round-4 session-2: experimentation / encoding / warehouse ops
-    "ab_conversion_ztest",
-    "cuped_adjusted_lift",
-    "target_encoding_loo",
-    "feature_hashing_vectorize",
-    "scd2_priority_history",
-    "golden_record_merge",
-    "promo_interval_overlap",
-    # --- first-timers: behavioral / event analytics
-    "event_transition_matrix",
-    "rfm_user_segments",
-    "grid_density_clusters",
-    "weighted_median_brand_price",
-    # --- round-4 new: relational/behavior/timeseries analytics
-    "ses_forecast_user_value",
-    "rr_dp_status_counts",
-    "item_item_cosine_topk",
-    "theilsen_trend_per_user",
-    "psi_value_drift",
-    "gini_source_concentration",
-    "holt_linear_forecast",
-    "t_closeness_audit",
-    "copurchase_link_prediction",
-    # --- round-4 new: text / tokenizer / sketch
-    "nb_lang_confusion",
-    "chi2_token_lang",
-    "shingle_containment_pairs",
-    "cms_token_counts",
-    "bpe_merge_learn",
-    # --- first-timers: embeddings / ANN / curation
-    "semdedup_prune",
-    "embedding_pq_codes",
-    "rrf_hybrid_retrieval",
-    "lof_knn_outliers",
-    # minhash_lsh_dedup re-enters the window now that it carries the
-    # exact-pairs oracle (precision 1.0 by construction + recall 1.0 on
-    # this corpus): its prior driver rows were rows-only; this converts
-    # the flagship near-dedup to a cell-exact driver check.
-    # (blocklist_term_filter -> round-5; curation keeps other slots.)
-    "minhash_lsh_dedup",
-    "entity_clusters",
-    "curation_pipeline_v2",
-    # --- first-timers: multimodal (dq_orders_report -> round-5; its
-    # slot funds the quarantine op so the decode-validate path gets a
-    # driver row; fk_integrity_audit keeps the audit family in-window)
-    "multimodal_image_ahash",
-    "multimodal_corrupt_quarantine",
-    # --- round-4 NEW operators: newest work accumulates driver rows
-    # immediately (displacing map_props_stats / array_ops_tokens to the
-    # round-5 rotation)
-    "dup_span_fraction",
-    "kmeans_topic_terms",
-    # --- first-timers: training-data prep / sampling
-    "length_bucket_batches",
-    "source_mix_drift",
-    "span_corruption_plan",
-    # (weighted_sample_docs -> round-5 rotation; its slot funds the new
-    # schema-wide FK integrity audit)
-    "fk_integrity_audit",
-    # --- first-timers: streaming + data quality
-    "stream_windowed_topk",
+    # --- first-timers: relational / audit analytics
+    "nation_revenue_share",
+    "customer_revenue_pareto",
+    "join_fanout_audit",
+    "zscore_outlier_orders",
+    "equidepth_histogram",
+    "key_skew_profile",
+    "salted_agg_flag_stats",
+    "map_props_stats",
+    "array_ops_tokens",
+    # --- first-timers: experimentation / causal stats
+    "srm_chi2_check",
+    "did_purchase_lift",
+    "delta_method_ratio_ci",
+    "ab_power_mde",
+    # --- first-timers: graph ops over the trade graph
+    "bfs_trade_hops",
+    "sssp_trade_cost",
+    "closeness_trade_centrality",
+    "pagerank_nation_trade",
+    "kcore_trade_graph",
+    "lpa_trade_communities",
+    # --- first-timers: sampling / warehouse
+    "stratified_sample_docs",
+    "weighted_sample_docs",
+    "scd2_asof_snapshot",
+    "partition_backfill_plan",
+    "dq_orders_report",
+    "hll_distinct_users",
+    # --- first-timers: sessionization / batch windows / streaming
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_windows",
+    "session_concurrency_peak",
+    "stream_session_dynamic_gap",
+    "max_drawdown_per_user",
+    # --- first-timers: text / embeddings (zipf + ppjoin re-prove this
+    # round's fixes at the driver)
+    "lang_stats",
+    "zipf_fit_report",
+    "jaccard_prefix_filter_pairs",
+    "embedding_norm_stats",
+    # --- first-timers: data-quality / drift statistics
+    "table_profile_summary",
+    "spearman_rank_corr",
+    "measure_corr_matrix",
+    "benford_deviation_audit",
+    "mad_robust_outliers",
+    "ks_drift_stat",
+    "mannwhitney_shift_test",
 )
 
 

@@ -1006,9 +1006,33 @@ FROM ranked
 
 def _prefix_candidates(sh: DataFrame, sizes: DataFrame, t: float) -> DataFrame:
     """Candidate (doc_id1, doc_id2) pairs whose frequency-ordered
-    prefixes (length |d| - ceil(t*|d|) + 1) share a shingle. Complete
-    for Jaccard >= t; exposed separately so tests can count candidates
-    against the naive join's meet cardinality."""
+    prefixes (length |d| - ceil(t*|d|) + 1) share a shingle, pruned by
+    ppjoin's size and positional filters (Xiao et al. 2008 §4.2).
+    Complete for Jaccard >= t; exposed separately so tests can count
+    candidates against the naive join's meet cardinality.
+
+    Size filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|); with
+    t = 1/2 that is integer-exact as 2*min >= max.
+
+    Positional filter: a meeting on shingle w at frequency-order
+    positions i (in x) and j (in y) bounds the overlap by
+    1 + min(|x|-i, |y|-j) PROVIDED no shared shingle precedes w. The
+    bound is therefore applied per meeting and a pair survives if ANY
+    of its meetings passes — complete because the pair's FIRST shared
+    shingle (minimal in the shared (gf, shingle) order, hence minimal
+    i AND minimal j) sees every other common shingle after both its
+    positions, so its meeting passes whenever overlap >= alpha, where
+    alpha = ceil(t/(1+t) * (|x|+|y|)) is the Jaccard overlap bound —
+    computed integer-exactly for t = 1/2 as floor((|x|+|y|+2)/3).
+    Later meetings may under-prune (common shingles can precede them)
+    but never over-prune completeness: the verify stage recounts the
+    exact intersection anyway.
+    """
+    if abs(t - 0.5) > 1e-12:
+        raise ValueError(
+            "integer-exact alpha/size bounds below assume t = 1/2; "
+            "re-derive the rationals before changing the threshold"
+        )
     gfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
     w = Window.partitionBy("doc_id").orderBy("gf", "shingle")
     ranked = (
@@ -1020,13 +1044,22 @@ def _prefix_candidates(sh: DataFrame, sizes: DataFrame, t: float) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "rn", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
+    n1, n2 = F.col("a.n"), F.col("b.n")
+    alpha = F.floor((n1 + n2 + 2) / F.lit(3)).cast("long")
+    pos_bound = 1 + F.least(n1 - F.col("a.rn"), n2 - F.col("b.rn"))
     return (
         a.join(
             b.hint("shuffle_hash"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter (t = 1/2): join-side, kills length-mismatched
+            # meetings before they reach the distinct
+            & (2 * F.least(n1, n2) >= F.greatest(n1, n2))
+            # positional filter: suffix room after this meeting must
+            # still be able to reach the overlap bound
+            & (pos_bound >= alpha),
         )
         .select(
             F.col("a.doc_id").alias("doc_id1"),

@@ -392,6 +392,65 @@ def test_prefix_filter_join_no_cartesian_shuffle_hash(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
 
 
+def test_ppjoin_positional_size_filters_prune_candidates(spark, sf_dir):
+    """ppjoin §4.2 filters (size + positional) must prune the prefix
+    meet hard — the round-4 sf1 superlinearity was the verify join over
+    an unpruned candidate set — while staying COMPLETE: every true
+    Jaccard >= t pair remains a candidate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.functions.text import exploded_shingles
+    from big_data_pipeline_spark.io import read_table
+    from big_data_pipeline_spark.workloads import text as text_wl
+
+    t = text_wl._JACCARD_THRESHOLD
+    docs = read_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", 3).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = {
+        (r.doc_id1, r.doc_id2)
+        for r in text_wl._prefix_candidates(sh, sizes, t).collect()
+    }
+    # the bare prefix meet (no size/positional filter) — what candidate
+    # generation looked like before the filters landed
+    gfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gf"))
+    w = Window.partitionBy("doc_id").orderBy("gf", "shingle")
+    ranked = (
+        sh.join(gfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
+    ).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    bare = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    true_pairs = {
+        (r.doc_id1, r.doc_id2)
+        for r in text_wl.jaccard_prefix_filter_pairs(
+            spark, sf_dir
+        ).collect()
+    }
+    # completeness: no true pair was pruned
+    assert true_pairs <= cand
+    # effectiveness: the filters must collapse the candidate set to
+    # near the true pair count (measured: 1126 -> 32 with 28 true
+    # pairs at sf0.001; 4x true pairs leaves generous slack)
+    assert len(cand) <= max(4 * len(true_pairs), 50) < bare
+
+
 def test_bigram_lm_counts_join_not_broadcast(spark, sf_dir):
     """Bigram/context count joins are corpus-sized x corpus-derived:
     pinned shuffle-hash; only the 1-row vocab scalar broadcasts."""
