@@ -129,7 +129,8 @@ _MODULES = (
 # fd_violation_audit, table_checksum_audit, poisson_bootstrap_means,
 # preference_pair_assembly, sgns_training_pairs, epoch_shuffle_shards,
 # source_quota_sample, lineitem_regression_stats,
-# dsir_importance_score, ldiversity_audit, split_leakage_audit.
+# dsir_importance_score, ldiversity_audit, split_leakage_audit,
+# mannwhitney_shift_test (displaced by multimodal_png_pixel_stats).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r04)
@@ -190,7 +191,10 @@ _PRIORITY = (
     "benford_deviation_audit",
     "mad_robust_outliers",
     "ks_drift_stat",
-    "mannwhitney_shift_test",
+    # --- round-5 NEW operators: newest work accumulates driver rows
+    # immediately (mannwhitney_shift_test displaced to the round-6
+    # rotation)
+    "multimodal_png_pixel_stats",
 )
 
 

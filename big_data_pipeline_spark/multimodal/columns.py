@@ -13,13 +13,18 @@ dependency-free pure-Python parsers — netpbm images (PGM ``P5`` / PPM
 ``P6``: header tokenizer with ``#`` comments, dimension/maxval parse,
 raster → numpy array, ``decode_netpbm``) and RIFF/WAVE PCM audio
 (chunk walk, ``fmt ``/``data`` parse, 8/16-bit samples, ``decode_wav``).
-Compressed codecs (JPEG/PNG/MP3/video) still need external libraries
-that are NOT in this environment, so ``decode_image`` falls back to a
-gated PIL import for those formats only. ``attach_ppm_media`` /
-``attach_wav_media`` build real payloads JVM-side, so both decode paths
-run end-to-end on actual container bytes and are oracle-checked
-(workloads/multimodal.py). ``resize_image`` is a real nearest-neighbor
-resample over the decoded netpbm raster.
+One COMPRESSED codec also decodes for real: PNG (``decode_png`` —
+signature, chunk CRCs, stdlib ``zlib`` inflate, per-scanline unfilter
+of all five spec filters; 8-bit gray/RGB/RGBA, with ``encode_png`` as
+its fixture-building inverse). Remaining compressed codecs
+(JPEG/MP3/video) still need external libraries that are NOT in this
+environment, so ``decode_image`` falls back to a gated PIL import for
+those formats only. ``attach_ppm_media`` / ``attach_wav_media`` build
+real payloads JVM-side and ``attach_png_media`` builds real PNGs in an
+Arrow pass, so every decode path runs end-to-end on actual container
+bytes and is oracle-checked (workloads/multimodal.py).
+``resize_image`` is a real nearest-neighbor resample over the decoded
+netpbm raster.
 
 Scale notes:
 - ``mapInPandas`` preserves partitioning — no shuffle for per-row media
@@ -266,9 +271,10 @@ def decoded_audio_features(df: DataFrame, payload_col: str = "media") -> DataFra
 
 def _no_decoder() -> None:
     raise NotImplementedError(
-        "decoding compressed codecs (JPEG/PNG/audio/video) requires a "
+        "decoding this compressed codec (JPEG/MP3/video) requires a "
         "codec library (e.g. PIL/ffmpeg) that is not available in this "
-        "environment; netpbm (P5/P6) decodes natively via decode_netpbm"
+        "environment; netpbm (P5/P6) decodes natively via decode_netpbm "
+        "and PNG (8-bit gray/RGB/RGBA) via decode_png"
     )
 
 
@@ -307,12 +313,297 @@ def decode_netpbm(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
     return magic.decode(), width, height, maxval, raster.reshape(shape)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a, b, c):
+    """PNG Paeth predictor, vectorized over int32 arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filters=None) -> bytes:
+    """Stdlib-only PNG encoder (``zlib`` + chunk CRCs): 8-bit grayscale
+    (H, W), RGB (H, W, 3) or RGBA (H, W, 4), non-interlaced. ``filters``
+    picks the per-scanline filter type; the default ``row % 5`` cycles
+    through all five spec filters (None/Sub/Up/Average/Paeth) so a
+    decoder consuming these payloads must implement real unfiltering,
+    not just a zlib pass."""
+    import struct
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, ch = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, ch = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported pixel array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    zeros = np.zeros(ch, dtype=np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        ft = (r % 5) if filters is None else int(filters[r])
+        row = flat[r]
+        left = np.concatenate([zeros, row[:-ch]]) if w * ch > ch else (
+            np.zeros_like(row)
+        )
+        upleft = np.concatenate([zeros, prev[:-ch]]) if w * ch > ch else (
+            np.zeros_like(prev)
+        )
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = (row - left) % 256
+        elif ft == 2:
+            out = (row - prev) % 256
+        elif ft == 3:
+            out = (row - (left + prev) // 2) % 256
+        elif ft == 4:
+            out = (row - _paeth_vec(left, prev, upleft)) % 256
+        else:
+            raise ValueError(f"filter type {ft} out of range 0-4")
+        raw.append(ft)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray, list]:
+    """Stdlib-only PNG decoder: signature + chunk walk with CRC
+    verification, IHDR validation (8-bit depth, grayscale/RGB/RGBA,
+    non-interlaced), IDAT concat → ``zlib`` inflate → per-scanline
+    UNFILTER of all five spec filter types (the left/up/avg/Paeth
+    reconstruction is the part a fake decoder would skip). Returns
+    ``(width, height, channels, pixels, filters_seen)`` with pixels
+    (H, W) uint8 for grayscale, (H, W, C) otherwise, and filters_seen
+    the sorted list of scanline filter types encountered — closes the
+    compressed-codec gate (_no_decoder) for one real format."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG payload: head={payload[:8]!r}")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        ln, tag = struct.unpack(">I4s", payload[pos : pos + 8])
+        pos += 8
+        body = payload[pos : pos + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk body")
+        pos += ln
+        if pos + 4 > len(payload):
+            raise ValueError("truncated PNG chunk CRC")
+        (crc,) = struct.unpack(">I", payload[pos : pos + 4])
+        pos += 4
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} comp={comp} "
+            f"filter_method={filt} interlace={interlace}"
+        )
+    try:
+        ch = {0: 1, 2: 3, 6: 4}[color]
+    except KeyError:
+        raise ValueError(f"unsupported PNG color type {color}") from None
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} != {h * (1 + stride)}"
+        )
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    filters_seen: set[int] = set()
+    for r in range(h):
+        off = r * (1 + stride)
+        ft = raw[off]
+        filters_seen.add(ft)
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            # left-dependent filters reconstruct sequentially
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ft == 1:
+                    v = row[i] + a
+                elif ft == 3:
+                    v = row[i] + (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    v = row[i] + pred
+                rec[i] = v & 0xFF
+        else:
+            raise ValueError(f"PNG scanline filter {ft} out of range 0-4")
+        out[r] = rec
+        prev = rec
+    pixels = out.astype(np.uint8)
+    pixels = pixels.reshape((h, w) if ch == 1 else (h, w, ch))
+    return w, h, ch, pixels, sorted(filters_seen)
+
+
+_PNG_WIDTH = 16  # attach_png_media: 16 grayscale pixels per scanline
+
+
+def attach_png_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real PNG payloads: grayscale 8-bit, width 16, raster = the UTF-8
+    bytes of ``text_col`` zero-padded to h scanlines (h = ceil(n/16),
+    min 1), scanline filter = row % 5 — every payload exercises all
+    five PNG filters through zlib-compressed IDAT. Because the DECODED
+    raster is exactly the text bytes + zero padding, an independent
+    engine can recompute any pixel statistic from the text alone —
+    the same oracle contract as attach_ppm_media, but through a real
+    compressed codec."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def _enc(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = ("" if t is None else t).encode("utf-8")
+            hgt = max(1, -(-len(b) // _PNG_WIDTH))
+            raster = np.frombuffer(
+                b + bytes(hgt * _PNG_WIDTH - len(b)), dtype=np.uint8
+            ).reshape(hgt, _PNG_WIDTH)
+            out.append(encode_png(raster))
+        return pd.Series(out)
+
+    payload = _enc(F.col(text_col))
+    raw_len = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    hgt = F.greatest(
+        F.lit(1), F.ceil(raw_len / F.lit(_PNG_WIDTH))
+    ).cast("int")
+    return df.withColumns(
+        {
+            "media": payload,
+            "media_meta": F.struct(
+                F.lit("image").alias("media_type"),
+                F.lit("png").alias("format"),
+                F.lit(_PNG_WIDTH).alias("width"),
+                hgt.alias("height"),
+                F.octet_length(payload).cast("long").alias("n_bytes"),
+            ),
+        }
+    )
+
+
+def decoded_png_stats(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """REAL compressed decode path: run ``decode_png`` (chunk walk, CRC
+    checks, inflate, unfilter) on each payload inside one Arrow-batched
+    mapInPandas pass and emit integer-exact pixel statistics plus the
+    set of scanline filters the decoder had to undo. Pass-through
+    columns are preserved; the payload column is pruned from the
+    output."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [
+            *keep,
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_filters", T.IntegerType()),
+            T.StructField("sum_pixels", T.LongType()),
+            T.StructField("n_zero", T.LongType()),
+            T.StructField("px_min", T.IntegerType()),
+            T.StructField("px_max", T.IntegerType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                w, h, ch, px, fts = decode_png(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        w,
+                        h,
+                        ch,
+                        len(fts),
+                        int(flat.sum()),
+                        int((flat == 0).sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        float(flat.sum()) / len(flat),
+                    )
+                )
+            stats = pd.DataFrame(
+                rows,
+                columns=[
+                    "width",
+                    "height",
+                    "channels",
+                    "n_filters",
+                    "sum_pixels",
+                    "n_zero",
+                    "px_min",
+                    "px_max",
+                    "mean_pixel",
+                ],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf[keep_names], stats], axis=1)
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
 def decode_image(payload: bytes):
-    """Decode an image payload to a numpy array. Netpbm (P5/P6) decodes
-    natively with no dependencies; other formats fall back to a gated
-    PIL import (not present in this environment)."""
+    """Decode an image payload to a numpy array. Netpbm (P5/P6) and PNG
+    (8-bit gray/RGB/RGBA) decode natively with no dependencies; other
+    formats fall back to a gated PIL import (not present in this
+    environment)."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)[4]
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)[3]
     try:
         import io
 

@@ -460,7 +460,69 @@ FROM documents
 """
 
 
+# --- REAL compressed-codec decode: PNG chunk walk + inflate + unfilter ------
+# attach_png_media builds genuine zlib-compressed PNGs (grayscale,
+# width 16, scanline filter = row % 5 so all five spec filters appear
+# in every payload taller than 4 rows); decode_png walks chunks with
+# CRC verification, inflates the IDAT stream, and UNDOES the filters —
+# the statistics below come from the reconstructed raster, so a wrong
+# Paeth/average/sub reconstruction breaks the hash match. The DuckDB
+# twin recomputes every value from the text bytes in hex space (the
+# decoded raster is exactly text bytes + zero padding) and the filter
+# count from the deterministic row % 5 schedule. This is the round-5
+# closure of the codec gate: one real compressed format end-to-end.
+#
+# Scale shape: one narrow Arrow pass, no shuffle; payloads never land
+# on the driver. Decode cost is linear in raster bytes; the Python
+# unfilter loop runs only on the left-dependent filter rows (3 of 5).
+
+
+def multimodal_png_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_pipeline_spark.multimodal import (
+        attach_png_media,
+        decoded_png_stats,
+    )
+
+    docs = attach_png_media(read_table(spark, sf_dir, "documents"))
+    return decoded_png_stats(docs.select("doc_id", "media"))
+
+
+_PNG_STATS_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+), d AS (
+  SELECT doc_id, nb,
+         GREATEST(1, CAST(CEIL(nb / 16.0) AS BIGINT)) AS hgt,
+         list_transform(range(0, nb), i ->
+           (strpos('0123456789ABCDEF', substring(hx, CAST(i*2+1 AS INT), 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substring(hx, CAST(i*2+2 AS INT), 1)) - 1
+         ) AS vals
+  FROM h
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(hgt AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(LEAST(hgt, 5) AS INT) AS n_filters,
+       CAST(COALESCE(list_sum(vals), 0) AS BIGINT) AS sum_pixels,
+       CAST(COALESCE(len(list_filter(vals, v -> v = 0)), 0)
+            + (hgt * 16 - nb) AS BIGINT) AS n_zero,
+       CAST(CASE WHEN hgt * 16 > nb THEN 0
+                 ELSE list_aggregate(vals, 'min') END AS INT) AS px_min,
+       CAST(CASE WHEN nb = 0 THEN 0
+                 ELSE GREATEST(list_aggregate(vals, 'max'), 0) END AS INT)
+         AS px_max,
+       CAST(COALESCE(list_sum(vals), 0) AS DOUBLE) / (hgt * 16) AS mean_pixel
+FROM d
+"""
+
+
 QUERIES = {
+    "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
     "multimodal_corrupt_quarantine": multimodal_corrupt_quarantine,
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_feature_extract": multimodal_feature_extract,
@@ -472,6 +534,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "multimodal_png_pixel_stats": _PNG_STATS_SQL,
     "multimodal_corrupt_quarantine": _QUARANTINE_SQL,
     "multimodal_binary_meta": _BINARY_META_SQL,
     "multimodal_feature_extract": _FEATURE_SQL,

@@ -55,8 +55,94 @@ def test_frame_sample_shapes(docs):
 
 
 def test_decoder_gates_compressed_codecs_only(docs):
+    # JPEG still gates (PNG decodes natively since round 5)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    """encode_png -> decode_png is the identity for every spec filter
+    type and gray/RGB/RGBA shapes; filters_seen reports what the
+    decoder had to undo."""
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 16), (7, 9, 3), (4, 4, 4), (1, 1), (11, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for filters in (None, *([ft] * shape[0] for ft in range(5))):
+            w, h, ch, out, fts = decode_png(encode_png(px, filters))
+            assert (out == px).all()
+            assert (h, w) == shape[:2]
+            assert ch == (shape[2] if len(shape) == 3 else 1)
+            if filters is not None:
+                assert fts == [filters[0]]
+    # the default schedule cycles all five filters
+    px = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    assert decode_png(encode_png(px))[4] == [0, 1, 2, 3, 4]
+
+
+def test_png_sub_filter_bytes_hand_checked():
+    """The Sub-filtered scanline stores left-deltas: raster
+    [10, 20, 40] -> filter byte 1 then [10, 10, 20]."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal import encode_png
+
+    payload = encode_png(np.array([[10, 20, 40]], dtype=np.uint8), [1])
+    idat = payload[8 + 25:]  # signature + 25-byte IHDR chunk
+    (ln,) = struct.unpack(">I", idat[:4])
+    assert zlib.decompress(idat[8 : 8 + ln]) == bytes([1, 10, 10, 20])
+
+
+def test_png_decoder_rejects_corruption():
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 8), dtype=np.uint8))
+    flipped = bytearray(good)
+    flipped[30] ^= 0xFF  # inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(flipped))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6\n1 1\n255\nxyz")
+    with pytest.raises(ValueError, match="truncated|missing IHDR"):
+        decode_png(good[: len(good) - 16])
+
+
+def test_attach_png_media_roundtrips_through_decoder(spark):
+    """The attached payloads are genuine PNGs whose decoded raster is
+    exactly the text bytes zero-padded to 16-wide scanlines."""
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal import (
+        attach_png_media,
+        decode_png,
+    )
+
+    rows = [(1, "hello png world"), (2, "x" * 40), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in attach_png_media(df).select(
+            "doc_id", "text", "media", "media_meta"
+        ).collect()
+    }
+    for doc_id, r in out.items():
+        w, h, ch, px, fts = decode_png(bytes(r.media))
+        b = r.text.encode("utf-8")
+        hgt = max(1, -(-len(b) // 16))
+        assert (w, h, ch) == (16, hgt, 1)
+        assert r.media_meta.height == hgt
+        assert r.media_meta.format == "png"
+        flat = px.reshape(-1).tobytes()
+        assert flat == b + bytes(hgt * 16 - len(b))
+        assert fts == sorted({r % 5 for r in range(hgt)})
 
 
 def test_decode_netpbm_p6_with_comments():
