@@ -31,18 +31,33 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     collapses unigram-SimHash distances to noise (measured: hundreds of
     random pairs at Hamming 0). Shingles are effectively doc-unique
     except for true near-duplicates, restoring the separation SimHash
-    assumes. Per bit b: sum over features of +1/-1 as bit b of
-    xxhash64(feature) is set/clear; fingerprint bit b = (sum >= 0).
+    assumes. Per bit b: sum over features of +1/-1 as bit b of the
+    md5-prefix feature hash is set/clear; fingerprint bit b =
+    (sum >= 0).
     One explode + one groupBy; the 64 conditional sums are a single
     wide aggregate (map-side combinable).
     """
-    toks = exploded_shingles(docs, id_col, text_col, 3).withColumn(
-        "h", F.xxhash64("shingle")
+    # Feature hash = the first 64 bits of md5(shingle), carried as two
+    # unsigned 32-bit halves (F.conv parses 8 hex chars exactly into a
+    # long). md5 — not xxhash64 — so an independent engine can REPLAY
+    # the fingerprints bit-for-bit (DuckDB has md5() but not xxhash64;
+    # this is what upgrades simhash_near_dups from a rows-only driver
+    # check to a cell-exact one). Distribution quality is equivalent:
+    # both are uniform 64-bit mixes of the shingle bytes.
+    hx = F.md5("shingle")
+    toks = exploded_shingles(docs, id_col, text_col, 3).withColumns(
+        {
+            "h_hi": F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+            "h_lo": F.conv(F.substring(hx, 9, 8), 16, 10).cast("long"),
+        }
     )
+
+    def _bit(b: int):
+        col, shift = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        return F.shiftright(col, shift).bitwiseAND(F.lit(1))
+
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
+        F.sum(F.when(_bit(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
         for b in range(BITS)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)

@@ -33,6 +33,63 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3, chunks=4)
 
 
+def _simhash_sql() -> str:
+    """DuckDB twin of simhash_near_dups, cell-exact by construction:
+    the fingerprint is fully deterministic (md5-prefix feature hash,
+    64 sign-of-bit-sum bits), so DuckDB REPLAYS it — same shingles,
+    same hash halves parsed from the md5 hex, same 64 aggregate signs,
+    same signed-BIGINT assembly — then recomputes the Hamming <= 3
+    pair set by brute force (fine at oracle scale; the Spark side's
+    pigeonhole chunk join is LOSSLESS for chunks=4 > d=3, so the two
+    formulations must agree exactly — the driver hash-checks the
+    pigeonhole trick's completeness, not just the plumbing)."""
+    hexd = "0123456789abcdef"
+
+    def half(off: int) -> str:
+        # parse 8 lowercase hex chars starting at 1-based offset `off`
+        # into a BIGINT, nibble by nibble
+        return " + ".join(
+            f"(strpos('{hexd}', substring(hx, {off + k}, 1)) - 1) "
+            f"* {16 ** (7 - k)}"
+            for k in range(8)
+        )
+
+    def bit(b: int) -> str:
+        src, shift = ("lo", b) if b < 32 else ("hi", b - 32)
+        return f"(({src} >> {shift}) & 1)"
+
+    fp_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN {bit(b)} = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN CAST({(1 << b) if b < 63 else -(1 << 63)} AS BIGINT) "
+        f"ELSE 0 END)"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)
+),
+feat AS (
+  SELECT doc_id, md5(shingle) AS hx FROM sh
+),
+halves AS (
+  SELECT doc_id, {half(1)} AS hi, {half(9)} AS lo FROM feat
+),
+fp AS (
+  SELECT doc_id, {fp_terms} AS simhash FROM halves GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       a.simhash AS simhash1, b.simhash AS simhash2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # --- entity_blocking_pairs: deletion-neighborhood blocking + verify ---------
 # Entity-resolution at scale: finding "names within edit distance 1"
 # with a cross join is O(n^2) — 10^16 comparisons at 100 TB. The
@@ -549,14 +606,18 @@ QUERIES = {
 # and the driver can hash-check the whole approximate pipeline
 # cell-exact. On a corpus where banding missed a pair this would fail
 # loudly — that's the point: it upgrades the recall assertion from
-# "builder's pytest" to driver-grade evidence. simhash_near_dups stays
-# rows-only: its signature hash is Spark's xxhash64, which DuckDB
-# cannot replay.
+# "builder's pytest" to driver-grade evidence. simhash_near_dups is
+# cell-exact since round 5: the feature hash moved from xxhash64 to an
+# md5-prefix DuckDB can replay, so the twin recomputes the FULL
+# fingerprints and the Hamming <= 3 pair set by brute force — the
+# pigeonhole chunk join is lossless (chunks > d), so agreement is
+# exact (see _simhash_sql).
 ORACLE: dict[str, str] = {
     "entity_blocking_pairs": _ENTITY_SQL,
     "entity_clusters": _ENTITY_CLUSTERS_SQL,
     "golden_record_merge": _GOLDEN_SQL,
     "minhash_lsh_dedup": _EXACT_PAIRS_SQL,
     "record_linkage_score": _LINKAGE_SQL,
+    "simhash_near_dups": _simhash_sql(),
     "sorted_neighborhood_neardup": _SNM_SQL,
 }
