@@ -130,7 +130,8 @@ _MODULES = (
 # preference_pair_assembly, sgns_training_pairs, epoch_shuffle_shards,
 # source_quota_sample, lineitem_regression_stats,
 # dsir_importance_score, ldiversity_audit, split_leakage_audit,
-# mannwhitney_shift_test (displaced by multimodal_png_pixel_stats).
+# mannwhitney_shift_test and ks_drift_stat (displaced by the round-5
+# newcomers multimodal_png_pixel_stats and simhash_near_dups).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r04)
@@ -190,11 +191,15 @@ _PRIORITY = (
     "measure_corr_matrix",
     "benford_deviation_audit",
     "mad_robust_outliers",
-    "ks_drift_stat",
-    # --- round-5 NEW operators: newest work accumulates driver rows
-    # immediately (mannwhitney_shift_test displaced to the round-6
-    # rotation)
+    # --- round-5 NEW/CONVERTED operators: newest work accumulates
+    # driver rows immediately (mannwhitney_shift_test and
+    # ks_drift_stat displaced to the round-6 rotation).
+    # simhash_near_dups re-enters now that it carries the full
+    # fingerprint-replay oracle (md5-prefix feature hash both engines
+    # compute): its prior driver rows were rows-only; this converts
+    # the last near-dedup family member to a cell-exact driver check.
     "multimodal_png_pixel_stats",
+    "simhash_near_dups",
 )
 
 

@@ -867,3 +867,137 @@ def test_quarantine_single_arrow_pass_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_corrupt_quarantine")
     assert "ArrowEvalPython" in plan
     assert "Exchange" not in plan  # scan -> build -> validate, no shuffle
+
+
+# --- registry-wide plan audit: intentionality of known warning shapes -------
+# The local sweep logs two familiar warnings: "WindowExec: No Partition
+# Defined" (global windows) and Python-UDF/broadcast-NLJ notes. Both are
+# INTENTIONAL in a bounded set of plans — global windows only ever run
+# over model-sized frames (aggregated vocab/rank/quantile tables, never
+# the raw corpus), and BroadcastNestedLoopJoin only appears as the house
+# crossJoin(broadcast(<1-row-or-model-sized frame>)) scalar attach. Pin
+# the sets so a NEW accidental global window or nested-loop join fails
+# this test loudly instead of hiding among familiar warnings
+# (VERDICT r4 item 7).
+
+_GLOBAL_WINDOW_OK = {
+    # window input is an aggregated, model-sized frame (vocab ranks,
+    # quantile grids, skyline/pareto frontiers, per-key model tables)
+    "customer_revenue_pareto",
+    "equidepth_histogram",
+    "weighted_sample_docs",
+    "partition_backfill_plan",
+    "session_concurrency_peak",
+    "zipf_fit_report",
+    "skyline_price_size",
+    "surrogate_global_seq",
+    "conversion_hazard_table",
+    "token_rarity_score",
+    "rrf_hybrid_retrieval",
+    "sorted_neighborhood_neardup",
+    "lof_knn_outliers",
+    "conformal_interval_report",
+    "ks_drift_stat",
+    "mannwhitney_shift_test",
+    "sgns_training_pairs",
+    "t_closeness_audit",
+}
+
+_BNLJ_OK = {
+    # crossJoin(broadcast(model-sized)) scalar/model attaches
+    "nation_revenue_share",
+    "customer_revenue_pareto",
+    "equidepth_histogram",
+    "key_skew_profile",
+    "part_affinity_lift",
+    "part_triple_support",
+    "q22_idle_rich_customers",
+    "q11_important_part_values",
+    "rfm_user_segments",
+    "cuped_adjusted_lift",
+    "gap_fill_forward",
+    "time_decay_customer_value",
+    "boilerplate_span_strip",
+    "tfidf_top_terms",
+    "bigram_lm_quality",
+    "bm25_topk_docs",
+    "rrf_hybrid_retrieval",
+    "knn_cosine_topk",
+    "maxsim_multivector_topk",
+    "semdedup_prune",
+    "knn_matryoshka_rerank",
+    "hard_negative_mining",
+    "contrastive_negative_pairs",
+    "kmeans_assign_embeddings",
+    "kmeans_topic_terms",
+    "ann_recall_report",
+    "knn_label_vote",
+    "nb_lang_confusion",
+    "chi2_token_lang",
+    "lof_knn_outliers",
+    "conformal_interval_report",
+    "embedding_near_dups",
+    "curation_pipeline_v2",
+    "source_mix_drift",
+    "approx_theta_overlap",
+    "psi_value_drift",
+    "ks_drift_stat",
+    "t_closeness_audit",
+    "rr_dp_status_counts",
+    "mixture_temperature_resample",
+    "dsir_importance_score",
+    # the one non-trivial BNLJ: the split-leakage audit's bounded
+    # eval-benchmark x train scoring join (eval side is a fixed-size
+    # deterministic sample, broadcast; train side streams once)
+    "split_leakage_audit",
+}
+
+
+def test_registry_plan_audit_no_new_cartesians_bnlj_or_global_windows(
+    spark, sf_dir
+):
+    """Walk EVERY registered query's plan: no CartesianProduct anywhere,
+    BroadcastNestedLoopJoin and unpartitioned Window only where pinned
+    intentional. ~2-3 min: builds 270+ plans (analysis only, nothing
+    executes)."""
+    qs = entrymod.queries()
+    bad_cart, new_bnlj, new_gwin, errs = [], [], [], []
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, sf_dir)
+            stack = [df._jdf.queryExecution().optimizedPlan()]
+            has_gw = False
+            while stack:
+                n = stack.pop()
+                if (
+                    n.getClass().getSimpleName() == "Window"
+                    and n.partitionSpec().size() == 0
+                ):
+                    has_gw = True
+                ch = n.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+            buf = _io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain()
+            p = buf.getvalue()
+        except Exception as ex:  # noqa: BLE001
+            errs.append((name, str(ex)[:120]))
+            continue
+        if "CartesianProduct" in p:
+            bad_cart.append(name)
+        if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_OK:
+            new_bnlj.append(name)
+        if has_gw and name not in _GLOBAL_WINDOW_OK:
+            new_gwin.append(name)
+    assert not errs, errs
+    assert not bad_cart, f"cartesian products: {bad_cart}"
+    assert not new_bnlj, (
+        f"new nested-loop joins (add to _BNLJ_OK only if the broadcast "
+        f"side is provably model-sized): {new_bnlj}"
+    )
+    assert not new_gwin, (
+        f"new UNPARTITIONED windows (single-task at scale; add to "
+        f"_GLOBAL_WINDOW_OK only if the window input is model-sized): "
+        f"{new_gwin}"
+    )
