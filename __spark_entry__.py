@@ -130,8 +130,12 @@ _MODULES = (
 # preference_pair_assembly, sgns_training_pairs, epoch_shuffle_shards,
 # source_quota_sample, lineitem_regression_stats,
 # dsir_importance_score, ldiversity_audit, split_leakage_audit,
-# mannwhitney_shift_test and ks_drift_stat (displaced by the round-5
-# newcomers multimodal_png_pixel_stats and simhash_near_dups).
+# mannwhitney_shift_test, ks_drift_stat, session_concurrency_peak,
+# salted_agg_flag_stats, array_ops_tokens, benford_deviation_audit,
+# max_drawdown_per_user (timeseries keeps mann_kendall_trend in-window)
+# (displaced by the round-5 newcomers multimodal_png_pixel_stats,
+# simhash_near_dups, span_first_occurrence_dedup, mann_kendall_trend,
+# reciprocal_best_match, top_p_nucleus_filter, woe_risk_encoding).
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r04)
@@ -150,9 +154,7 @@ _PRIORITY = (
     "zscore_outlier_orders",
     "equidepth_histogram",
     "key_skew_profile",
-    "salted_agg_flag_stats",
     "map_props_stats",
-    "array_ops_tokens",
     # --- first-timers: experimentation / causal stats
     "srm_chi2_check",
     "did_purchase_lift",
@@ -176,9 +178,7 @@ _PRIORITY = (
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_windows",
-    "session_concurrency_peak",
     "stream_session_dynamic_gap",
-    "max_drawdown_per_user",
     # --- first-timers: text / embeddings (zipf + ppjoin re-prove this
     # round's fixes at the driver)
     "lang_stats",
@@ -189,7 +189,6 @@ _PRIORITY = (
     "table_profile_summary",
     "spearman_rank_corr",
     "measure_corr_matrix",
-    "benford_deviation_audit",
     "mad_robust_outliers",
     # --- round-5 NEW/CONVERTED operators: newest work accumulates
     # driver rows immediately (mannwhitney_shift_test and
@@ -200,6 +199,16 @@ _PRIORITY = (
     # the last near-dedup family member to a cell-exact driver check.
     "multimodal_png_pixel_stats",
     "simhash_near_dups",
+    # round-5 session-2 batch: the five operators built this session
+    # (all hash-green locally at sf0.001+sf0.01; displacing
+    # session_concurrency_peak, salted_agg_flag_stats, array_ops_tokens,
+    # benford_deviation_audit — each family keeps other in-window
+    # representation — to the round-6 rotation)
+    "span_first_occurrence_dedup",
+    "mann_kendall_trend",
+    "reciprocal_best_match",
+    "top_p_nucleus_filter",
+    "woe_risk_encoding",
 )
 
 

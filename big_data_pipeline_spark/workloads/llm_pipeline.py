@@ -1367,7 +1367,97 @@ LEFT JOIN covered c USING (doc_id)
 """
 
 
+# --- top_p_nucleus_filter: nucleus (top-p) vocabulary truncation ------------
+# The decoding-side data op (Holtzman et al. 2020) applied to the
+# corpus bigram model: for each context token w1, keep the SMALLEST
+# prefix of next-tokens (ordered by count desc, token asc) whose
+# cumulative count reaches p% of the context total — the per-context
+# nucleus a sampler would draw from, and the truncation statistic
+# pipelines report when pruning long-tail continuation tables. The
+# keep rule is INTEGER-exact: keep while 100*(cum - cnt) < p * total
+# (strict prefix mass below the threshold), so no float probability
+# ever enters the cut decision and both engines agree cell-exact.
+#
+# Scale: bigram counting is one map-side-combinable groupBy; ranking
+# and running sums are windows PARTITIONED BY the context token
+# (vocab-bounded groups, never the corpus); contexts below _NUC_MIN
+# total are dropped (their nuclei are noise).
+
+_NUC_P_PCT = 90  # nucleus mass threshold, percent
+_NUC_MIN = 40  # minimum context total count
+
+
+def top_p_nucleus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
+        ).alias("i"),
+        F.col("t"),
+    ).select(
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    wtot = Window.partitionBy("w1")
+    wrank = Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
+    ranked = cnt.select(
+        "w1",
+        "w2",
+        "cnt",
+        F.sum("cnt").over(wtot).alias("total"),
+        F.row_number().over(wrank).alias("rnk"),
+        F.sum("cnt").over(
+            Window.partitionBy("w1")
+            .orderBy(F.desc("cnt"), F.asc("w2"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    return ranked.filter(
+        (F.col("total") >= _NUC_MIN)
+        & (100 * (F.col("cum") - F.col("cnt")) < _NUC_P_PCT * F.col("total"))
+    ).select(
+        "w1",
+        "w2",
+        "rnk",
+        "cnt",
+        "cum",
+        "total",
+        (F.col("cnt").cast("double") / F.col("total")).alias("p_next"),
+    )
+
+
+_NUCLEUS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(range(1, GREATEST(len(t), 1))) AS u(i)
+),
+cnt AS (SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2),
+ranked AS (
+  SELECT w1, w2, cnt,
+         SUM(cnt) OVER (PARTITION BY w1) AS total,
+         ROW_NUMBER() OVER (PARTITION BY w1
+                            ORDER BY cnt DESC, w2 ASC) AS rnk,
+         SUM(cnt) OVER (PARTITION BY w1 ORDER BY cnt DESC, w2 ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cnt
+)
+SELECT w1, w2, rnk, cnt, CAST(cum AS BIGINT) AS cum,
+       CAST(total AS BIGINT) AS total,
+       CAST(cnt AS DOUBLE) / total AS p_next
+FROM ranked
+WHERE total >= {_NUC_MIN}
+  AND 100 * (cum - cnt) < {_NUC_P_PCT} * total
+"""
+
+
 QUERIES = {
+    "top_p_nucleus_filter": top_p_nucleus_filter,
     "span_corruption_plan": span_corruption_plan,
     "gini_source_concentration": gini_source_concentration,
     "hll_distinct_users": hll_distinct_users,
@@ -1389,6 +1479,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "top_p_nucleus_filter": _NUCLEUS_SQL,
     "span_corruption_plan": _SPAN_SQL,
     "gini_source_concentration": _GINI_SQL,
     "hll_distinct_users": _hll_sql(),

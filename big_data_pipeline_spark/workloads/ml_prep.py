@@ -635,7 +635,89 @@ GROUP BY q.n_cal
 """
 
 
+# --- woe_risk_encoding: weight-of-evidence category encoding ----------------
+# The credit-scoring-era categorical encoder (Siddiqi 2006), still the
+# standard monotone-risk encoding for GBM/scorecard features: per
+# category i, WoE_i = ln( P(cat=i | bad) / P(cat=i | good) ), with
+# +0.5 count smoothing so empty cells stay finite, plus each
+# category's Information Value term IV_i = (P_bad_i - P_good_i)*WoE_i
+# (sum = the feature's IV, the classic selection statistic). Label:
+# order fell through (o_orderstatus = 'F'); category: o_orderpriority.
+#
+# Exactness: counts are exact integers; the smoothed ratios and the
+# shared ln(...) expression are evaluated identically on both engines,
+# and the log lands in the house micro-log grid (round(ln*1e6) BIGINT,
+# the NB-classifier discipline) so the encoded column is an exact
+# integer; IV terms multiply the micro-log back by exact-ratio
+# differences — same doubles both sides.
+#
+# Scale: ONE map-side-combinable groupBy over the category (model-
+# sized output); totals attach as a broadcast 1-row frame. Nothing
+# else.
+
+
+def woe_risk_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_bad"),
+    )
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_bad").alias("n_bad"),
+        F.sum(1 - F.col("is_bad")).alias("n_good"),
+    )
+    tot = orders.agg(
+        F.sum("is_bad").alias("bad_tot"),
+        F.sum(1 - F.col("is_bad")).alias("good_tot"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    p_bad = (F.col("n_bad") + 0.5) / (F.col("bad_tot") + 1.0)
+    p_good = (F.col("n_good") + 0.5) / (F.col("good_tot") + 1.0)
+    woe_micro = F.round(F.log(p_bad / p_good) * 1_000_000).cast("bigint")
+    return j.select(
+        "o_orderpriority",
+        "n",
+        "n_bad",
+        "n_good",
+        woe_micro.alias("woe_micro"),
+        ((p_bad - p_good) * (woe_micro / F.lit(1_000_000.0))).alias(
+            "iv_term"
+        ),
+    )
+
+
+_WOE_SQL = """
+WITH lab AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_bad
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(is_bad) AS n_bad, SUM(1 - is_bad) AS n_good
+  FROM lab GROUP BY o_orderpriority
+),
+tot AS (
+  SELECT SUM(is_bad) AS bad_tot, SUM(1 - is_bad) AS good_tot FROM lab
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       CAST(n_good AS BIGINT) AS n_good,
+       CAST(round(ln( ((n_bad + 0.5) / (bad_tot + 1.0))
+                    / ((n_good + 0.5) / (good_tot + 1.0)) ) * 1000000)
+            AS BIGINT) AS woe_micro,
+       ( (n_bad + 0.5) / (bad_tot + 1.0)
+         - (n_good + 0.5) / (good_tot + 1.0) )
+       * (CAST(round(ln( ((n_bad + 0.5) / (bad_tot + 1.0))
+                       / ((n_good + 0.5) / (good_tot + 1.0)) ) * 1000000)
+               AS BIGINT) / 1000000.0) AS iv_term
+FROM g, tot
+"""
+
+
 QUERIES = {
+    "woe_risk_encoding": woe_risk_encoding,
     "nb_lang_confusion": nb_lang_confusion,
     "chi2_token_lang": chi2_token_lang,
     "lof_knn_outliers": lof_knn_outliers,
@@ -645,6 +727,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "woe_risk_encoding": _WOE_SQL,
     "nb_lang_confusion": _NB_SQL,
     "chi2_token_lang": _CHI2_SQL,
     "lof_knn_outliers": _lof_sql(),

@@ -1624,7 +1624,98 @@ SELECT vec_id, cluster_id, is_core FROM border
 """
 
 
+# --- reciprocal_best_match: mutual nearest-neighbor alignment ---------------
+# The alignment primitive of bilingual-lexicon induction / cross-
+# catalog entity matching (e.g. MUSE, Conneau et al. 2018): vector i
+# matches vector j only when each is the other's TOP-1 cosine
+# neighbor — mutual-NN filtering kills the hub-vector false matches
+# plain top-1 retrieval produces. Runs over a bounded alignment slice
+# (the entity sets being matched are model-sized: two catalogs, two
+# vocabularies); at corpus scale the directed top-1s come from the
+# IVF/LSH retrieval ops and this operator is just the mutual join on
+# their outputs.
+#
+# Plan: slice broadcasts (bounded), directed best is one windowed
+# top-1 per source, mutuality is a self-equi-join on the reversed
+# pair, emitted once with vec_a < vec_b.
+
+_RBM_N = 150  # alignment slice: vectors being matched
+
+
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _RBM_N
+    ).withColumn(
+        "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("a_vec"),
+        F.col("sqn").alias("a_sqn"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_vec"),
+        F.col("sqn").alias("b_sqn"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    scored = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "cos_sim",
+            seq_cosine(
+                F.col("a_vec"), F.col("b_vec"), F.col("a_sqn"), F.col("b_sqn")
+            ),
+        )
+        .select("src", "dst", "cos_sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).select("src", "dst", "cos_sim")
+    fwd, rev = best.alias("fwd"), best.alias("rev")
+    return (
+        fwd.join(
+            rev,
+            (F.col("fwd.src") == F.col("rev.dst"))
+            & (F.col("fwd.dst") == F.col("rev.src")),
+        )
+        .filter(F.col("fwd.src") < F.col("fwd.dst"))
+        .select(
+            F.col("fwd.src").alias("vec_a"),
+            F.col("fwd.dst").alias("vec_b"),
+            F.col("fwd.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+_RBM_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=1)} AS sqn
+  FROM embeddings WHERE vec_id < {_RBM_N}
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ({dot_sql("a.embedding", "b.embedding", EMB_DIMS_DEFAULT, offset=1)})
+           / (sqrt(a.sqn) * sqrt(b.sqn)) AS cos_sim
+  FROM e a, e b WHERE a.vec_id <> b.vec_id
+),
+best AS (
+  SELECT src, dst, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                 ORDER BY cos_sim DESC, dst ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT f.src AS vec_a, f.dst AS vec_b, f.cos_sim
+FROM best f JOIN best r ON f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst
+"""
+
+
 QUERIES = {
+    "reciprocal_best_match": reciprocal_best_match,
     "grid_density_clusters": grid_density_clusters,
     "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
     "knn_cosine_topk": knn_cosine_topk,
@@ -1646,6 +1737,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "reciprocal_best_match": _RBM_SQL,
     "grid_density_clusters": _dbscan_sql(),
     "rrf_hybrid_retrieval": _rrf_sql(),
     "knn_cosine_topk": _KNN_SQL,

@@ -1832,7 +1832,115 @@ GROUP BY q.query_id
 """
 
 
+# --- span_first_occurrence_dedup: keep-first exact span dedup ---------------
+# The ExactSubstr REMOVAL semantics (Lee et al. 2022; C4's repeated-
+# span strip): every occurrence of a repeated span is removed EXCEPT
+# the globally first one (smallest (doc_id, span_id)). This differs
+# from both dup_span_fraction (scores only, no removal) and
+# boilerplate_span_strip (frequency-threshold gate that removes ALL
+# occurrences including the first): here the corpus keeps exactly one
+# copy of every span, the property token-budget accounting wants.
+# Documents are cut into NON-overlapping _FO_W-token spans; the kept
+# spans reassemble per doc in span order.
+#
+# Scale (100 TB): occurrence order is packed into one BIGINT key
+# (doc_id * 2^20 + span_id — span_id is bounded by tokens/doc, far
+# below 2^20, and the pack is range-asserted), so "first occurrence"
+# is ONE map-side-combinable MIN per span_text, joined back on the
+# span (shuffle-hash: the exploded side's size is misestimated from
+# the compact parquet, the standard broadcast-misfire trap). Hot spans
+# cost one combiner cell each, not a window sort; reassembly is one
+# groupBy(doc_id). Nothing quadratic, nothing driver-side.
+
+_FO_W = 3  # span width in tokens (non-overlapping)
+_FO_PACK = 1 << 20  # span_id slots per doc in the packed order key
+
+
+def span_first_occurrence_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    n_spans = F.ceil(F.size("t") / F.lit(float(_FO_W)))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (n_spans - 1).cast("bigint"))
+        ).alias("span_id"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "span_id",
+        F.concat_ws(
+            " ", F.slice("t", F.col("span_id") * _FO_W + 1, F.lit(_FO_W))
+        ).alias("span_text"),
+    )
+    # packed occurrence key: injective while span_id < 2^20; guard it
+    okey = F.when(
+        F.col("span_id") < _FO_PACK,
+        F.col("doc_id") * _FO_PACK + F.col("span_id"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("span_first_occurrence_dedup: span_id >= 2^20")
+        )
+    )
+    spans = spans.withColumn("okey", okey)
+    firsts = spans.groupBy("span_text").agg(F.min("okey").alias("first_okey"))
+    flagged = spans.join(firsts.hint("shuffle_hash"), "span_text").withColumn(
+        "kept", F.col("okey") == F.col("first_okey")
+    )
+    kept_spans = F.array_sort(
+        F.collect_list(
+            F.when(F.col("kept"), F.struct("span_id", "span_text"))
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~F.col("kept")).cast("int")).cast("bigint").alias(
+            "n_stripped"
+        ),
+        F.concat_ws(
+            " ", F.transform(kept_spans, lambda s: s["span_text"])
+        ).alias("clean_text"),
+    )
+
+
+_FIRST_OCC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, span_id,
+         array_to_string(
+           t[span_id * {_FO_W} + 1 : span_id * {_FO_W} + {_FO_W}], ' ')
+           AS span_text,
+         doc_id * {_FO_PACK} + span_id AS okey
+  FROM (
+    SELECT doc_id, t,
+           UNNEST(range(0, CAST(CEIL(len(t) / {float(_FO_W)}) AS BIGINT)))
+             AS span_id
+    FROM toks
+  )
+),
+firsts AS (
+  SELECT span_text, MIN(okey) AS first_okey FROM spans GROUP BY span_text
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN okey = first_okey THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN okey = first_okey THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_stripped,
+       COALESCE(string_agg(CASE WHEN okey = first_okey THEN span_text END,
+                           ' ' ORDER BY span_id), '') AS clean_text
+FROM spans JOIN firsts USING (span_text)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "span_first_occurrence_dedup": span_first_occurrence_dedup,
     "percolator_match_counts": percolator_match_counts,
     "zipf_fit_report": zipf_fit_report,
     "doc_chunk_overlap": doc_chunk_overlap,
@@ -1862,6 +1970,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "span_first_occurrence_dedup": _FIRST_OCC_SQL,
     "zipf_fit_report": _ZIPF_SQL,
     "percolator_match_counts": _percolator_sql(),
     "doc_chunk_overlap": _CHUNK_SQL,

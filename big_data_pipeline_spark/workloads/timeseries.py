@@ -887,7 +887,124 @@ JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
 """
 
 
+# --- mann_kendall_trend: nonparametric monotonic-trend test -----------------
+# The significance companion to theilsen_trend_per_user (that one
+# estimates the slope; this one tests whether a monotonic trend exists
+# at all): per user, S = sum over ordered pairs of sign(v_j - v_i),
+# tie-corrected variance Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]
+# / 18 (Kendall 1975), continuity-corrected Z = (S -/+ 1)/sqrt(Var),
+# and tau-a = S / (n(n-1)/2). S and both variance terms are exact
+# integers (sign comparisons on stored doubles are exact); the only
+# IEEE ops are two divisions and one sqrt — all correctly rounded, so
+# both engines agree bit-for-bit.
+#
+# Scale: the pair join is per-user and bounded by series length
+# squared, same budget as the Theil-Sen estimator above (at 100 TB a
+# per-user length cap or the O(n log n) inversion-count formulation
+# replaces it; the tie term stays a groupBy either way).
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", F.row_number().over(w).alias("rn"), "value"
+    )
+    a = seq.select(
+        "user_id", F.col("rn").alias("i"), F.col("value").alias("vi")
+    )
+    b = seq.select(
+        "user_id", F.col("rn").alias("j"), F.col("value").alias("vj")
+    )
+    s_tbl = (
+        a.join(b, "user_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.signum(F.col("vj") - F.col("vi")).cast("long")
+            ).alias("s")
+        )
+    )
+    n_tbl = seq.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        seq.groupBy("user_id", "value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = (
+        n_tbl.join(s_tbl, "user_id")
+        .join(ties, "user_id", "left")
+        .withColumn("tie_term", F.coalesce("tie_term", F.lit(0)))
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("double") / 18.0
+    z = F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s)).when(
+        F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "user_id",
+        "n",
+        "s",
+        var_s.alias("var_s"),
+        z.alias("z_stat"),
+        (
+            F.col("s").cast("double")
+            / (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+        ).alias("tau_a"),
+    )
+
+
+_MANN_KENDALL_SQL = """
+WITH seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s_tbl AS (
+  SELECT a.user_id,
+         CAST(SUM(CASE WHEN b.value > a.value THEN 1
+                       WHEN b.value < a.value THEN -1 ELSE 0 END) AS BIGINT)
+           AS s
+  FROM seq a JOIN seq b ON a.user_id = b.user_id AND a.rn < b.rn
+  GROUP BY a.user_id
+),
+n_tbl AS (SELECT user_id, COUNT(*) AS n FROM seq GROUP BY user_id),
+ties AS (
+  SELECT user_id, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT user_id, value, COUNT(*) AS t
+        FROM seq GROUP BY user_id, value)
+  WHERE t > 1
+  GROUP BY user_id
+),
+j AS (
+  SELECT n_tbl.user_id, n, s, COALESCE(tie_term, 0) AS tie_term
+  FROM n_tbl JOIN s_tbl USING (user_id)
+  LEFT JOIN ties ON ties.user_id = n_tbl.user_id
+)
+SELECT user_id, n, s,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0 AS var_s,
+       CASE WHEN s > 0 THEN (s - 1) / sqrt(
+              CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+            WHEN s < 0 THEN (s + 1) / sqrt(
+              CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_stat,
+       CAST(s AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE) AS tau_a
+FROM j
+"""
+
+
 QUERIES = {
+    "mann_kendall_trend": mann_kendall_trend,
     "yoy_revenue_growth": yoy_revenue_growth,
     "ohlc_daily_resample": ohlc_daily_resample,
     "promo_interval_overlap": promo_interval_overlap,
@@ -903,6 +1020,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "mann_kendall_trend": _MANN_KENDALL_SQL,
     "yoy_revenue_growth": _YOY_SQL,
     "ohlc_daily_resample": _OHLC_SQL,
     "promo_interval_overlap": _promo_sql(),

@@ -905,6 +905,8 @@ _GLOBAL_WINDOW_OK = {
 
 _BNLJ_OK = {
     # crossJoin(broadcast(model-sized)) scalar/model attaches
+    "woe_risk_encoding",
+    "reciprocal_best_match",
     "nation_revenue_share",
     "customer_revenue_pareto",
     "equidepth_histogram",
