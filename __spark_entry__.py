@@ -132,7 +132,11 @@ _MODULES = (
 # dsir_importance_score, ldiversity_audit, split_leakage_audit,
 # mannwhitney_shift_test, ks_drift_stat, session_concurrency_peak,
 # salted_agg_flag_stats, array_ops_tokens, benford_deviation_audit,
-# max_drawdown_per_user (timeseries keeps mann_kendall_trend in-window)
+# max_drawdown_per_user (timeseries keeps mann_kendall_trend in-window),
+# weighted_sample_docs, scd2_asof_snapshot, kcore_trade_graph,
+# lpa_trade_communities (displaced by the batch-2 newcomers
+# ngram_coverage_curve, bigram_pmi_collocations,
+# source_token_kl_divergence, hill_tail_index)
 # (displaced by the round-5 newcomers multimodal_png_pixel_stats,
 # simhash_near_dups, span_first_occurrence_dedup, mann_kendall_trend,
 # reciprocal_best_match, top_p_nucleus_filter, woe_risk_encoding).
@@ -165,12 +169,8 @@ _PRIORITY = (
     "sssp_trade_cost",
     "closeness_trade_centrality",
     "pagerank_nation_trade",
-    "kcore_trade_graph",
-    "lpa_trade_communities",
     # --- first-timers: sampling / warehouse
     "stratified_sample_docs",
-    "weighted_sample_docs",
-    "scd2_asof_snapshot",
     "partition_backfill_plan",
     "dq_orders_report",
     "hll_distinct_users",
@@ -209,6 +209,13 @@ _PRIORITY = (
     "reciprocal_best_match",
     "top_p_nucleus_filter",
     "woe_risk_encoding",
+    # round-5 session-2 batch 2 (displacing weighted_sample_docs,
+    # scd2_asof_snapshot, kcore_trade_graph, lpa_trade_communities —
+    # sampling/warehouse/graph families keep other in-window slots)
+    "ngram_coverage_curve",
+    "bigram_pmi_collocations",
+    "source_token_kl_divergence",
+    "hill_tail_index",
 )
 
 

@@ -1533,7 +1533,84 @@ FROM grouped GROUP BY grp
 """
 
 
+# --- hill_tail_index: heavy-tail exponent of the order-value distribution ---
+# Distribution profiling for capacity planning and outlier policy: the
+# Hill (1975) estimator over the top-k order statistics of
+# o_totalprice, 1/alpha = (1/(k-1)) * sum_{i<k} ln(x_(i) / x_(k)).
+# alpha ~ 1-2 means infinite-variance revenue concentration (budget by
+# quantiles, not means); alpha > 3 means means are safe. Each log
+# ratio lands on the micro-log grid and the sum is an exact integer
+# (the zipf/KL discipline), so both engines agree cell-exact.
+#
+# Scale: ONE TakeOrdered top-k (k = 100, a model-sized frame) — the
+# corpus is never sorted globally; x_(k) attaches as a broadcast
+# 1-row scalar.
+
+_HILL_K = 100
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    top = (
+        orders.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(_HILL_K)
+    )
+    xk = top.agg(F.min("o_totalprice").alias("x_k"))
+    lr_micro = F.round(
+        F.log(
+            F.col("o_totalprice").cast("double")
+            / F.col("x_k").cast("double")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    agg = (
+        top.crossJoin(F.broadcast(xk))
+        .select("x_k", lr_micro.alias("lr"))
+        .groupBy("x_k")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("lr").alias("sum_lr_micro"),
+        )
+    )
+    inv_alpha = F.col("sum_lr_micro").cast("double") / (
+        (F.col("k") - 1).cast("double") * 1_000_000.0
+    )
+    return agg.select(
+        "k",
+        F.col("x_k").cast("double").alias("x_k"),
+        inv_alpha.alias("inv_alpha"),
+        (F.lit(1.0) / inv_alpha).alias("alpha"),
+    )
+
+
+_HILL_SQL = f"""
+WITH top AS (
+  SELECT o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {_HILL_K}
+),
+xk AS (SELECT MIN(o_totalprice) AS x_k FROM top),
+agg AS (
+  SELECT x_k, COUNT(*) AS k,
+         CAST(SUM(CAST(round(ln(CAST(o_totalprice AS DOUBLE)
+                                / CAST(x_k AS DOUBLE)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS sum_lr_micro
+  FROM top, xk GROUP BY x_k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(x_k AS DOUBLE) AS x_k,
+       CAST(sum_lr_micro AS DOUBLE) / (CAST(k - 1 AS DOUBLE) * 1000000.0)
+         AS inv_alpha,
+       1.0 / (CAST(sum_lr_micro AS DOUBLE)
+              / (CAST(k - 1 AS DOUBLE) * 1000000.0)) AS alpha
+FROM agg
+"""
+
+
 QUERIES = {
+    "hill_tail_index": hill_tail_index,
     "psi_value_drift": psi_value_drift,
     "partition_backfill_plan": partition_backfill_plan,
     "dq_orders_report": dq_orders_report,
@@ -1553,6 +1630,7 @@ QUERIES = {
     "equidepth_histogram": equidepth_histogram,
 }
 ORACLE = {
+    "hill_tail_index": _HILL_SQL,
     "psi_value_drift": _PSI_SQL,
     "partition_backfill_plan": _BACKFILL_SQL,
     "dq_orders_report": _DQ_SQL,

@@ -1939,7 +1939,242 @@ GROUP BY doc_id
 """
 
 
+# --- ngram_coverage_curve: vocabulary-size planning ------------------------
+# Tokenizer design input: the smallest vocabulary (by corpus frequency
+# rank) whose cumulative token mass reaches 50% / 90% / 99% of the
+# corpus — the coverage curve that decides vocab_size before training
+# a tokenizer. The cut rule is INTEGER-exact (100*cum >= p*total), so
+# no float mass enters the decision. The rank/cumsum window is GLOBAL
+# but runs over the aggregated vocabulary — a model-sized frame, the
+# documented exception in tests/test_plans.py's window audit.
+
+_COVERAGE_PCTS = (50, 90, 99)
+
+
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = freq.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n").over(
+            Window.partitionBy()
+        ).alias("total"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in _COVERAGE_PCTS])
+    ).alias("threshold_pct")
+    hit = ranked.select("rank", "cum", "total", pcts).filter(
+        100 * F.col("cum") >= F.col("threshold_pct") * F.col("total")
+    )
+    return hit.groupBy("threshold_pct").agg(
+        F.min("rank").alias("vocab_size"),
+        F.min_by("cum", "rank").alias("covered_tokens"),
+        F.max("total").alias("total_tokens"),
+    )
+
+
+_COVERAGE_SQL = f"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT {_TOKS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS "rank",
+         SUM(n) OVER (ORDER BY n DESC, tok ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER () AS total
+  FROM freq
+),
+hit AS (
+  SELECT threshold_pct, "rank", cum, total
+  FROM ranked, UNNEST([{", ".join(str(p) for p in _COVERAGE_PCTS)}])
+       AS p(threshold_pct)
+  WHERE 100 * cum >= threshold_pct * total
+)
+SELECT threshold_pct,
+       CAST(MIN("rank") AS BIGINT) AS vocab_size,
+       CAST(arg_min(cum, "rank") AS BIGINT) AS covered_tokens,
+       CAST(MAX(total) AS BIGINT) AS total_tokens
+FROM hit GROUP BY threshold_pct
+"""
+
+
+# --- bigram_pmi_collocations: phrase mining via pointwise MI ----------------
+# The word2vec-phrases / collocation-extraction primitive (Church &
+# Hanks 1990): PMI(w1,w2) = ln( c(w1,w2)·N / (c(w1,·)·c(·,w2)) ) over
+# the corpus bigram table, all four counts integers from ONE bigram
+# aggregation (N = total bigrams, marginals by position). Low-count
+# pairs are gated (PMI explodes on rare pairs), and the top
+# collocations are ranked by the micro-log PMI (house grid: exact
+# BIGINT, cross-engine order identical).
+#
+# Scale: one bigram count (map-side combine), two marginal rollups of
+# the COUNT table (vocab-sized), a 1-row total broadcast, TakeOrdered
+# top-k. No corpus-sized window, no Python.
+
+_PMI_MIN_COUNT = 25
+_PMI_TOP = 50
+
+
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
+        ).alias("i"),
+        F.col("t"),
+    ).select(
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n_bigrams"))
+    pmi_micro = F.round(
+        F.log(
+            F.col("c12").cast("double")
+            * F.col("n_bigrams").cast("double")
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        c12.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c12", "c1", "c2", pmi_micro.alias("pmi_micro")
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOP)
+    )
+
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(range(1, GREATEST(len(t), 1))) AS u(i)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM c12)
+SELECT w1, w2, c12, c1, c2,
+       CAST(round(ln(CAST(c12 AS DOUBLE) * CAST(n_bigrams AS DOUBLE)
+                     / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS pmi_micro
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+WHERE c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+LIMIT {_PMI_TOP}
+"""
+
+
+# --- source_token_kl_divergence: data-mixture distribution shift ------------
+# Mixture diagnostics: how far each source's token distribution sits
+# from the corpus distribution, KL(p_source || p_corpus) =
+# (1/N_s) * sum_i cnt_si * ln(p_si / q_i). The per-type log lands on
+# the micro-log grid and is ACCUMULATED AS INTEGERS (cnt * micro-log,
+# summed through DECIMAL(38,0)) — the KL total is one exact integer
+# divided once at the end, so partial-agg order can never show (the
+# same moment-sum discipline as CUPED/delta-method). q_i > 0 always
+# (the corpus includes every source), so no smoothing is needed.
+#
+# Scale: two map-side-combinable counts (source x token, token), one
+# vocab-sized join, one groupBy(source). The corpus-total frame is a
+# broadcast scalar.
+
+
+def source_token_kl_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    corpus = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n_s = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n_tot = corpus.agg(F.sum("c_t").alias("n_tot"))
+    j = (
+        st.join(corpus.hint("shuffle_hash"), "tok")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    # ln(p_si / q_i) = ln( (c_st * n_tot) / (n_s * c_t) ): one double
+    # ratio of exact integer products, micro-log grid
+    lr_micro = F.round(
+        F.log(
+            (F.col("c_st").cast("double") * F.col("n_tot").cast("double"))
+            / (F.col("n_s").cast("double") * F.col("c_t").cast("double"))
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        j.select(
+            "source",
+            "n_s",
+            (F.col("c_st") * lr_micro).cast("decimal(38,0)").alias("term"),
+        )
+        .groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("term").alias("kl_micro_sum"),
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_types",
+            (
+                F.col("kl_micro_sum").cast("double")
+                / (F.col("n_s").cast("double") * 1_000_000.0)
+            ).alias("kl_nats"),
+        )
+    )
+
+
+_KL_SQL = f"""
+WITH st AS (
+  SELECT source, tok, COUNT(*) AS c_st
+  FROM (SELECT source, {_TOKS_SQL} AS t FROM documents), UNNEST(t) AS u(tok)
+  GROUP BY source, tok
+),
+corpus AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
+n_s AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+n_tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM corpus)
+SELECT source,
+       n_s AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(c_st * CAST(round(
+              ln((CAST(c_st AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                 / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))) * 1000000)
+              AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+         / (CAST(n_s AS DOUBLE) * 1000000.0) AS kl_nats
+FROM st JOIN corpus USING (tok) JOIN n_s USING (source), n_tot
+GROUP BY source, n_s
+"""
+
+
 QUERIES = {
+    "ngram_coverage_curve": ngram_coverage_curve,
+    "bigram_pmi_collocations": bigram_pmi_collocations,
+    "source_token_kl_divergence": source_token_kl_divergence,
     "span_first_occurrence_dedup": span_first_occurrence_dedup,
     "percolator_match_counts": percolator_match_counts,
     "zipf_fit_report": zipf_fit_report,
@@ -1970,6 +2205,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ngram_coverage_curve": _COVERAGE_SQL,
+    "bigram_pmi_collocations": _PMI_SQL,
+    "source_token_kl_divergence": _KL_SQL,
     "span_first_occurrence_dedup": _FIRST_OCC_SQL,
     "zipf_fit_report": _ZIPF_SQL,
     "percolator_match_counts": _percolator_sql(),

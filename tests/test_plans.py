@@ -881,6 +881,7 @@ def test_quarantine_single_arrow_pass_no_shuffle(spark, sf_dir):
 # (VERDICT r4 item 7).
 
 _GLOBAL_WINDOW_OK = {
+    "ngram_coverage_curve",  # rank/cumsum over the aggregated vocab
     # window input is an aggregated, model-sized frame (vocab ranks,
     # quantile grids, skyline/pareto frontiers, per-key model tables)
     "customer_revenue_pareto",
@@ -907,6 +908,10 @@ _BNLJ_OK = {
     # crossJoin(broadcast(model-sized)) scalar/model attaches
     "woe_risk_encoding",
     "reciprocal_best_match",
+    "bigram_pmi_collocations",
+    "source_token_kl_divergence",
+    "hill_tail_index",
+    "ngram_coverage_curve",
     "nation_revenue_share",
     "customer_revenue_pareto",
     "equidepth_histogram",
