@@ -136,10 +136,14 @@ _MODULES = (
 # weighted_sample_docs, scd2_asof_snapshot, kcore_trade_graph,
 # lpa_trade_communities (displaced by the batch-2 newcomers
 # ngram_coverage_curve, bigram_pmi_collocations,
-# source_token_kl_divergence, hill_tail_index)
-# (displaced by the round-5 newcomers multimodal_png_pixel_stats,
-# simhash_near_dups, span_first_occurrence_dedup, mann_kendall_trend,
-# reciprocal_best_match, top_p_nucleus_filter, woe_risk_encoding).
+# source_token_kl_divergence, hill_tail_index), and
+# sliding_window_counts, zscore_outlier_orders, stratified_sample_docs
+# (displaced by the batch-3 newcomers ndcg_matryoshka_prefix,
+# embedding_topm_sparsify, delta_encode_events). The earlier round-5
+# newcomers multimodal_png_pixel_stats, simhash_near_dups,
+# span_first_occurrence_dedup, mann_kendall_trend,
+# reciprocal_best_match, top_p_nucleus_filter, woe_risk_encoding also
+# hold window slots.
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
     # text + streaming (hash-green r01..r04)
@@ -155,7 +159,6 @@ _PRIORITY = (
     "nation_revenue_share",
     "customer_revenue_pareto",
     "join_fanout_audit",
-    "zscore_outlier_orders",
     "equidepth_histogram",
     "key_skew_profile",
     "map_props_stats",
@@ -170,13 +173,11 @@ _PRIORITY = (
     "closeness_trade_centrality",
     "pagerank_nation_trade",
     # --- first-timers: sampling / warehouse
-    "stratified_sample_docs",
     "partition_backfill_plan",
     "dq_orders_report",
     "hll_distinct_users",
     # --- first-timers: sessionization / batch windows / streaming
     "tumbling_window_counts",
-    "sliding_window_counts",
     "session_windows",
     "stream_session_dynamic_gap",
     # --- first-timers: text / embeddings (zipf + ppjoin re-prove this
@@ -216,6 +217,12 @@ _PRIORITY = (
     "bigram_pmi_collocations",
     "source_token_kl_divergence",
     "hill_tail_index",
+    # round-5 session-2 batch 3 (displacing sliding_window_counts,
+    # zscore_outlier_orders, stratified_sample_docs — window/audit/
+    # sampling families keep other in-window slots)
+    "ndcg_matryoshka_prefix",
+    "embedding_topm_sparsify",
+    "delta_encode_events",
 )
 
 

@@ -569,7 +569,79 @@ FROM s
 """
 
 
+# --- delta_encode_events: storage planning for timestamp columns ------------
+# The Gorilla/parquet-DELTA_BINARY_PACKED sizing question answered
+# with exact arithmetic: per user, encode the event-time column as
+# first-value + zigzag-varint deltas and report the byte budget vs the
+# raw int64 encoding. Everything is integer: deltas of epoch-micros,
+# zigzag zz = 2|d| - [d<0], and varint width as a CASE ladder over
+# 7-bit thresholds — no floats anywhere except the final ratio, so the
+# cross-engine hash is exact. The diagnostic a 100 TB lake uses to
+# pick encodings before a backfill rewrite.
+#
+# Scale: one keyed window (lag) + one groupBy(user) — the sizing pass
+# costs one shuffle of (user, ts) pairs.
+
+
+def delta_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = F.col("ts_us") - F.lag("ts_us").over(w)
+    zz = 2 * F.abs(d) - F.when(d < 0, 1).otherwise(0)
+    # ladder stops at 8 x 7 = 56 bits: a BIGINT zigzag is < 2^63, so
+    # anything past the 56-bit threshold needs exactly 9 varint bytes
+    # (1 << 63 would overflow the long literal)
+    varint = F.when(zz < F.lit(1 << 7), 1)
+    for b in range(2, 9):
+        varint = varint.when(zz < F.lit(1 << (7 * b)), b)
+    varint = varint.otherwise(9)
+    enc = events.select(
+        "user_id",
+        F.when(d.isNull(), 8).otherwise(varint).alias("enc_bytes"),
+    )
+    return enc.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) * 8).alias("raw_bytes"),
+        F.sum("enc_bytes").alias("delta_bytes"),
+        (
+            F.sum("enc_bytes").cast("double")
+            / (F.count(F.lit(1)) * 8).cast("double")
+        ).alias("compression_ratio"),
+    )
+
+
+_DELTA_ENC_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS d
+  FROM events
+),
+enc AS (
+  SELECT user_id,
+         CASE WHEN d IS NULL THEN 8
+              {" ".join(
+                  f"WHEN 2 * ABS(d) - (CASE WHEN d < 0 THEN 1 ELSE 0 END)"
+                  f" < {1 << (7 * b)} THEN {b}"
+                  for b in range(1, 9)
+              )}
+              ELSE 9 END AS enc_bytes
+  FROM seq
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST(SUM(enc_bytes) AS BIGINT) AS delta_bytes,
+       CAST(SUM(enc_bytes) AS DOUBLE) / CAST(COUNT(*) * 8 AS DOUBLE)
+         AS compression_ratio
+FROM enc GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "delta_encode_events": delta_encode_events,
     "interarrival_rate_mle": interarrival_rate_mle,
     "window_lead_next_value": window_lead_next_value,
     "latest_event_per_user": latest_event_per_user,
@@ -586,6 +658,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "delta_encode_events": _DELTA_ENC_SQL,
     "interarrival_rate_mle": _INTERARRIVAL_SQL,
     "window_lead_next_value": _LEAD_SQL,
     "latest_event_per_user": _LATEST_PER_USER_SQL,

@@ -17,6 +17,8 @@ against the exact baseline is asserted in tests.
 
 from __future__ import annotations
 
+import math as _math
+
 import numpy as np
 import pandas as pd
 
@@ -1714,7 +1716,205 @@ WHERE f.src < f.dst
 """
 
 
+# --- ndcg_matryoshka_prefix: ranking-quality eval of truncated embeddings ---
+# The MRL evaluation metric (Kusupati et al. 2022): how much ranking
+# quality survives truncating embeddings to a prefix? For each query,
+# rank the corpus by PREFIX-dim cosine and score that ranking with
+# nDCG@K against graded relevance from the FULL-dim ranking
+# (rel = K+1-exact_rank for the true top-K, 0 otherwise). Both
+# rankings are deterministic cosine orderings, so unlike the
+# IVF/LSH recall reports this retrieval-quality metric is fully
+# oracle-checkable. Discount factors 1/log2(pos+1) are shared literal
+# constants (computed once host-side), and the DCG sum accumulates
+# through DECIMAL(38,6) with the VARCHAR-routed decimal->double cast
+# (oracle.py discipline) so partial-agg order cannot show.
+#
+# Scale: two broadcast-query scorings over one corpus pass each,
+# WindowGroupLimit top-K, a K x K-bounded join per query. IDCG is a
+# compile-time constant.
+
+_NDCG_K = 10
+_NDCG_DIMS = 16
+_NDCG_DISC = tuple(1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1))
+_NDCG_IDCG = sum(
+    (_NDCG_K + 1 - i) * _NDCG_DISC[i - 1] for i in range(1, _NDCG_K + 1)
+)
+
+
+def ndcg_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, _NDCG_DIMS).alias("prefix"),
+        F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0)).alias(
+            "sqn"
+        ),
+        F.expr(sq_norm_sql("embedding", _NDCG_DIMS, offset=0)).alias(
+            "p_sqn"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("prefix").alias("q_pre"),
+        F.col("sqn").alias("q_sqn"),
+        F.col("p_sqn").alias("q_psqn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("prefix").alias("c_pre"),
+        F.col("sqn").alias("c_sqn"),
+        F.col("p_sqn").alias("c_psqn"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("full_cos"), F.asc("neighbor_id")
+    )
+    exact = (
+        pairs.withColumn(
+            "full_cos",
+            seq_cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_sqn"), F.col("c_sqn")
+            ),
+        )
+        .withColumn("exact_rank", F.row_number().over(w_full))
+        .filter(F.col("exact_rank") <= _NDCG_K)
+        .select("query_id", "neighbor_id", "exact_rank")
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.desc("pre_cos"), F.asc("neighbor_id")
+    )
+    pre = (
+        pairs.withColumn(
+            "pre_cos",
+            seq_cosine(
+                F.col("q_pre"), F.col("c_pre"), F.col("q_psqn"), F.col("c_psqn")
+            ),
+        )
+        .withColumn("pos", F.row_number().over(w_pre))
+        .filter(F.col("pos") <= _NDCG_K)
+        .select("query_id", "neighbor_id", "pos")
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("pos")
+    )
+    rel = F.coalesce(
+        (_NDCG_K + 1 - F.col("exact_rank")).cast("double"), F.lit(0.0)
+    )
+    scored = pre.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        (rel * disc).cast("decimal(38,6)").alias("gain"),
+        F.when(F.col("exact_rank").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return scored.groupBy("query_id").agg(
+        F.sum("gain").cast("double").alias("dcg"),
+        (F.sum("gain").cast("double") / F.lit(_NDCG_IDCG)).alias("ndcg"),
+        F.sum("hit").cast("bigint").alias("n_overlap"),
+    )
+
+
+def _ndcg_sql() -> str:
+    disc_list = ", ".join(repr(d) for d in _NDCG_DISC)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=1)} AS sqn,
+         {sq_norm_sql("embedding", _NDCG_DIMS, offset=1)} AS p_sqn
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, sqn AS q_sqn,
+             p_sqn AS q_psqn
+      FROM e WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, sqn AS c_sqn,
+             p_sqn AS c_psqn FROM e),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         ({dot_sql("q_vec", "c_vec", EMB_DIMS_DEFAULT, offset=1)})
+           / (sqrt(q_sqn) * sqrt(c_sqn)) AS full_cos,
+         ({dot_sql("q_vec", "c_vec", _NDCG_DIMS, offset=1)})
+           / (sqrt(q_psqn) * sqrt(c_psqn)) AS pre_cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+exact AS (
+  SELECT query_id, neighbor_id, exact_rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY full_cos DESC, neighbor_id ASC)
+             AS exact_rank
+    FROM pairs
+  ) WHERE exact_rank <= {_NDCG_K}
+),
+pre AS (
+  SELECT query_id, neighbor_id, pos FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY pre_cos DESC, neighbor_id ASC) AS pos
+    FROM pairs
+  ) WHERE pos <= {_NDCG_K}
+),
+scored AS (
+  SELECT p.query_id,
+         CAST(COALESCE(CAST({_NDCG_K} + 1 - exact_rank AS DOUBLE), 0.0)
+              * ([{disc_list}])[pos] AS DECIMAL(38,6)) AS gain,
+         CASE WHEN exact_rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM pre p LEFT JOIN exact x USING (query_id, neighbor_id)
+)
+SELECT query_id,
+       CAST(CAST(SUM(gain) AS VARCHAR) AS DOUBLE) AS dcg,
+       CAST(CAST(SUM(gain) AS VARCHAR) AS DOUBLE) / {_NDCG_IDCG!r} AS ndcg,
+       CAST(SUM(hit) AS BIGINT) AS n_overlap
+FROM scored GROUP BY query_id
+"""
+
+
+# --- embedding_topm_sparsify: dense -> sparse COO truncation ----------------
+# Retrieval-index prep: keep each vector's m largest-magnitude
+# coordinates (the SPLADE-style sparsification shape) as COO rows
+# (vec_id, dim, val, rank). One posexplode + a per-vector top-m window
+# — WindowGroupLimit keeps the partial top-m before the shuffle, and
+# the output is bounded by n_vectors x m regardless of dimensionality.
+
+_SPARSIFY_M = 8
+
+
+def embedding_topm_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    coo = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.abs("val")), F.asc("dim")
+    )
+    return (
+        coo.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SPARSIFY_M)
+        .select("vec_id", "dim", "val", "rank")
+    )
+
+
+_SPARSIFY_SQL = f"""
+SELECT vec_id, dim, val, "rank" FROM (
+  SELECT vec_id, dim, val,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ABS(val) DESC, dim ASC) AS "rank"
+  FROM (
+    SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+  )
+) WHERE "rank" <= {_SPARSIFY_M}
+"""
+
+
 QUERIES = {
+    "ndcg_matryoshka_prefix": ndcg_matryoshka_prefix,
+    "embedding_topm_sparsify": embedding_topm_sparsify,
     "reciprocal_best_match": reciprocal_best_match,
     "grid_density_clusters": grid_density_clusters,
     "rrf_hybrid_retrieval": rrf_hybrid_retrieval,
@@ -1737,6 +1937,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ndcg_matryoshka_prefix": _ndcg_sql(),
+    "embedding_topm_sparsify": _SPARSIFY_SQL,
     "reciprocal_best_match": _RBM_SQL,
     "grid_density_clusters": _dbscan_sql(),
     "rrf_hybrid_retrieval": _rrf_sql(),

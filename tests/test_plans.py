@@ -912,6 +912,7 @@ _BNLJ_OK = {
     "source_token_kl_divergence",
     "hill_tail_index",
     "ngram_coverage_curve",
+    "ndcg_matryoshka_prefix",
     "nation_revenue_share",
     "customer_revenue_pareto",
     "equidepth_histogram",
