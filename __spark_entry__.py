@@ -137,7 +137,8 @@ _MODULES = (
 # lpa_trade_communities (displaced by the batch-2 newcomers
 # ngram_coverage_curve, bigram_pmi_collocations,
 # source_token_kl_divergence, hill_tail_index), and
-# sliding_window_counts, zscore_outlier_orders, stratified_sample_docs
+# sliding_window_counts, zscore_outlier_orders, stratified_sample_docs,
+# equidepth_histogram (displaced by the batch-4 newcomer dau_mau_stickiness)
 # (displaced by the batch-3 newcomers ndcg_matryoshka_prefix,
 # embedding_topm_sparsify, delta_encode_events). The earlier round-5
 # newcomers multimodal_png_pixel_stats, simhash_near_dups,
@@ -159,7 +160,6 @@ _PRIORITY = (
     "nation_revenue_share",
     "customer_revenue_pareto",
     "join_fanout_audit",
-    "equidepth_histogram",
     "key_skew_profile",
     "map_props_stats",
     # --- first-timers: experimentation / causal stats
@@ -223,6 +223,9 @@ _PRIORITY = (
     "ndcg_matryoshka_prefix",
     "embedding_topm_sparsify",
     "delta_encode_events",
+    # round-5 session-2 batch 4 (displacing equidepth_histogram —
+    # the relational/audit family keeps several in-window slots)
+    "dau_mau_stickiness",
 )
 
 

@@ -886,7 +886,69 @@ GROUP BY event_type
 """
 
 
+# --- dau_mau_stickiness: the engagement-ratio product metric -----------------
+# DAU/MAU per calendar month: average daily distinct actives divided by
+# monthly distinct actives — the classic stickiness score (a user
+# active every day scores 1.0; drive-by users pull it toward 1/days).
+# Everything is exact: two COUNT(DISTINCT) aggregations and one ratio
+# of integer-derived doubles, no windows, no floats in the counting.
+#
+# Scale: daily actives are a (day, user) distinct — map-side
+# combinable two-phase aggregate; monthly actives the same at month
+# grain. Output is calendar-sized (a model), joined by month.
+
+
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = events.groupBy("month", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    dau_m = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("dau_sum"),
+    )
+    mau_m = events.groupBy("month").agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    j = dau_m.join(mau_m, "month")
+    avg_dau = F.col("dau_sum").cast("double") / F.col("n_days")
+    return j.select(
+        "month",
+        "n_days",
+        "mau",
+        avg_dau.alias("avg_dau"),
+        (avg_dau / F.col("mau")).alias("stickiness"),
+    )
+
+
+_DAU_MAU_SQL = """
+WITH e AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+daily AS (
+  SELECT month, day, COUNT(DISTINCT user_id) AS dau
+  FROM e GROUP BY month, day
+),
+dau_m AS (
+  SELECT month, COUNT(*) AS n_days, SUM(dau) AS dau_sum
+  FROM daily GROUP BY month
+),
+mau_m AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM e GROUP BY month)
+SELECT month, n_days, mau,
+       CAST(dau_sum AS DOUBLE) / n_days AS avg_dau,
+       CAST(dau_sum AS DOUBLE) / n_days / mau AS stickiness
+FROM dau_m JOIN mau_m USING (month)
+"""
+
+
 QUERIES = {
+    "dau_mau_stickiness": dau_mau_stickiness,
     "position_attribution_credit": position_attribution_credit,
     "conversion_hazard_table": conversion_hazard_table,
     "attribution_latency_stats": attribution_latency_stats,
@@ -900,6 +962,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dau_mau_stickiness": _DAU_MAU_SQL,
     "conversion_hazard_table": _HAZARD_SQL,
     "position_attribution_credit": _POSITION_ATTR_SQL,
     "attribution_latency_stats": _ATTR_LATENCY_SQL,
