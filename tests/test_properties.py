@@ -205,3 +205,82 @@ def test_spearman_monotone_transform_invariant(spark, tmp_path_factory, qs):
         [r] = spearman_rank_corr(spark, str(d)).collect()
         outs.append(r.spearman_rho)
     assert outs[0] == outs[1]  # bit-identical: ranks are equal integers
+
+
+# --- round-5: PNG codec round-trip under adversarial shapes/filters ----------
+
+_png_case = st.tuples(
+    st.integers(min_value=1, max_value=9),  # height
+    st.integers(min_value=1, max_value=12),  # width
+    st.sampled_from([1, 3, 4]),  # channels (gray/RGB/RGBA)
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.lists(
+        st.integers(min_value=0, max_value=4), min_size=9, max_size=9
+    ),  # per-row filter choices (first h used)
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_png_case)
+def test_png_roundtrip_property(case):
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal import decode_png, encode_png
+
+    h, w, ch, seed, fts = case
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    ww, hh, cc, out, seen = decode_png(encode_png(px, fts[:h]))
+    assert (ww, hh, cc) == (w, h, ch)
+    assert (out == px).all()
+    assert seen == sorted(set(fts[:h]))
+
+
+# --- round-5: ppjoin prefix+positional+size filters lose no pairs ------------
+
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from("abcdefgh"), min_size=3, max_size=12
+    ).map(lambda toks: " ".join(toks)),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_corpus)
+def test_ppjoin_equals_naive_join_property(spark, tmp_path_factory, texts):
+    """Tiny random corpora with heavy shingle collisions (8-token
+    alphabet): the filtered ppjoin output must equal the naive
+    all-shared-shingles join exactly — completeness of the prefix,
+    size, and positional filters under adversarial overlap."""
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.workloads.text import (
+        jaccard_prefix_filter_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    tmp = tmp_path_factory.mktemp("ppjoin_prop")
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+    naive = {
+        (r.doc_id1, r.doc_id2): (r.n_common, r.jaccard)
+        for r in shingle_jaccard_pairs(spark, str(tmp)).collect()
+    }
+    pref = {
+        (r.doc_id1, r.doc_id2): (r.n_common, r.jaccard)
+        for r in jaccard_prefix_filter_pairs(spark, str(tmp)).collect()
+    }
+    assert pref == naive
