@@ -138,7 +138,11 @@ _MODULES = (
 # ngram_coverage_curve, bigram_pmi_collocations,
 # source_token_kl_divergence, hill_tail_index), and
 # sliding_window_counts, zscore_outlier_orders, stratified_sample_docs,
-# equidepth_histogram (displaced by the batch-4 newcomer dau_mau_stickiness)
+# equidepth_histogram (displaced by the batch-4 newcomer
+# dau_mau_stickiness), join_fanout_audit, ab_power_mde,
+# mad_robust_outliers (displaced by the batch-5 newcomers
+# theil_inequality_decomposition, degree_assortativity_trade,
+# lmoments_by_priority)
 # (displaced by the batch-3 newcomers ndcg_matryoshka_prefix,
 # embedding_topm_sparsify, delta_encode_events). The earlier round-5
 # newcomers multimodal_png_pixel_stats, simhash_near_dups,
@@ -159,14 +163,12 @@ _PRIORITY = (
     # --- first-timers: relational / audit analytics
     "nation_revenue_share",
     "customer_revenue_pareto",
-    "join_fanout_audit",
     "key_skew_profile",
     "map_props_stats",
     # --- first-timers: experimentation / causal stats
     "srm_chi2_check",
     "did_purchase_lift",
     "delta_method_ratio_ci",
-    "ab_power_mde",
     # --- first-timers: graph ops over the trade graph
     "bfs_trade_hops",
     "sssp_trade_cost",
@@ -190,7 +192,6 @@ _PRIORITY = (
     "table_profile_summary",
     "spearman_rank_corr",
     "measure_corr_matrix",
-    "mad_robust_outliers",
     # --- round-5 NEW/CONVERTED operators: newest work accumulates
     # driver rows immediately (mannwhitney_shift_test and
     # ks_drift_stat displaced to the round-6 rotation).
@@ -226,6 +227,12 @@ _PRIORITY = (
     # round-5 session-2 batch 4 (displacing equidepth_histogram —
     # the relational/audit family keeps several in-window slots)
     "dau_mau_stickiness",
+    # round-5 session-2 batch 5 (displacing join_fanout_audit,
+    # ab_power_mde, mad_robust_outliers — audit/experimentation/quality
+    # families keep other in-window slots)
+    "theil_inequality_decomposition",
+    "degree_assortativity_trade",
+    "lmoments_by_priority",
 )
 
 

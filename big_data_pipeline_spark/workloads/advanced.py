@@ -1044,7 +1044,96 @@ GROUP BY c.p_brand, t.totw
 """
 
 
+# --- lmoments_by_priority: L-moment distribution shape per group ------------
+# Hosking's L-moments (1990): location/scale/skewness from LINEAR
+# combinations of order statistics — defined for heavy-tailed data
+# where conventional skewness explodes, the robust profile a
+# distribution-drift monitor wants next to the MAD/KS ops. Unbiased
+# probability-weighted moments per group g:
+#   b0 = Σ x_(r) / n,  b1 = Σ x_(r)(r-1) / (n(n-1)),
+#   b2 = Σ x_(r)(r-1)(r-2) / (n(n-1)(n-2))
+# then l1 = b0, l2 = 2b1 - b0, l3 = 6b2 - 6b1 + b0, t3 = l3/l2.
+# Exactness: values become integer cents, ranks come from one window
+# partitioned BY GROUP (never global), each product cents·(r-1)(r-2)
+# stays under int64 through sf1-scale groups and ACCUMULATES through
+# DECIMAL(38,0); the b's are one terminal division each. Ties in x
+# are rank-order-insensitive (equal values commute through the
+# weighted sums... weights differ per rank but the multiset of
+# (value, weight) pairs is fixed by the deterministic (cents,
+# o_orderkey) order, identical on both engines).
+
+
+def lmoments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = orders.withColumn("r", F.row_number().over(w))
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum((F.col("cents") * (F.col("r") - 1)).cast("decimal(38,0)"))
+        .alias("s1"),
+        F.sum(
+            (
+                F.col("cents") * (F.col("r") - 1) * (F.col("r") - 2)
+            ).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    b0 = F.col("s0").cast("double") / n
+    b1 = F.col("s1").cast("double") / (n * (n - 1))
+    b2 = F.col("s2").cast("double") / (n * (n - 1) * (n - 2))
+    l2 = 2 * b1 - b0
+    l3 = 6 * b2 - 6 * b1 + b0
+    return agg.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        (b0 / 100.0).alias("l1"),
+        (l2 / 100.0).alias("l2"),
+        (l3 / l2).alias("t3_lskewness"),
+    )
+
+
+_LMOMENTS_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(o_totalprice * 100)
+                                          AS BIGINT), o_orderkey) AS r
+  FROM orders
+),
+agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s0,
+         SUM(CAST(cents * (r - 1) AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(cents * (r - 1) * (r - 2) AS DECIMAL(38,0))) AS s2
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS l1,
+       (2 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+        - CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS l2,
+       (6 * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                * (CAST(n AS DOUBLE) - 2)))
+        - 6 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+        + CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+       / (2 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+          - CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) AS t3_lskewness
+FROM agg
+"""
+
+
 QUERIES = {
+    "lmoments_by_priority": lmoments_by_priority,
     "weighted_median_brand_price": weighted_median_brand_price,
     "anti_join_no_orders": anti_join_no_orders,
     "skyline_price_size": skyline_price_size,
@@ -1077,6 +1166,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lmoments_by_priority": _LMOMENTS_SQL,
     "weighted_median_brand_price": _WMEDIAN_SQL,
     "surrogate_global_seq": _SURROGATE_SQL,
     "skyline_price_size": _SKYLINE_SQL,

@@ -767,7 +767,121 @@ HAVING SUM(hop) > 0
 """
 
 
+# --- degree_assortativity_trade: do hubs trade with hubs? --------------------
+# Newman's degree assortativity (2002): the Pearson correlation of
+# endpoint degrees over the SYMMETRIZED undirected edge list (each
+# edge contributes both orientations, so Σx = Σy by construction).
+# r > 0 means high-degree nations preferentially trade with each
+# other (assortative core); r < 0 means a hub-and-spoke topology.
+# All five moments are exact integer sums over the edge meetings; the
+# only IEEE ops are the final products, one sqrt, one division —
+# identical expressions on both engines.
+#
+# Scale: the nation graph is key-bounded (|edges| <= |nations|^2);
+# degrees are one groupBy of the symmetric edge list, the moment pass
+# one aggregate. On a vertex-scale graph the same plan holds: degree
+# table broadcast only if model-sized, else a keyed join.
+
+
+def degree_assortativity_trade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    edges = trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    # the STRONG-trade graph (relative threshold, same rule as the
+    # triangle/k-core ops): the raw nation graph saturates to a
+    # complete graph as data grows, where every degree is equal and
+    # assortativity is undefined (zero variance)
+    avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
+    edges = edges.crossJoin(F.broadcast(avg_rev)).filter(
+        F.col("revenue") > 1.8 * F.col("avg_rev")
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    met = (
+        sym.join(deg, "a")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("dy")),
+            "b",
+        )
+    )
+    m = met.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        # NULL (not an error) on a degree-regular graph: zero variance
+        # makes the coefficient undefined; both engines agree via the
+        # same guarded division
+        F.try_divide(num, F.sqrt(denx * deny)).alias("assortativity"),
+    )
+
+
+_ASSORT_SQL = """
+WITH e AS (
+  SELECT s.n_name AS src, c2.n_name AS dst,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation s ON supplier.s_nationkey = s.n_nationkey
+  JOIN nation c2 ON customer.c_nationkey = c2.n_nationkey
+  WHERE s.n_name <> c2.n_name
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e, (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS VARCHAR)
+                       AS DOUBLE) / COUNT(*) AS avg_rev FROM e) t
+  WHERE revenue > 1.8 * avg_rev
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+met AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM sym JOIN deg da ON sym.a = da.a
+  JOIN deg db ON sym.b = db.a
+),
+mo AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM met
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+         / NULLIF(sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                       * CAST(m * syy - sy * sy AS DOUBLE)), 0.0)
+         AS assortativity
+FROM mo
+"""
+
+
 QUERIES = {
+    "degree_assortativity_trade": degree_assortativity_trade,
     "pagerank_nation_trade": pagerank_nation_trade,
     "triangle_count_trade": triangle_count_trade,
     "kcore_trade_graph": kcore_trade_graph,
@@ -778,6 +892,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "degree_assortativity_trade": _ASSORT_SQL,
     "bfs_trade_hops": _BFS_SQL,
     "sssp_trade_cost": _SSSP_SQL,
     "closeness_trade_centrality": _CLOSENESS_SQL,

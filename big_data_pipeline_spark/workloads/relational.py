@@ -431,7 +431,137 @@ LIMIT {_PAGE_SIZE}
 """
 
 
+# --- theil_inequality_decomposition: between/within revenue inequality ------
+# The Theil-T index over order values, decomposed by customer nation:
+# T_total = (1/(N·μ)) Σ x_i ln(x_i/μ) splits EXACTLY into
+# T_between = Σ_g (S_g/S) ln(μ_g/μ) plus a within-group remainder —
+# the additive-decomposability property that makes Theil (not Gini)
+# the inequality measure warehouses use for "how much inequality is
+# ACROSS markets vs INSIDE them".
+#
+# Exactness discipline: order values become exact integer cents;
+# ln(x_i/μ) = ln(cents_i·N / S) is a micro-log of an exact-integer
+# ratio, and both Σ cents_i·micro_i (total) and Σ S_g·micro_g
+# (between) accumulate as integers through DECIMAL(38,0) with ONE
+# terminal division each — partial-agg order cannot show (the KL/zipf
+# pattern). T_within is the difference of the two exact terms.
+#
+# Scale: one row pass with the (N, S) scalar broadcast, one
+# nation-sized groupBy. Nothing else.
+
+
+def theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    rows = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), "c_nationkey")
+    tot = rows.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    j = rows.crossJoin(F.broadcast(tot))
+    micro_i = F.round(
+        F.log(
+            (F.col("cents") * F.col("n")).cast("double")
+            / F.col("s").cast("double")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    total_term = j.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum((F.col("cents") * micro_i).cast("decimal(38,0)")).alias(
+            "t_sum"
+        ),
+    )
+    grp = (
+        rows.groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g"))
+        .crossJoin(F.broadcast(tot))
+    )
+    micro_g = F.round(
+        F.log(
+            (F.col("s_g") * F.col("n")).cast("double")
+            / (F.col("s") * F.col("n_g")).cast("double")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    between_term = grp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("s_g") * micro_g).cast("decimal(38,0)")).alias(
+            "b_sum"
+        ),
+    )
+    out = total_term.crossJoin(F.broadcast(between_term))
+    t_total = F.col("t_sum").cast("double") / (
+        F.col("s").cast("double") * 1_000_000.0
+    )
+    t_between = F.col("b_sum").cast("double") / (
+        F.col("s").cast("double") * 1_000_000.0
+    )
+    return out.select(
+        F.col("n").alias("n_orders"),
+        "n_groups",
+        t_total.alias("theil_total"),
+        t_between.alias("theil_between"),
+        (t_total - t_between).alias("theil_within"),
+    )
+
+
+_THEIL_SQL = """
+WITH rows_ AS (
+  SELECT n.n_name AS nation,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n ON c_nationkey = n.n_nationkey
+),
+tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s FROM rows_),
+total_term AS (
+  SELECT MAX(n) AS n, MAX(s) AS s,
+         SUM(CAST(cents * CAST(round(ln(CAST(cents * n AS DOUBLE)
+                                        / CAST(s AS DOUBLE)) * 1000000)
+                               AS BIGINT) AS DECIMAL(38,0))) AS t_sum
+  FROM rows_, tot
+),
+grp AS (
+  SELECT nation, COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS s_g
+  FROM rows_ GROUP BY nation
+),
+between_term AS (
+  SELECT COUNT(*) AS n_groups,
+         SUM(CAST(s_g * CAST(round(ln(CAST(s_g * n AS DOUBLE)
+                                      / CAST(s * n_g AS DOUBLE)) * 1000000)
+                             AS BIGINT) AS DECIMAL(38,0))) AS b_sum
+  FROM grp, tot
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(CAST(t_sum AS VARCHAR) AS DOUBLE)
+         / (CAST(s AS DOUBLE) * 1000000.0) AS theil_total,
+       CAST(CAST(b_sum AS VARCHAR) AS DOUBLE)
+         / (CAST(s AS DOUBLE) * 1000000.0) AS theil_between,
+       CAST(CAST(t_sum AS VARCHAR) AS DOUBLE)
+         / (CAST(s AS DOUBLE) * 1000000.0)
+         - CAST(CAST(b_sum AS VARCHAR) AS DOUBLE)
+         / (CAST(s AS DOUBLE) * 1000000.0) AS theil_within
+FROM total_term, between_term
+"""
+
+
 QUERIES = {
+    "theil_inequality_decomposition": theil_inequality_decomposition,
     "keyset_pagination_page": keyset_pagination_page,
     "sql_text_interface": sql_text_interface,
     "q1_pricing_summary": q1_pricing_summary,
@@ -448,6 +578,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "theil_inequality_decomposition": _THEIL_SQL,
     "sql_text_interface": _SQL_TEXT,
     "keyset_pagination_page": _KEYSET_SQL,
     "q1_pricing_summary": _Q1_SQL,

@@ -913,6 +913,8 @@ _BNLJ_OK = {
     "hill_tail_index",
     "ngram_coverage_curve",
     "ndcg_matryoshka_prefix",
+    "theil_inequality_decomposition",
+    "degree_assortativity_trade",
     "nation_revenue_share",
     "customer_revenue_pareto",
     "equidepth_histogram",

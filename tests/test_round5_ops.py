@@ -338,3 +338,124 @@ def test_reciprocal_best_match_mutuality(spark, sf_dir):
         for r in sim.reciprocal_best_match(spark, sf_dir).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_dau_mau_hand_computed(spark, tmp_path):
+    """Two days: day1 actives {1,2}, day2 actives {2,3} -> avg DAU 2,
+    MAU 3, stickiness 2/3."""
+    import datetime as dt
+
+    rows = [
+        (1, 10, dt.datetime(2024, 1, 1, 9), "view", 1.0, "{}"),
+        (2, 11, dt.datetime(2024, 1, 1, 10), "view", 1.0, "{}"),
+        (2, 12, dt.datetime(2024, 1, 2, 9), "view", 1.0, "{}"),
+        (3, 13, dt.datetime(2024, 1, 2, 10), "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from big_data_pipeline_spark.workloads.behavior import dau_mau_stickiness
+
+    r = dau_mau_stickiness(spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 2 and r.mau == 3
+    assert r.avg_dau == 2.0 and r.stickiness == 2.0 / 3.0
+
+
+def test_theil_decomposition_hand_computed(spark, tmp_path):
+    """Within-equal groups: each nation's members earn the same, so
+    T_within = 0 and T_total == T_between = sum (S_g/S) ln(mu_g/mu)."""
+    import datetime as dt
+    import math
+
+    # nation 0: two customers earning 100; nation 1: two earning 300
+    cust = spark.createDataFrame(
+        [(i, i % 2) for i in range(4)], "c_custkey long, c_nationkey long"
+    )
+    cust.withColumn("c_name", F.concat(F.lit("c"), F.col("c_custkey"))).write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey long, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    orders = [
+        (k, k, "P", 100.0 if k % 2 == 0 else 300.0, dt.date(2024, 1, 1))
+        for k in range(4)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    from big_data_pipeline_spark.workloads.relational import (
+        theil_inequality_decomposition,
+    )
+
+    r = theil_inequality_decomposition(spark, str(tmp_path)).collect()[0]
+    assert r.n_orders == 4 and r.n_groups == 2
+    # mu = 200; T = (1/(N mu)) sum x ln(x/mu), micro-log grid
+    mt = lambda x: round(math.log(x / 200.0) * 1e6)  # noqa: E731
+    want_total = (2 * 10000 * mt(100) + 2 * 30000 * mt(300)) / (80000 * 1e6)
+    assert r.theil_total == want_total
+    assert r.theil_between == want_total
+    assert r.theil_within == 0.0
+
+
+def test_lmoments_uniform_hand_computed(spark, tmp_path):
+    """x = 1..5 (in dollars): b0=3, b1=(2+2*3+3*4+4*5)/20? — use the
+    direct PWM formulas and symmetry: a symmetric sample has
+    L-skewness exactly 0."""
+    import datetime as dt
+
+    rows = [
+        (k, "P", float(k), "O", dt.date(2024, 1, 1)) for k in range(1, 6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderstatus string, o_orderdate date",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    from big_data_pipeline_spark.workloads.advanced import (
+        lmoments_by_priority,
+    )
+
+    r = lmoments_by_priority(spark, str(tmp_path)).collect()[0]
+    assert r.n_orders == 5
+    assert r.l1 == 3.0  # mean
+    # b1 = sum x_(r)(r-1)/(n(n-1)) over cents; l2 = 2 b1 - b0
+    cents = [100, 200, 300, 400, 500]
+    b0 = sum(cents) / 5
+    b1 = sum(c * r for c, r in zip(cents, range(0, 5))) / (5 * 4)
+    b2 = sum(
+        c * r * (r - 1) for c, r in zip(cents, range(0, 5))
+    ) / (5 * 4 * 3)
+    assert r.l2 == (2 * b1 - b0) / 100
+    # symmetric sample: tau3 = 0
+    assert abs((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0)) < 1e-12
+    assert abs(r.t3_lskewness) < 1e-12
+
+
+def test_assortativity_star_graph_is_minus_one(spark):
+    """A pure hub-and-spoke degree sequence has assortativity exactly
+    -1; verify on the moment formula via the module's own aggregation
+    by monkey-feeding a star edge set."""
+    from big_data_pipeline_spark.workloads import graph_rank as gr
+
+    # five heavy hub->spoke edges survive the 1.8x-mean strong-edge
+    # gate; twenty light decoys drag the mean down and get dropped
+    star = spark.createDataFrame(
+        [("HUB", f"s{i}", 100.0) for i in range(5)]
+        + [(f"x{i}", f"y{i}", 1.0) for i in range(20)],
+        "src string, dst string, revenue double",
+    )
+    orig = gr.trade_edges
+    try:
+        gr.trade_edges = lambda *_: star
+        r = gr.degree_assortativity_trade(None, "unused").collect()[0]
+    finally:
+        gr.trade_edges = orig
+    assert r.n_edges == 5
+    assert abs(r.assortativity - (-1.0)) < 1e-12
