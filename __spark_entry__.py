@@ -236,7 +236,18 @@ _PRIORITY = (
 )
 
 
-def _prioritize(d: dict) -> dict:
+def _prioritize(d: dict, strict: bool = False) -> dict:
+    # strict (the queries() merge, which carries every registered
+    # name): a typo'd priority name must fail loudly, not silently
+    # shrink the driver's correctness window (the 'k in d' filter used
+    # to drop it). oracle_sql() stays non-strict — rows-only queries
+    # legitimately have no SQL twin.
+    if strict:
+        missing = [k for k in _PRIORITY if k not in d]
+        if missing:
+            raise AssertionError(
+                f"_PRIORITY names not in the registry: {missing}"
+            )
     out = {k: d[k] for k in _PRIORITY if k in d}
     out.update((k, v) for k, v in d.items() if k not in out)
     return out
@@ -250,7 +261,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     q, _ = merge_workloads(*_MODULES)
-    return _prioritize(q)
+    return _prioritize(q, strict=True)
 
 
 def oracle_sql() -> dict[str, str]:

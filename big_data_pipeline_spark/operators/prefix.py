@@ -33,19 +33,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def sharded_running_sum(
+def sharded_running_sums(
     df: DataFrame,
     part_cols: list[str],
     order_col: str,
-    value_col: str | Column,
-    out_col: str,
+    values: list[tuple[str | Column, str]],
     shards: int = 32,
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Append ``out_col`` = running sum of ``value_col`` over rows
-    ordered by ``order_col`` (then ``tiebreak_cols``) within
-    ``part_cols`` — semantically equal to the cumulative window,
-    executed with ``shards``-way parallelism per window partition.
+    """Append one running-sum column per ``(value_col, out_col)`` pair,
+    all over the SAME total order, in ONE pass — one approxQuantile,
+    one local window, one tiny offsets aggregate, one broadcast join,
+    however many cumulative columns ride along. Consumers that need
+    both a running total and a running rank (pareto, quantile splits)
+    would otherwise pay the whole two-phase lineage twice.
 
     ``(order_col, *tiebreak_cols)`` must be unique within a partition
     (it is the total order; ties would make any running sum
@@ -53,7 +54,9 @@ def sharded_running_sum(
     tied on a boundary value fall in one shard, where the tiebreak
     orders them.
     """
-    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    vals = [
+        (F.col(v) if isinstance(v, str) else v, out) for v, out in values
+    ]
     bounds = (
         df.approxQuantile(
             order_col, [i / shards for i in range(1, shards)], 0.001
@@ -80,24 +83,52 @@ def sharded_running_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = df.withColumn("__shard", shard).withColumn(
-        "__local", F.sum(value).over(local_w)
-    )
+    local = df.withColumn("__shard", shard)
+    for i, (value, _) in enumerate(vals):
+        local = local.withColumn(f"__local{i}", F.sum(value).over(local_w))
     off_w = (
         Window.partitionBy(*part_cols)
         .orderBy("__shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        local.groupBy(*part_cols, "__shard")
-        .agg(F.sum(value).alias("__tot"))
-        .withColumn("__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)))
-        .select(*part_cols, "__shard", "__off")
+    offsets = local.groupBy(*part_cols, "__shard").agg(
+        *[F.sum(value).alias(f"__tot{i}") for i, (value, _) in enumerate(vals)]
     )
-    return (
-        local.join(F.broadcast(offsets), [*part_cols, "__shard"])
-        .withColumn(out_col, F.col("__local") + F.col("__off"))
-        .drop("__shard", "__local", "__off")
+    for i in range(len(vals)):
+        offsets = offsets.withColumn(
+            f"__off{i}",
+            F.coalesce(F.sum(f"__tot{i}").over(off_w), F.lit(0)),
+        )
+    offsets = offsets.select(
+        *part_cols, "__shard", *[f"__off{i}" for i in range(len(vals))]
+    )
+    out = local.join(F.broadcast(offsets), [*part_cols, "__shard"])
+    drop = ["__shard"]
+    for i, (_, out_col) in enumerate(vals):
+        out = out.withColumn(
+            out_col, F.col(f"__local{i}") + F.col(f"__off{i}")
+        )
+        drop += [f"__local{i}", f"__off{i}"]
+    return out.drop(*drop)
+
+
+def sharded_running_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    value_col: str | Column,
+    out_col: str,
+    shards: int = 32,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Single-column form of :func:`sharded_running_sums`."""
+    return sharded_running_sums(
+        df,
+        part_cols,
+        order_col,
+        [(value_col, out_col)],
+        shards=shards,
+        tiebreak_cols=tiebreak_cols,
     )
 
 

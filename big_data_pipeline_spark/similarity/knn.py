@@ -160,11 +160,19 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 
     Both sides get per-table signatures; candidate pairs must collide in
     at least one table. Collisions then get exact cosine + top-k rank.
+
+    ``exact_scores=True`` scores collisions with the LEFT-ASSOCIATED
+    cosine (``seq_cosine`` — the same fixed IEEE association as the
+    brute-force oracle twin) instead of the BLAS-ordered ``_cosine_udf``;
+    use it when the output feeds a cell-exact cross-engine comparison
+    (ann_recall_report). The candidate SET is identical either way —
+    only last-ulp score association differs.
     """
     planes = _hyperplanes(n_tables, bits, EMB_DIMS, seed)
     sig_fn = _signatures_udf(planes)
@@ -195,11 +203,27 @@ def lsh_topk(
     cv = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
     )
-    pairs = (
-        pair_ids.join(cv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .withColumn("cos_sim", _cosine_udf(F.col("query_vec"), F.col("neighbor_vec")))
-    )
+    pairs = pair_ids.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+    if exact_scores:
+        from big_data_pipeline_spark.functions.vectors import (
+            seq_cosine,
+            sq_norm_sql,
+        )
+
+        pairs = pairs.withColumn(
+            "cos_sim",
+            seq_cosine(
+                F.col("query_vec"),
+                F.col("neighbor_vec"),
+                F.expr(sq_norm_sql("query_vec", EMB_DIMS, offset=0)),
+                F.expr(sq_norm_sql("neighbor_vec", EMB_DIMS, offset=0)),
+            ),
+        )
+    else:
+        pairs = pairs.withColumn(
+            "cos_sim",
+            _cosine_udf(F.col("query_vec"), F.col("neighbor_vec")),
+        )
     return _rank_topk(pairs, k)
 
 

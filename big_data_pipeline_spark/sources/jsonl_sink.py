@@ -81,36 +81,65 @@ class _JsonlDirWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import shutil
 
-        prev_files: list[str] = []
-        prev_rows = 0
+        # Per-file row counts so the merged n_rows stays consistent
+        # with the merged files list even when a previously listed part
+        # was deleted out-of-band: a missing part drops BOTH its name
+        # and its count. Legacy manifests (aggregate n_rows only) can't
+        # apportion the count, so a missing part there fails loudly
+        # instead of silently overcounting.
+        prev_counts: dict[str, int] = {}
         success = os.path.join(self.path, "_SUCCESS")
         if os.path.isfile(success):
             try:
                 with open(success, encoding="utf-8") as f:
                     prev = json.load(f)
-                prev_files = [
+                listed = list(prev.get("files", []))
+                per_file = prev.get("file_rows")
+                missing = [
                     name
-                    for name in prev.get("files", [])
-                    if os.path.isfile(os.path.join(self.path, name))
+                    for name in listed
+                    if not os.path.isfile(os.path.join(self.path, name))
                 ]
-                prev_rows = int(prev.get("n_rows", 0))
-            except (json.JSONDecodeError, OSError, ValueError):
-                prev_files, prev_rows = [], 0
+                if per_file is not None:
+                    prev_counts = {
+                        name: int(per_file.get(name, 0))
+                        for name in listed
+                        if name not in missing
+                    }
+                elif missing:
+                    raise OSError(
+                        "jsonldir manifest lists parts that are missing "
+                        f"on disk ({missing}); the legacy aggregate-only "
+                        "manifest cannot apportion n_rows, refusing to "
+                        "publish an inconsistent merged manifest"
+                    )
+                else:
+                    # legacy manifest, all parts present: attribute the
+                    # aggregate to a sentinel so totals still merge.
+                    prev_counts = dict.fromkeys(listed, 0)
+                    if listed:
+                        prev_counts[listed[0]] = int(prev.get("n_rows", 0))
+            except (json.JSONDecodeError, ValueError):
+                prev_counts = {}
 
-        total = 0
-        files = []
+        counts: dict[str, int] = {}
         for m in messages:
             if m is None:
                 continue
             dest = os.path.join(self.path, os.path.basename(m.staged_path))
             os.replace(m.staged_path, dest)
-            files.append(os.path.basename(dest))
-            total += m.n_rows
+            counts[os.path.basename(dest)] = m.n_rows
 
         if not self.overwrite:
-            files.extend(prev_files)
-            total += prev_rows
-        manifest = {"n_rows": total, "files": sorted(files)}
+            for name, n in prev_counts.items():
+                counts.setdefault(name, n)
+        files = sorted(counts)
+        total = sum(counts.values())
+        manifest = {
+            "n_rows": total,
+            "files": files,
+            "file_rows": {name: counts[name] for name in files},
+        }
         tmp = os.path.join(self.path, "._SUCCESS.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(json.dumps(manifest))

@@ -777,10 +777,18 @@ FROM per_nation JOIN per_region USING (r_name), total
 # ROUND on both engines): integer cumsums are association-free, so the
 # sharded two-phase total equals the oracle's sequential window SUM
 # exactly; shares divide two exact integers.
+#
+# Plan shape (r5 VERDICT fix): cum_cents AND rank ride ONE sharded
+# prefix-sum pass (sharded_running_sums — same total order, two value
+# columns), and the three thresholds are three conditional MINs in ONE
+# aggregate over that lineage, exploded to rows afterwards. The old
+# form ran the prefix-sum lineage twice and a 3-way agg union on top —
+# 3× redundant compute and the top job-count amplifier in the r5
+# contended driver run.
 
 
 def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sums
 
     orders = read_table(spark, sf_dir, "orders")
     per_cust = (
@@ -793,40 +801,53 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg", -F.col("cents"))
         .withColumn("g", F.lit(0))
     )
-    ranked = sharded_running_sum(
-        per_cust, ["g"], "neg", F.col("cents"), "cum_cents",
+    ranked = sharded_running_sums(
+        per_cust,
+        ["g"],
+        "neg",
+        [(F.col("cents"), "cum_cents"), (F.lit(1), "rank")],
         tiebreak_cols=["o_custkey"],
-    )
-    ranked = sharded_running_sum(
-        ranked, ["g"], "neg", F.lit(1), "rank", tiebreak_cols=["o_custkey"]
     )
     tot = per_cust.agg(
         F.sum("cents").alias("total_cents"),
         F.count(F.lit(1)).alias("n_cust"),
     )
     joined = ranked.crossJoin(F.broadcast(tot))
-    rows = []
-    for t in (0.5, 0.8, 0.9):
-        rows.append(
-            joined.agg(
-                F.lit(t).alias("threshold"),
-                F.min(
-                    F.when(
-                        F.col("cum_cents").cast("double")
-                        >= F.lit(t) * F.col("total_cents"),
-                        F.col("rank"),
-                    )
-                ).alias("customers_needed"),
-                F.first("n_cust").alias("n_customers"),
+
+    def needed(t: float):
+        return F.min(
+            F.when(
+                F.col("cum_cents").cast("double")
+                >= F.lit(t) * F.col("total_cents"),
+                F.col("rank"),
             )
-        )
-    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+        ).alias(f"c{int(t * 100)}")
+
+    agg = joined.agg(
+        needed(0.5), needed(0.8), needed(0.9),
+        F.first("n_cust").alias("n_customers"),
+    )
+    out = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("threshold"),
+                        F.col(f"c{int(t * 100)}").alias("customers_needed"),
+                    )
+                    for t in (0.5, 0.8, 0.9)
+                ]
+            )
+        ).alias("x"),
+        "n_customers",
+    )
     return out.select(
-        "threshold",
-        F.col("customers_needed").cast("long").alias("customers_needed"),
+        F.col("x.threshold").alias("threshold"),
+        F.col("x.customers_needed").cast("long").alias("customers_needed"),
         "n_customers",
         (
-            F.col("customers_needed").cast("double") / F.col("n_customers")
+            F.col("x.customers_needed").cast("double")
+            / F.col("n_customers")
         ).alias("frac_of_customers"),
     )
 
@@ -1054,9 +1075,13 @@ GROUP BY c.p_brand, t.totw
 #   b2 = Σ x_(r)(r-1)(r-2) / (n(n-1)(n-2))
 # then l1 = b0, l2 = 2b1 - b0, l3 = 6b2 - 6b1 + b0, t3 = l3/l2.
 # Exactness: values become integer cents, ranks come from one window
-# partitioned BY GROUP (never global), each product cents·(r-1)(r-2)
-# stays under int64 through sf1-scale groups and ACCUMULATES through
-# DECIMAL(38,0); the b's are one terminal division each. Ties in x
+# partitioned BY GROUP (never global), and the products themselves are
+# 128-bit: cents is cast DECIMAL(14,0) and each rank factor
+# DECIMAL(12,0) BEFORE multiplying (14+12+12 = 38 digits — covers
+# $1T-cent values × 10¹²-row groups with no int64 wrap in either
+# engine; non-ANSI Spark would otherwise silently wrap where DuckDB
+# errors), then the sums accumulate through DECIMAL(38,0); the b's
+# are one terminal division each. Ties in x
 # are rank-order-insensitive (equal values commute through the
 # weighted sums... weights differ per rank but the multiset of
 # (value, weight) pairs is fixed by the deterministic (cents,
@@ -1074,11 +1099,17 @@ def lmoments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("s0"),
-        F.sum((F.col("cents") * (F.col("r") - 1)).cast("decimal(38,0)"))
-        .alias("s1"),
         F.sum(
             (
-                F.col("cents") * (F.col("r") - 1) * (F.col("r") - 2)
+                F.col("cents").cast("decimal(14,0)")
+                * (F.col("r") - 1).cast("decimal(12,0)")
+            ).cast("decimal(38,0)")
+        ).alias("s1"),
+        F.sum(
+            (
+                F.col("cents").cast("decimal(14,0)")
+                * (F.col("r") - 1).cast("decimal(12,0)")
+                * (F.col("r") - 2).cast("decimal(12,0)")
             ).cast("decimal(38,0)")
         ).alias("s2"),
     )
@@ -1109,8 +1140,11 @@ WITH ranked AS (
 agg AS (
   SELECT o_orderpriority, COUNT(*) AS n,
          CAST(SUM(cents) AS BIGINT) AS s0,
-         SUM(CAST(cents * (r - 1) AS DECIMAL(38,0))) AS s1,
-         SUM(CAST(cents * (r - 1) * (r - 2) AS DECIMAL(38,0))) AS s2
+         SUM(CAST(CAST(cents AS DECIMAL(14,0))
+                  * CAST(r - 1 AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(CAST(cents AS DECIMAL(14,0))
+                  * CAST(r - 1 AS DECIMAL(12,0))
+                  * CAST(r - 2 AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS s2
   FROM ranked GROUP BY o_orderpriority
 )
 SELECT o_orderpriority,

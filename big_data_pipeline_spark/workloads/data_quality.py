@@ -822,7 +822,7 @@ _KS_A, _KS_B = "click", "purchase"
 def ks_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from big_data_pipeline_spark.operators.prefix import sharded_running_sum
+    from big_data_pipeline_spark.operators.prefix import sharded_running_sums
 
     ev = (
         read_table(spark, sf_dir, "events")
@@ -837,11 +837,10 @@ def ks_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == _KS_A).cast("long")).alias("c_a"),
         F.sum((F.col("event_type") == _KS_B).cast("long")).alias("c_b"),
     )
-    run = sharded_running_sum(
-        per_val, [], "value", "c_a", "cum_a", tiebreak_cols=[]
-    )
-    run = sharded_running_sum(
-        run, [], "value", "c_b", "cum_b", tiebreak_cols=[]
+    # both empirical CDFs ride ONE prefix-sum pass (same total order)
+    run = sharded_running_sums(
+        per_val, [], "value", [("c_a", "cum_a"), ("c_b", "cum_b")],
+        tiebreak_cols=[],
     )
     totals = per_val.agg(
         F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")

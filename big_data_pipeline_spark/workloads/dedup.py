@@ -70,8 +70,12 @@ WITH toks AS (
   FROM documents
 ),
 sh AS (
+  -- GREATEST(.., 2) mirrors Spark's exploded_shingles clamp: docs with
+  -- <3 tokens emit ONE clipped partial shingle (t[i:i+2] clips at the
+  -- array end, matching concat_ws's null-skip), so short/empty docs get
+  -- a fingerprint in BOTH engines instead of silently vanishing here.
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-  FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)
+  FROM toks, UNNEST(range(1, GREATEST(len(t)-1, 2))) AS u(i)
 ),
 feat AS (
   SELECT doc_id, md5(shingle) AS hx FROM sh

@@ -1390,10 +1390,12 @@ _NUC_MIN = 40  # minimum context total count
 def top_p_nucleus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("t"))
-    big = toks.select(
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
-        ).alias("i"),
+    # size >= 2 gate BEFORE the explode: Spark's sequence(1, 0) yields
+    # the descending [1, 0] and element_at(t, 0) raises at runtime on a
+    # single-token doc; the gate degrades to zero bigrams instead,
+    # matching the oracle's range() semantics.
+    big = toks.where(F.size("t") >= 2).select(
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
         F.col("t"),
     ).select(
         F.element_at("t", F.col("i")).alias("w1"),

@@ -1109,11 +1109,22 @@ GROUP BY 1
 # --- ann_recall_report: ANN quality evaluation as a query -------------------
 # The eval harness every ANN deployment runs in production: join the
 # approximate (LSH) top-k against the exact top-k and report recall@k
-# per query plus the macro average. Deterministic given the seeded
-# hyperplanes, but not SQL-expressible (the LSH stage isn't), so the
-# driver records a rows-only check; the recall floor itself is pinned
-# in tests/test_recall.py. Output: one summary row (bucket='OVERALL')
-# plus a histogram of per-query recall values — tiny, stable schema.
+# per query plus the macro average. Output: one summary row
+# (bucket='OVERALL') plus a histogram of per-query recall values —
+# tiny, stable schema.
+#
+# CELL-EXACT since r6 (was rows-only): every stage is deterministic and
+# engine-portable, so the DuckDB twin REPLAYS the whole pipeline — the
+# splitmix/Box-Muller hyperplanes are embedded as literals (the same
+# 24x6x64 stream `_hyperplanes` generates; repr round-trips doubles),
+# signatures are recomputed relationally (UNNEST dims x planes →
+# SUM → sign bits), collisions re-joined, and collisions scored with
+# the SAME fixed-association cosine as the exact baseline
+# (lsh_topk(exact_scores=True) ↔ dot_sql). The only cross-engine FP
+# difference left is projection SUM association (numpy matmul vs SQL
+# SUM) — harmless because no projection sits near the sign threshold;
+# tests/test_recall.py pins min |proj| >> 64 ulps on the corpus so the
+# signatures provably agree under ANY summation order.
 #
 # Scale (100 TB): both top-k inputs are |Q| x k rows (query-set scale,
 # not corpus scale); the comparison is a left-semi join + two
@@ -1121,10 +1132,24 @@ GROUP BY 1
 # top-k operators themselves, each already scale-shaped (broadcast
 # query side / bucketed LSH join).
 
+_LSH_TABLES = 24
+_LSH_BITS = 6
+_LSH_SEED = 42
+
 
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = knn_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = lsh_topk(
+        queries,
+        emb,
+        k=_K,
+        n_tables=_LSH_TABLES,
+        bits=_LSH_BITS,
+        seed=_LSH_SEED,
+        exact_scores=True,
+    ).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     per_q = (
         exact.groupBy("query_id")
@@ -1158,6 +1183,101 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.unionByName(overall).withColumn(
         "recall_at_k", F.col("n_hit") / F.col("n_true")
     )
+
+
+def _ann_recall_sql() -> str:
+    """Full-replay DuckDB twin of ann_recall_report (see the block
+    comment above for the determinism argument). The hyperplanes are
+    the SAME splitmix/Box-Muller stream Spark uses, embedded as 144
+    64-float list literals (repr round-trips doubles exactly)."""
+    from big_data_pipeline_spark.similarity.knn import _hyperplanes
+
+    planes = _hyperplanes(_LSH_TABLES, _LSH_BITS, EMB_DIMS_DEFAULT, _LSH_SEED)
+    rows = ",\n    ".join(
+        f"({t}, {b}, [{', '.join(repr(w) for w in planes[t][b])}])"
+        for t in range(_LSH_TABLES)
+        for b in range(_LSH_BITS)
+    )
+    d = EMB_DIMS_DEFAULT
+    return f"""
+WITH exact_topk AS ({_KNN_SQL}),
+planes(table_id, bit, ws) AS (VALUES
+    {rows}
+),
+pw AS (
+  SELECT table_id, bit, i AS dim, ws[i] AS w
+  FROM planes, UNNEST(range(1, {d + 1})) AS u(i)
+),
+ed AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, {d + 1})) AS u(i)
+),
+proj AS (
+  SELECT vec_id, table_id, bit, SUM(x * w) AS p
+  FROM ed JOIN pw USING (dim)
+  GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT vec_id, table_id,
+         SUM(CASE WHEN p >= 0 THEN 1 << bit ELSE 0 END) AS sig
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT sq.vec_id AS query_id, sc.vec_id AS neighbor_id
+  FROM sig sq JOIN sig sc
+    ON sq.table_id = sc.table_id AND sq.sig = sc.sig
+  WHERE sq.vec_id < {_N_QUERIES} AND sq.vec_id <> sc.vec_id
+),
+en AS (
+  SELECT vec_id, embedding,
+         {sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=1)} AS sqn
+  FROM embeddings
+),
+ascored AS (
+  SELECT query_id, neighbor_id,
+         ({dot_sql("qe.embedding", "ce.embedding", EMB_DIMS_DEFAULT,
+                   offset=1)})
+           / (sqrt(qe.sqn) * sqrt(ce.sqn)) AS cos_sim
+  FROM cand
+  JOIN en qe ON qe.vec_id = query_id
+  JOIN en ce ON ce.vec_id = neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM ascored
+  ) WHERE rn <= {_K}
+),
+per_q AS (
+  SELECT ex.query_id,
+         COUNT(*) AS n_true,
+         SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_hit
+  FROM exact_topk ex
+  LEFT JOIN approx ap
+    ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+  GROUP BY 1
+),
+hist AS (
+  SELECT printf('recall=%.1f',
+                ROUND(CAST(n_hit AS DOUBLE) / n_true, 1)) AS bucket,
+         COUNT(*) AS n_queries,
+         CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+         CAST(SUM(n_true) AS BIGINT) AS n_true
+  FROM per_q GROUP BY 1
+),
+overall AS (
+  SELECT 'OVERALL' AS bucket, COUNT(*) AS n_queries,
+         CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+         CAST(SUM(n_true) AS BIGINT) AS n_true
+  FROM per_q
+)
+SELECT bucket, n_queries, n_hit, n_true,
+       CAST(n_hit AS DOUBLE) / n_true AS recall_at_k
+FROM (SELECT * FROM hist UNION ALL SELECT * FROM overall)
+"""
 
 
 # --- maxsim_multivector_topk: ColBERT-style late interaction ----------------
@@ -1955,4 +2075,5 @@ ORACLE = {
     "embedding_quantize_int8": _quantize_sql(),
     "embedding_norm_stats": _NORM_STATS_SQL,
     "knn_label_vote": _KNN_VOTE_SQL,
+    "ann_recall_report": _ann_recall_sql(),
 }

@@ -1145,11 +1145,12 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("t"))
-    big = toks.select(
+    # size >= 2 gate BEFORE the explode: sequence(1, 0) yields the
+    # descending [1, 0] and element_at(t, 0) raises on a single-token
+    # doc; the gate degrades to zero bigrams, matching the oracle.
+    big = toks.where(F.size("t") >= 2).select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
-        ).alias("i"),
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
         F.col("t"),
     ).select(
         "doc_id",
@@ -2028,10 +2029,11 @@ _PMI_TOP = 50
 def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("t"))
-    big = toks.select(
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
-        ).alias("i"),
+    # size >= 2 gate BEFORE the explode: sequence(1, 0) yields the
+    # descending [1, 0] and element_at(t, 0) raises on a single-token
+    # doc; the gate degrades to zero bigrams, matching the oracle.
+    big = toks.where(F.size("t") >= 2).select(
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
         F.col("t"),
     ).select(
         F.element_at("t", F.col("i")).alias("w1"),

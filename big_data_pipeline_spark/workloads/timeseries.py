@@ -423,16 +423,59 @@ FROM moments
 """
 
 
+# Shared per-key pair-join gate for the two O(n²)-per-key trend ops
+# (Theil-Sen, Mann-Kendall): the trailing _TS_PAIR_CAP observations
+# per user, indexed by the NEGATED descending row_number so the index
+# ascends with time without a second window pass — pair predicates
+# (i < j) and rank differences (j - i) are translation-invariant, so
+# all downstream arithmetic is unchanged. 512 points → ≤130,816 pairs
+# per key, a hard per-partition bound independent of corpus size.
+_TS_PAIR_CAP = 512
+
+_TRAILING_SEQ_SQL = f"""
+  SELECT user_id, value, -rd AS rn
+  FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events
+  )
+  WHERE rd <= {_TS_PAIR_CAP}
+"""
+
+
+def _trailing_seq(events: DataFrame) -> DataFrame:
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.select(
+            "user_id", "value", F.row_number().over(wd).alias("rd")
+        )
+        .filter(F.col("rd") <= _TS_PAIR_CAP)
+        .select("user_id", (-F.col("rd")).alias("rn"), "value")
+    )
+
+
 # --- Theil-Sen robust trend per user ----------------------------------------
 #
 # Theil (1950) / Sen (1968): the median of all pairwise slopes — the
 # robust trend estimator (29% breakdown point) that outlier-heavy event
 # streams need where OLS (lineitem_regression_stats) folds. Exact form
 # is O(n²) pairs PER KEY, which is Theil-Sen's nature, not a plan
-# smell: n here is events-per-user (bounded by the entity, not the
-# corpus — the same argument as the CF per-user cap), so pair fan-out
-# is linear in users with an n² constant. A key with unbounded n would
-# use the repeated-median or sampled-pairs variant on the same plan.
+# smell — but "per key" only bounds the fan-out if every key is in
+# fact bounded, and at 100 TB one hot user with 10⁶ events would form
+# ~5×10¹¹ pairs in a single partition. So the pair source is gated
+# IN-PLAN to the trailing _TS_PAIR_CAP observations per key (the same
+# enforced-bound discipline as the CF fan-out and LOF slice caps):
+# row_number over the DESCENDING (ts, event_id) order, keep <= cap,
+# and reuse the negated descending rank as the ascending time index
+# (differences and comparisons are translation-invariant). The cap is
+# far above every fixture series (max 99 events/user at sf0.1), so
+# small-SF results are bit-identical to the uncapped form; at scale it
+# turns a quadratic blow-up into "trend over the last 512 points",
+# which is the estimator a monitor wants anyway. Hotter keys needing
+# full history would use the repeated-median or sampled-pairs variant.
 #
 # Median convention (cross-engine exact): pairs are totally ordered by
 # (slope, i, j); the median is (min+max)/2 of the rows at 1-indexed
@@ -442,10 +485,7 @@ FROM moments
 
 def theilsen_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select(
-        "user_id", F.row_number().over(w).alias("rn"), "value"
-    )
+    seq = _trailing_seq(events)
     a = seq.select("user_id", F.col("rn").alias("i"), F.col("value").alias("vi"))
     b = seq.select("user_id", F.col("rn").alias("j"), F.col("value").alias("vj"))
     slopes = (
@@ -477,12 +517,9 @@ def theilsen_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_THEILSEN_SQL = """
+_THEILSEN_SQL = f"""
 WITH seq AS (
-  SELECT user_id, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS rn
-  FROM events
+  {_TRAILING_SEQ_SQL}
 ),
 slopes AS (
   SELECT a.user_id, a.rn AS i, b.rn AS j,
@@ -898,18 +935,17 @@ JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
 # IEEE ops are two divisions and one sqrt — all correctly rounded, so
 # both engines agree bit-for-bit.
 #
-# Scale: the pair join is per-user and bounded by series length
-# squared, same budget as the Theil-Sen estimator above (at 100 TB a
-# per-user length cap or the O(n log n) inversion-count formulation
-# replaces it; the tie term stays a groupBy either way).
+# Scale: the pair join shares the ENFORCED trailing-_TS_PAIR_CAP gate
+# with Theil-Sen above (_trailing_seq — a hot key can never form more
+# than ~131k pairs; n, S, the tie term, and tau-a are all computed
+# over the same capped window, so the statistic stays internally
+# consistent). The O(n log n) inversion-count formulation remains the
+# upgrade path if full-history trend tests are ever needed.
 
 
 def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select(
-        "user_id", F.row_number().over(w).alias("rn"), "value"
-    )
+    seq = _trailing_seq(events)
     a = seq.select(
         "user_id", F.col("rn").alias("i"), F.col("value").alias("vi")
     )
@@ -963,12 +999,9 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MANN_KENDALL_SQL = """
+_MANN_KENDALL_SQL = f"""
 WITH seq AS (
-  SELECT user_id, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS rn
-  FROM events
+  {_TRAILING_SEQ_SQL}
 ),
 s_tbl AS (
   SELECT a.user_id,

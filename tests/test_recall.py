@@ -176,3 +176,33 @@ def test_ann_recall_report_consistent(spark, sf_dir):
     assert sum(r.n_true for r in hist) == o.n_true
     assert 0.0 < o.recall_at_k <= 1.0
     assert o.recall_at_k == o.n_hit / o.n_true
+
+
+def test_lsh_projection_sign_margin(spark, sf_dir):
+    """The cell-exact ann_recall_report oracle replays the LSH
+    signatures with a DIFFERENT summation order (SQL SUM vs numpy
+    matmul). That is sound only if no projection sits near the sign
+    threshold: 64 addends of O(1) magnitude reorder by at most ~64 ulps
+    (~1e-13). Pin min |projection| across every (vector, table, bit) at
+    >= 1e-6 — seven orders of magnitude of headroom — so ANY
+    association yields identical signatures on this corpus."""
+    import numpy as np
+
+    from big_data_pipeline_spark.functions.vectors import EMB_DIMS_DEFAULT
+    from big_data_pipeline_spark.io import read_table
+    from big_data_pipeline_spark.similarity.knn import _hyperplanes
+    from big_data_pipeline_spark.workloads.similarity import (
+        _LSH_BITS,
+        _LSH_SEED,
+        _LSH_TABLES,
+    )
+
+    planes = np.asarray(
+        _hyperplanes(_LSH_TABLES, _LSH_BITS, EMB_DIMS_DEFAULT, _LSH_SEED),
+        dtype=np.float64,
+    )
+    stacked = planes.reshape(_LSH_TABLES * _LSH_BITS, -1).T
+    emb = read_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    x = np.array([r.embedding for r in emb], dtype=np.float64)
+    margin = np.abs(x @ stacked).min()
+    assert margin >= 1e-6, f"sign margin too small: {margin}"

@@ -48,6 +48,66 @@ def test_theilsen_matches_median_of_pairwise_slopes(spark, sf_dir):
         assert slope == pytest.approx(statistics.median(slopes), rel=1e-12)
 
 
+def test_pair_join_trailing_cap_bounds_hot_keys(spark, tmp_path):
+    """The O(n²)-per-key trend ops enforce the trailing-_TS_PAIR_CAP
+    gate IN-PLAN: a key longer than the cap contributes exactly
+    cap*(cap-1)/2 pairs (never n²), and the statistic is computed over
+    the LAST cap observations — verified against a Python replay."""
+    import datetime
+    import statistics
+
+    from big_data_pipeline_spark.workloads.timeseries import (
+        _TS_PAIR_CAP,
+        mann_kendall_trend,
+        theilsen_trend_per_user,
+    )
+
+    n_hot = _TS_PAIR_CAP + 64
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "view",
+         float((i * 37) % 101) + 0.01 * i, "{}")
+        for i in range(n_hot)
+    ] + [
+        (10_000 + i, t0 + datetime.timedelta(minutes=i), 2, "view",
+         float(i * i), "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    ts = {r.user_id: r for r in theilsen_trend_per_user(spark, sf).collect()}
+    mk = {r.user_id: r for r in mann_kendall_trend(spark, sf).collect()}
+
+    cap_pairs = _TS_PAIR_CAP * (_TS_PAIR_CAP - 1) // 2
+    assert ts[1].n_pairs == cap_pairs  # bounded, NOT n_hot*(n_hot-1)/2
+    assert ts[2].n_pairs == 10 * 9 // 2  # short keys untouched
+    assert mk[1].n == _TS_PAIR_CAP
+    assert mk[2].n == 10
+
+    # replay over the trailing cap window only
+    tail = [float((i * 37) % 101) + 0.01 * i
+            for i in range(n_hot - _TS_PAIR_CAP, n_hot)]
+    slopes = sorted(
+        (tail[j] - tail[i]) / (j - i)
+        for i in range(len(tail))
+        for j in range(i + 1, len(tail))
+    )
+    assert ts[1].ts_slope == pytest.approx(
+        statistics.median(slopes), rel=1e-12
+    )
+    s = sum(
+        (tail[j] > tail[i]) - (tail[j] < tail[i])
+        for i in range(len(tail))
+        for j in range(i + 1, len(tail))
+    )
+    assert mk[1].s == s
+
+
 def test_max_drawdown_matches_sequential_replay(spark, sf_dir):
     got = {
         r.user_id: (r.max_drawdown, r.trough_ts)

@@ -358,5 +358,49 @@ def test_jsonldir_sink_append_merges_manifest(spark, tmp_path):
     parts = [p for p in os.listdir(target) if p.startswith("part-")]
     assert len(parts) == 4
     assert sorted(parts) == manifest["files"]
+    # per-file counts are carried so future merges stay consistent
+    assert sum(manifest["file_rows"].values()) == 150
+    assert sorted(manifest["file_rows"]) == manifest["files"]
     back = spark.read.json(os.path.join(target, "part-*.jsonl"))
     assert back.count() == 150
+
+
+def test_jsonldir_sink_append_drops_missing_part_counts(spark, tmp_path):
+    """If a manifest-listed part is deleted out-of-band, the next append
+    drops BOTH its name and its row count — _SUCCESS's n_rows never
+    overcounts relative to its own files list (per-file counts make the
+    missing part's contribution apportionable)."""
+    import json
+    import os
+
+    from big_data_pipeline_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    target = str(tmp_path / "out4")
+    os.makedirs(target)
+    (
+        spark.range(0, 100)
+        .repartition(2)
+        .write.format("jsonldir")
+        .mode("append")
+        .option("path", target)
+        .save()
+    )
+    manifest = json.loads(open(os.path.join(target, "_SUCCESS")).read())
+    victim = manifest["files"][0]
+    victim_rows = manifest["file_rows"][victim]
+    os.remove(os.path.join(target, victim))
+    (
+        spark.range(0, 50)
+        .repartition(2)
+        .write.format("jsonldir")
+        .mode("append")
+        .option("path", target)
+        .save()
+    )
+    merged = json.loads(open(os.path.join(target, "_SUCCESS")).read())
+    assert victim not in merged["files"]
+    assert merged["n_rows"] == 150 - victim_rows
+    assert sum(merged["file_rows"].values()) == merged["n_rows"]
+    back = spark.read.json(os.path.join(target, "part-*.jsonl"))
+    assert back.count() == merged["n_rows"]
