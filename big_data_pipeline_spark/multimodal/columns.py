@@ -271,10 +271,12 @@ def decoded_audio_features(df: DataFrame, payload_col: str = "media") -> DataFra
 
 def _no_decoder() -> None:
     raise NotImplementedError(
-        "decoding this compressed codec (JPEG/MP3/video) requires a "
-        "codec library (e.g. PIL/ffmpeg) that is not available in this "
-        "environment; netpbm (P5/P6) decodes natively via decode_netpbm "
-        "and PNG (8-bit gray/RGB/RGBA) via decode_png"
+        "decoding this compressed codec (MP3/video/progressive JPEG) "
+        "requires a codec library (e.g. PIL/ffmpeg) that is not "
+        "available in this environment; netpbm (P5/P6) decodes "
+        "natively via decode_netpbm, PNG (8-bit gray/RGB/RGBA) via "
+        "decode_png, and baseline sequential JPEG via "
+        "multimodal.jpeg.decode_jpeg_baseline"
     )
 
 
@@ -606,15 +608,149 @@ def decoded_png_stats(df: DataFrame, payload_col: str = "media") -> DataFrame:
     return df.mapInPandas(extract, schema=out_schema)
 
 
+# --- baseline JPEG: block-constant payloads with provably exact decode ------
+# attach_jpeg_media builds a REAL baseline JPEG per document: one
+# constant 8x8 block per byte of the first _JPEG_CAP text bytes,
+# _JPEG_BLOCKS_PER_ROW blocks per MCU row, uniform quantizer 8. A
+# constant block has only its DC coefficient non-zero and 8 divides
+# 8*(v-128) exactly, so ANY correct decode — Huffman tables read from
+# the stream, DC differential prediction, zigzag, dequantization, IDCT
+# — reconstructs the byte value v bit-exactly (the nearest rounding
+# decision sits ~1e-12 from a half-integer). That makes the decoded
+# raster a pure function of the text bytes, which a second engine can
+# recompute without a codec — the same oracle contract as
+# attach_png_media, through the lossy-by-nature format. The general
+# AC-bearing path of the codec is pinned by round-trip property tests
+# (tests/test_multimodal.py).
+#
+# The byte cap bounds decode cost per document (the 64x block blow-up
+# would otherwise make the Huffman loop corpus-quadratic-ish at sf1);
+# the cap is a documented generator parameter, not a decoder limit.
+
+_JPEG_CAP = 64  # text bytes rendered per document
+_JPEG_BLOCKS_PER_ROW = 16  # -> width 128 px
+
+
+def attach_jpeg_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real baseline-JPEG payloads whose decode is exactly the first
+    ``_JPEG_CAP`` UTF-8 bytes of ``text_col`` expanded to constant 8x8
+    blocks (row-major, ``_JPEG_BLOCKS_PER_ROW`` per row, zero-byte
+    padding to fill the last row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from big_data_pipeline_spark.multimodal.jpeg import encode_jpeg_baseline
+
+    @pandas_udf(T.BinaryType())
+    def _enc(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = ("" if t is None else t).encode("utf-8")[:_JPEG_CAP]
+            rows = max(1, -(-len(b) // _JPEG_BLOCKS_PER_ROW))
+            vals = np.frombuffer(
+                b + bytes(rows * _JPEG_BLOCKS_PER_ROW - len(b)),
+                dtype=np.uint8,
+            ).reshape(rows, _JPEG_BLOCKS_PER_ROW)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            out.append(encode_jpeg_baseline(img, quant=np.full(64, 8)))
+        return pd.Series(out)
+
+    payload = _enc(F.col(text_col))
+    raw_len = F.least(
+        F.octet_length(F.encode(F.col(text_col), "UTF-8")), F.lit(_JPEG_CAP)
+    )
+    rows = F.greatest(
+        F.lit(1), F.ceil(raw_len / F.lit(_JPEG_BLOCKS_PER_ROW))
+    ).cast("int")
+    return df.withColumns(
+        {
+            "media": payload,
+            "media_meta": F.struct(
+                F.lit("image").alias("media_type"),
+                F.lit("jpeg").alias("format"),
+                F.lit(_JPEG_BLOCKS_PER_ROW * 8).alias("width"),
+                (rows * 8).alias("height"),
+                F.octet_length(payload).cast("long").alias("n_bytes"),
+            ),
+        }
+    )
+
+
+def decoded_jpeg_stats(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """REAL baseline-JPEG decode path: run ``decode_jpeg_baseline``
+    (marker parse, stream-read DHT/DQT, Huffman + DC-prediction entropy
+    decode, dequantize, IDCT) on each payload inside one Arrow-batched
+    mapInPandas pass and emit integer-exact raster statistics.
+    Pass-through columns are preserved; the payload column is pruned."""
+    from big_data_pipeline_spark.multimodal.jpeg import decode_jpeg_baseline
+
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [
+            *keep,
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_blocks", T.IntegerType()),
+            T.StructField("sum_pixels", T.LongType()),
+            T.StructField("n_zero", T.LongType()),
+            T.StructField("px_min", T.IntegerType()),
+            T.StructField("px_max", T.IntegerType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                w, h, _ch, px = decode_jpeg_baseline(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        w,
+                        h,
+                        (w // 8) * (h // 8),
+                        int(flat.sum()),
+                        int((flat == 0).sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        float(flat.sum()) / len(flat),
+                    )
+                )
+            stats = pd.DataFrame(
+                rows,
+                columns=[
+                    "width",
+                    "height",
+                    "n_blocks",
+                    "sum_pixels",
+                    "n_zero",
+                    "px_min",
+                    "px_max",
+                    "mean_pixel",
+                ],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf[keep_names], stats], axis=1)
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
 def decode_image(payload: bytes):
-    """Decode an image payload to a numpy array. Netpbm (P5/P6) and PNG
-    (8-bit gray/RGB/RGBA) decode natively with no dependencies; other
-    formats fall back to a gated PIL import (not present in this
-    environment)."""
+    """Decode an image payload to a numpy array. Netpbm (P5/P6), PNG
+    (8-bit gray/RGB/RGBA) and baseline JPEG decode natively with no
+    dependencies; other formats fall back to a gated PIL import (not
+    present in this environment)."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)[4]
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)[3]
+    if payload[:2] == b"\xff\xd8":
+        from big_data_pipeline_spark.multimodal.jpeg import (
+            decode_jpeg_baseline,
+        )
+
+        return decode_jpeg_baseline(payload)[3]
     try:
         import io
 

@@ -55,9 +55,13 @@ def test_frame_sample_shapes(docs):
 
 
 def test_decoder_gates_compressed_codecs_only(docs):
-    # JPEG still gates (PNG decodes natively since round 5)
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG decodes natively since round 6 (PNG since round 5);
+    # a truncated JPEG is now a decode ValueError, not a codec gate
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0JFIF")
+    # formats with no native decoder still gate honestly
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x20ftypisom video payload")
 
 
 def test_png_roundtrip_all_filters_and_shapes():
@@ -327,3 +331,120 @@ def test_image_ahash_groups_planted_duplicates(spark):
     for r in out.values():
         assert len(r.ahash) == 64 and set(r.ahash) <= {"0", "1"}
         assert r.n_bright == r.ahash.count("1")
+
+
+# --- baseline JPEG codec (round-6: closes the last codec-gate format) -------
+
+
+def test_jpeg_constant_blocks_exact_all_values():
+    """Every byte value 0..255 as a constant 8x8 block reconstructs
+    EXACTLY under quantizer 8 — the determinism contract the cell-exact
+    oracle of multimodal_jpeg_block_stats rests on."""
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    vals = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    pay = encode_jpeg_baseline(img, quant=np.full(64, 8))
+    w, h, ch, px = decode_jpeg_baseline(pay)
+    assert (w, h, ch) == (128, 128, 1)
+    assert (px == img).all()
+
+
+def test_jpeg_roundtrip_near_lossless_with_unit_quant():
+    """quant=1 keeps every DCT coefficient to nearest-integer rounding:
+    random images (non-trivial AC coefficients, Huffman run-lengths,
+    ZRL, EOB, DC prediction chains) round-trip within 1 gray level —
+    pins the general entropy-coding + IDCT path, not just DC."""
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(123)
+    for shape in [(33, 50), (8, 8), (9, 17)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, ch, px = decode_jpeg_baseline(
+            encode_jpeg_baseline(img, quant=np.ones(64))
+        )
+        assert (w, h, ch) == (shape[1], shape[0], 1)
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_rgb_roundtrip_and_lossy_sanity():
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    w, h, ch, px = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quant=np.ones(64))
+    )
+    assert (w, h, ch) == (23, 17, 3)
+    # YCbCr float roundtrip: within a few levels per channel
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 4
+    # default (Annex K) tables: lossy but structured content survives
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
+    _, _, _, gx = decode_jpeg_baseline(encode_jpeg_baseline(grad))
+    assert np.abs(gx.astype(int) - grad.astype(int)).mean() < 8
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 256, size=(4, 7), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    pay = encode_jpeg_baseline(img, quant=np.full(64, 8), restart_interval=3)
+    assert any(
+        pay[i] == 0xFF and 0xD0 <= pay[i + 1] <= 0xD7
+        for i in range(2, len(pay) - 2)
+    )
+    _, _, _, px = decode_jpeg_baseline(pay)
+    assert (px == img).all()
+
+
+def test_jpeg_rejects_non_baseline_and_garbage():
+    import numpy as np
+    import pytest
+
+    from big_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_baseline(b"PK\x03\x04 not a jpeg")
+    pay = bytearray(
+        encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8))
+    )
+    sof = pay.index(b"\xff\xc0")
+    pay[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_baseline(bytes(pay))
+
+
+def test_decode_image_dispatches_jpeg():
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal import decode_image
+    from big_data_pipeline_spark.multimodal.jpeg import encode_jpeg_baseline
+
+    img = np.full((8, 16), 77, dtype=np.uint8)
+    out = decode_image(encode_jpeg_baseline(img, quant=np.full(64, 8)))
+    assert (out == img).all()
