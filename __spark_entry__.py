@@ -86,72 +86,52 @@ _MODULES = (
 
 
 # The driver's correctness run covers a budgeted prefix of the
-# registry (observed rounds 1-4: exactly the first 50 entries), so
-# order IS coverage. Rounds 1-4 accumulated driver rows for 160 of the
-# 270 registered queries (153 hash-green, 7 rows-only-no-err, 0
-# genuine failures). Round-5 rotation (VERDICT r4 item 1): keep the 8
-# never-regress ANCHORS (one per SURVEY §2 / LLM-pipeline family,
-# hash-green every round they appeared) and fill the other 42 slots
-# with never-driver-checked queries — all hash-green in the full local
-# tools/check_oracle.py sweep. Two of the 42 carry this round's code
-# changes and re-prove them at the driver: zipf_fit_report (moment
-# sums rerouted through DECIMAL(38,0) after the r4 overflow advice)
-# and jaccard_prefix_filter_pairs (ppjoin positional/suffix filters,
-# VERDICT item 2). New operators built this round take slots under the
-# newest-work-first rule as they land, displacing tail first-timers to
-# the round-6 rotation.
+# registry (observed rounds 1-5: exactly the first 50 entries), so
+# order IS coverage. Rounds 1-5 accumulated driver rows for 195 of the
+# queries (hash-green or rows-only-no-err, 0 genuine failures across
+# five rounds); 92 registered queries had never held a window slot
+# entering round 6 (listed in the r6 rotation queue below).
 #
-# Round-6 rotation queue (the 68 remaining never-driver-checked
-# entries, minus whatever this round's new ops displace into it; all
-# green in the local sweep — the five approx_* / ann_recall entries
-# are rows-only by nature): keyset_pagination_page, sql_text_interface,
-# lineitem_measures_unpivot, association_rules_conf, cf_hitrate_eval,
-# part_affinity_lift, part_triple_support, skyline_price_size,
-# except_all_item_quantities, nth_order_values_per_customer,
-# surrogate_global_seq, position_attribution_credit,
-# conversion_hazard_table, attribution_latency_stats,
-# markov_removal_attribution, funnel_window_timeout,
-# sequence_pattern_counts, interarrival_rate_mle, event_type_pivot,
-# yoy_revenue_growth, ohlc_daily_resample, gap_fill_forward,
-# seasonal_residual_outliers, cusum_changepoint_per_user,
-# acf_lag_autocorr, churn_label_features, time_decay_customer_value,
-# percolator_match_counts, blocklist_term_filter, doc_char_diversity,
-# boilerplate_span_strip, token_cooccurrence_topk,
-# quality_rank_normalize, lang_id_confusion, inverted_index_postings,
-# bpe_token_counts, bigram_lm_quality, flesch_readability,
-# bm25_topk_docs, text_normalize_dedup, doc_fingerprint_winnow,
+# Round-6 window (VERDICT r5 item 1): the 8 never-regress ANCHORS (one
+# per SURVEY §2 / LLM-pipeline family), then 5 RE-PROOFS of operators
+# whose code changed this round and whose r05 rows therefore describe
+# superseded code (customer_revenue_pareto single-pass rewrite,
+# lmoments_by_priority decimal-product overflow fix,
+# mann_kendall_trend + theilsen_trend_per_user trailing-cap gate,
+# simhash_near_dups short-doc oracle clamp), then 2 NEW/CONVERTED ops
+# (ann_recall_report rows-only -> cell-exact full-replay oracle;
+# multimodal_jpeg_block_stats, the new baseline-JPEG decode), then 35
+# FIRST-TIMERS from the rotation queue in its documented order —
+# bigram_lm_quality and ks_drift_stat pulled forward because they also
+# carry this round's changes (degenerate-doc gate; single-pass CDFs).
+# All 50 are hash-green in the local tools/check_oracle.py sweep.
+#
+# Round-7 rotation queue (the ~55 still-never-driver-checked entries;
+# the knn_lsh/ivf + approx_* + stream_heavy_hitter + bpe_merge_learn +
+# stock_pipeline_predict entries are rows-only by nature):
+# token_cooccurrence_topk, quality_rank_normalize, lang_id_confusion,
+# inverted_index_postings, bpe_token_counts, flesch_readability,
+# text_normalize_dedup, doc_fingerprint_winnow,
 # maxsim_multivector_topk, knn_matryoshka_rerank, hard_negative_mining,
-# contrastive_negative_pairs, ann_recall_report, knn_label_vote,
-# record_linkage_score, sorted_neighborhood_neardup,
-# conformal_interval_report, dataset_card_stats, approx_theta_overlap,
-# approx_heavy_tokens, approx_sketch_rollup, sample_bottomk_docs,
-# approx_corpus_stats, winsorized_priority_revenue,
+# contrastive_negative_pairs, knn_ivf_topk, knn_lsh_topk,
+# knn_label_vote, record_linkage_score, sorted_neighborhood_neardup,
+# kcore_trade_graph, lpa_trade_communities, conformal_interval_report,
+# array_ops_tokens, salted_agg_flag_stats, scd2_asof_snapshot,
+# bpe_merge_learn, dataset_card_stats, approx_theta_overlap,
+# approx_heavy_tokens, approx_sketch_rollup, stratified_sample_docs,
+# sample_bottomk_docs, approx_corpus_stats, stream_heavy_hitter_users,
+# stream_stateful_user_stats, winsorized_priority_revenue,
 # fd_violation_audit, table_checksum_audit, poisson_bootstrap_means,
+# zscore_outlier_orders, join_fanout_audit, benford_deviation_audit,
+# mad_robust_outliers, mannwhitney_shift_test, equidepth_histogram,
 # preference_pair_assembly, sgns_training_pairs, epoch_shuffle_shards,
-# source_quota_sample, lineitem_regression_stats,
+# source_quota_sample, weighted_sample_docs, lineitem_regression_stats,
 # dsir_importance_score, ldiversity_audit, split_leakage_audit,
-# mannwhitney_shift_test, ks_drift_stat, session_concurrency_peak,
-# salted_agg_flag_stats, array_ops_tokens, benford_deviation_audit,
-# max_drawdown_per_user (timeseries keeps mann_kendall_trend in-window),
-# weighted_sample_docs, scd2_asof_snapshot, kcore_trade_graph,
-# lpa_trade_communities (displaced by the batch-2 newcomers
-# ngram_coverage_curve, bigram_pmi_collocations,
-# source_token_kl_divergence, hill_tail_index), and
-# sliding_window_counts, zscore_outlier_orders, stratified_sample_docs,
-# equidepth_histogram (displaced by the batch-4 newcomer
-# dau_mau_stickiness), join_fanout_audit, ab_power_mde,
-# mad_robust_outliers (displaced by the batch-5 newcomers
-# theil_inequality_decomposition, degree_assortativity_trade,
-# lmoments_by_priority)
-# (displaced by the batch-3 newcomers ndcg_matryoshka_prefix,
-# embedding_topm_sparsify, delta_encode_events). The earlier round-5
-# newcomers multimodal_png_pixel_stats, simhash_near_dups,
-# span_first_occurrence_dedup, mann_kendall_trend,
-# reciprocal_best_match, top_p_nucleus_filter, woe_risk_encoding also
-# hold window slots.
+# stock_pipeline_predict, sliding_window_counts,
+# session_concurrency_peak, ab_power_mde
 _PRIORITY = (
     # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
-    # text + streaming (hash-green r01..r04)
+    # text + streaming (hash-green r01..r05)
     "q1_pricing_summary",
     "filter_project",
     "topk_orders",
@@ -160,79 +140,57 @@ _PRIORITY = (
     "exact_dedup",
     "doc_token_stats",
     "stream_tumbling_window_counts",
-    # --- first-timers: relational / audit analytics
-    "nation_revenue_share",
+    # --- re-proofs: operators whose code changed THIS round
     "customer_revenue_pareto",
-    "key_skew_profile",
-    "map_props_stats",
-    # --- first-timers: experimentation / causal stats
-    "srm_chi2_check",
-    "did_purchase_lift",
-    "delta_method_ratio_ci",
-    # --- first-timers: graph ops over the trade graph
-    "bfs_trade_hops",
-    "sssp_trade_cost",
-    "closeness_trade_centrality",
-    "pagerank_nation_trade",
-    # --- first-timers: sampling / warehouse
-    "partition_backfill_plan",
-    "dq_orders_report",
-    "hll_distinct_users",
-    # --- first-timers: sessionization / batch windows / streaming
-    "tumbling_window_counts",
-    "session_windows",
-    "stream_session_dynamic_gap",
-    # --- first-timers: text / embeddings (zipf + ppjoin re-prove this
-    # round's fixes at the driver)
-    "lang_stats",
-    "zipf_fit_report",
-    "jaccard_prefix_filter_pairs",
-    "embedding_norm_stats",
-    # --- first-timers: data-quality / drift statistics
-    "table_profile_summary",
-    "spearman_rank_corr",
-    "measure_corr_matrix",
-    # --- round-5 NEW/CONVERTED operators: newest work accumulates
-    # driver rows immediately (mannwhitney_shift_test and
-    # ks_drift_stat displaced to the round-6 rotation).
-    # simhash_near_dups re-enters now that it carries the full
-    # fingerprint-replay oracle (md5-prefix feature hash both engines
-    # compute): its prior driver rows were rows-only; this converts
-    # the last near-dedup family member to a cell-exact driver check.
-    "multimodal_png_pixel_stats",
-    "simhash_near_dups",
-    # round-5 session-2 batch: the five operators built this session
-    # (all hash-green locally at sf0.001+sf0.01; displacing
-    # session_concurrency_peak, salted_agg_flag_stats, array_ops_tokens,
-    # benford_deviation_audit — each family keeps other in-window
-    # representation — to the round-6 rotation)
-    "span_first_occurrence_dedup",
-    "mann_kendall_trend",
-    "reciprocal_best_match",
-    "top_p_nucleus_filter",
-    "woe_risk_encoding",
-    # round-5 session-2 batch 2 (displacing weighted_sample_docs,
-    # scd2_asof_snapshot, kcore_trade_graph, lpa_trade_communities —
-    # sampling/warehouse/graph families keep other in-window slots)
-    "ngram_coverage_curve",
-    "bigram_pmi_collocations",
-    "source_token_kl_divergence",
-    "hill_tail_index",
-    # round-5 session-2 batch 3 (displacing sliding_window_counts,
-    # zscore_outlier_orders, stratified_sample_docs — window/audit/
-    # sampling families keep other in-window slots)
-    "ndcg_matryoshka_prefix",
-    "embedding_topm_sparsify",
-    "delta_encode_events",
-    # round-5 session-2 batch 4 (displacing equidepth_histogram —
-    # the relational/audit family keeps several in-window slots)
-    "dau_mau_stickiness",
-    # round-5 session-2 batch 5 (displacing join_fanout_audit,
-    # ab_power_mde, mad_robust_outliers — audit/experimentation/quality
-    # families keep other in-window slots)
-    "theil_inequality_decomposition",
-    "degree_assortativity_trade",
     "lmoments_by_priority",
+    "mann_kendall_trend",
+    "theilsen_trend_per_user",
+    "simhash_near_dups",
+    # --- new/converted this round
+    "ann_recall_report",
+    "multimodal_jpeg_block_stats",
+    # --- first-timers: relational / SQL-surface / set ops
+    "keyset_pagination_page",
+    "sql_text_interface",
+    "lineitem_measures_unpivot",
+    "except_all_item_quantities",
+    "nth_order_values_per_customer",
+    "skyline_price_size",
+    "surrogate_global_seq",
+    # --- first-timers: association / market-basket
+    "association_rules_conf",
+    "cf_hitrate_eval",
+    "part_affinity_lift",
+    "part_triple_support",
+    # --- first-timers: attribution / funnel / behavior
+    "position_attribution_credit",
+    "conversion_hazard_table",
+    "attribution_latency_stats",
+    "markov_removal_attribution",
+    "funnel_window_timeout",
+    "sequence_pattern_counts",
+    "interarrival_rate_mle",
+    "event_type_pivot",
+    # --- first-timers: timeseries family
+    "yoy_revenue_growth",
+    "ohlc_daily_resample",
+    "max_drawdown_per_user",
+    "gap_fill_forward",
+    "seasonal_residual_outliers",
+    "cusum_changepoint_per_user",
+    "acf_lag_autocorr",
+    "churn_label_features",
+    "time_decay_customer_value",
+    # --- first-timers: text / curation (bigram_lm_quality also
+    # re-proves this round's degenerate-doc gate)
+    "percolator_match_counts",
+    "blocklist_term_filter",
+    "doc_char_diversity",
+    "boilerplate_span_strip",
+    "bigram_lm_quality",
+    "bm25_topk_docs",
+    # --- first-timer: drift stats (carries this round's one-pass CDFs)
+    "ks_drift_stat",
 )
 
 

@@ -68,15 +68,27 @@ def main() -> int:
     # bounds registry wall-clock as the query count grows.
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    # Per-query Spark JOB counts (r5 VERDICT item 4): job count x
+    # scheduler pressure is what inflated the contended r5 driver run
+    # (multi-action plans like the old 3-agg pareto were hit 6-12x
+    # harder than single-job queries). Recording it per query makes the
+    # next bench anomaly diagnosable from the artifact alone.
+    jobs: dict[str, int] = {}
+    tracker = spark.sparkContext.statusTracker()
     for name, fn in qs.items():
         best = -1.0
         try:
             for i in range(runs):
+                group = f"bench:{name}:{i}"
+                spark.sparkContext.setJobGroup(group, name)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0
+                spark.sparkContext.setJobGroup("", "")
                 if i == 0 and runs > 1:
                     continue  # warmup execution: absorbs analysis + codegen
+                if name not in jobs:
+                    jobs[name] = len(tracker.getJobIdsForGroup(group))
                 best = dt if best < 0 else min(best, dt)
                 if best < 0.25:
                     break
@@ -104,6 +116,7 @@ def main() -> int:
                 "unit": "sec",
                 **stats,
                 "queries": timings,
+                "jobs": jobs,
                 "sf": sf,
             },
             indent=1,
