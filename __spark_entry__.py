@@ -101,19 +101,23 @@ _MODULES = (
 # simhash_near_dups short-doc oracle clamp), then 2 NEW/CONVERTED ops
 # (ann_recall_report rows-only -> cell-exact full-replay oracle;
 # multimodal_jpeg_block_stats, the new baseline-JPEG decode), then 35
-# FIRST-TIMERS from the rotation queue in its documented order —
-# bigram_lm_quality and ks_drift_stat pulled forward because they also
-# carry this round's changes (degenerate-doc gate; single-pass CDFs).
-# All 50 are hash-green in the local tools/check_oracle.py sweep.
+# FIRST-TIMERS — 33 from the rotation queue in its documented order
+# (bigram_lm_quality and ks_drift_stat pulled forward because they
+# also carry this round's changes: degenerate-doc gate; single-pass
+# CDFs) plus the two r6 rows-only->cell-exact conversions knn_lsh_topk
+# and approx_theta_overlap, themselves never driver-checked. All 50
+# are hash-green in the local tools/check_oracle.py sweep; every
+# window entry now carries an oracle twin (no weak rows possible).
 #
 # Round-7 rotation queue (the ~55 still-never-driver-checked entries;
-# the knn_lsh/ivf + approx_* + stream_heavy_hitter + bpe_merge_learn +
+# the knn_ivf + approx-sketch + stream_heavy_hitter + bpe_merge_learn +
 # stock_pipeline_predict entries are rows-only by nature):
+# churn_label_features, time_decay_customer_value,
 # token_cooccurrence_topk, quality_rank_normalize, lang_id_confusion,
 # inverted_index_postings, bpe_token_counts, flesch_readability,
 # text_normalize_dedup, doc_fingerprint_winnow,
 # maxsim_multivector_topk, knn_matryoshka_rerank, hard_negative_mining,
-# contrastive_negative_pairs, knn_ivf_topk, knn_lsh_topk,
+# contrastive_negative_pairs, knn_ivf_topk,
 # knn_label_vote, record_linkage_score, sorted_neighborhood_neardup,
 # kcore_trade_graph, lpa_trade_communities, conformal_interval_report,
 # array_ops_tokens, salted_agg_flag_stats, scd2_asof_snapshot,
@@ -179,8 +183,13 @@ _PRIORITY = (
     "seasonal_residual_outliers",
     "cusum_changepoint_per_user",
     "acf_lag_autocorr",
-    "churn_label_features",
-    "time_decay_customer_value",
+    # --- converted to cell-exact THIS round (also first-timers):
+    # knn_lsh_topk (hyperplane/signature/scoring replay twin) and
+    # approx_theta_overlap (replayable md5-prefix KMV hash) displace
+    # churn_label_features + time_decay_customer_value to the r7 queue
+    # (the timeseries family keeps seven other in-window slots)
+    "knn_lsh_topk",
+    "approx_theta_overlap",
     # --- first-timers: text / curation (bigram_lm_quality also
     # re-proves this round's degenerate-doc gate)
     "percolator_match_counts",

@@ -28,15 +28,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# xxhash64 → signed int64; shift into [0,1). Collisions (~n^2/2^64)
-# are far below estimator noise.
-_SCALE = 2.0**64
-_OFFSET = 2.0**63
+# 60-bit md5-prefix hash → [0,1). Chosen over xxhash64 (rounds 1-5)
+# for the same reason sample_bottomk_docs uses an LCG and simhash uses
+# md5 halves: any engine evaluates md5(decimal-string) identically, so
+# the WHOLE theta-sketch pipeline becomes cross-engine replayable and
+# the workload upgrades from a rows-only to a cell-exact hash check.
+# 15 hex nibbles = 60 bits keeps the integer exact in BIGINT on both
+# engines (16 nibbles would overflow signed int64); the division by
+# 2^60 is an exact power-of-two scale. Collisions (~n²/2^60) are far
+# below estimator noise.
+_SCALE_BITS = 60
 
 
 def normalized_hash(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return (F.xxhash64(c).cast("double") + F.lit(_OFFSET)) / F.lit(_SCALE)
+    v = F.conv(
+        F.substring(F.md5(c.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    return v / F.lit(float(1 << _SCALE_BITS))
+
+
+def normalized_hash_sql(expr: str) -> str:
+    """DuckDB twin of ``normalized_hash`` over a SQL expression."""
+    hexd = "0123456789abcdef"
+    terms = " + ".join(
+        f"(strpos('{hexd}', substring(md5(CAST({expr} AS VARCHAR)), "
+        f"{i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"(({terms}) / {float(1 << _SCALE_BITS)!r})"
 
 
 def kmv_sketch(

@@ -661,9 +661,13 @@ def approx_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sets → union AND intersection estimates from k doubles per side,
 # reported next to the exact counts (computed here only to expose the
 # error; a 100 TB deployment would persist the k-double sketches and
-# skip the exact pass). Deterministic (seeded hash) but
-# engine-specific → rows-only check; accuracy bounds are pinned in
-# tests/test_sketches.py.
+# skip the exact pass). CELL-EXACT since r6 (was rows-only): the KMV
+# hash is now a 60-bit md5-prefix (functions/sketches.normalized_hash)
+# that DuckDB replays nibble-for-nibble, so the twin rebuilds the
+# sketches relationally (distinct → hash → per-group bottom-k) and
+# re-derives all four estimates with the same float ops — every
+# threshold, estimate, and exact count hash-matches. Accuracy bounds
+# stay pinned in tests/test_sketches.py.
 
 _THETA_K = 64
 
@@ -734,6 +738,90 @@ def approx_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(measures).alias("m"))
         .select("m.measure", "m.estimate", "m.exact")
     )
+
+
+def _theta_sql() -> str:
+    """Full-replay DuckDB twin of approx_theta_overlap: rebuild both
+    KMV sketches from the replayable md5-prefix hash, then evaluate
+    the four estimators with the same scalar float arithmetic Spark's
+    array expressions perform (63/kth-min, theta-scaled shared count).
+    The `scalars` cross join propagates emptiness: if either event
+    family is absent the Spark side emits zero rows, and so does this."""
+    from big_data_pipeline_spark.functions.sketches import (
+        normalized_hash_sql,
+    )
+
+    k = _THETA_K
+    u = normalized_hash_sql("user_id")
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+uv AS (SELECT event_type, user_id, {u} AS u FROM ev),
+ranked AS (
+  SELECT event_type, u,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM uv
+),
+cnt AS (SELECT event_type, COUNT(*) AS n FROM uv GROUP BY 1),
+uni AS (SELECT DISTINCT u FROM uv),
+uni_ranked AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn FROM uni),
+inter_exact AS (
+  SELECT COUNT(*) AS x_inter FROM (
+    SELECT user_id FROM ev GROUP BY user_id
+    HAVING COUNT(DISTINCT event_type) = 2
+  )
+),
+scalars AS (
+  SELECT a.n AS a_n, b.n AS b_n,
+         (SELECT COUNT(*) FROM uni) AS u_n,
+         (SELECT x_inter FROM inter_exact) AS x_inter,
+         (SELECT u FROM ranked
+          WHERE event_type = 'click' AND rn = {k}) AS kth_a,
+         (SELECT u FROM ranked
+          WHERE event_type = 'purchase' AND rn = {k}) AS kth_b,
+         (SELECT u FROM uni_ranked WHERE rn = {k}) AS kth_u,
+         CASE WHEN a.n < {k} THEN 1.0
+              ELSE (SELECT u FROM ranked
+                    WHERE event_type = 'click' AND rn = {k}) END AS theta_a,
+         CASE WHEN b.n < {k} THEN 1.0
+              ELSE (SELECT u FROM ranked
+                    WHERE event_type = 'purchase' AND rn = {k}) END
+           AS theta_b
+  FROM (SELECT n FROM cnt WHERE event_type = 'click') a,
+       (SELECT n FROM cnt WHERE event_type = 'purchase') b
+),
+shared AS (
+  SELECT COUNT(*) AS n_shared
+  FROM ranked ra JOIN ranked rb ON ra.u = rb.u, scalars s
+  WHERE ra.event_type = 'click' AND rb.event_type = 'purchase'
+    AND ra.rn <= {k} AND rb.rn <= {k}
+    AND ra.u < LEAST(s.theta_a, s.theta_b)
+)
+SELECT 'click_users' AS measure,
+       CASE WHEN a_n < {k} THEN CAST(a_n AS DOUBLE)
+            ELSE {k - 1} / kth_a END AS estimate,
+       CAST(a_n AS DOUBLE) AS exact
+FROM scalars
+UNION ALL
+SELECT 'purchase_users',
+       CASE WHEN b_n < {k} THEN CAST(b_n AS DOUBLE)
+            ELSE {k - 1} / kth_b END,
+       CAST(b_n AS DOUBLE)
+FROM scalars
+UNION ALL
+SELECT 'union_users',
+       CASE WHEN u_n < {k} THEN CAST(u_n AS DOUBLE)
+            ELSE {k - 1} / kth_u END,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM ev) AS DOUBLE)
+FROM scalars
+UNION ALL
+SELECT 'intersect_users',
+       (SELECT n_shared FROM shared) / LEAST(theta_a, theta_b),
+       CAST(x_inter AS DOUBLE)
+FROM scalars
+"""
 
 
 # --- approx_heavy_tokens: fixed-memory heavy hitters (Misra-Gries) ---------
@@ -1481,6 +1569,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "approx_theta_overlap": _theta_sql(),
     "top_p_nucleus_filter": _NUCLEUS_SQL,
     "span_corruption_plan": _SPAN_SQL,
     "gini_source_concentration": _GINI_SQL,

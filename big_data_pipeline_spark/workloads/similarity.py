@@ -135,7 +135,11 @@ FROM t GROUP BY label
 
 
 def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k (rows-only check; recall asserted in tests).
+    """Approximate cosine top-k via LSH bucketing — CELL-EXACT since r6
+    (was rows-only): the DuckDB twin replays the seeded hyperplanes,
+    signatures, collision join, and fixed-association scoring (see
+    ann_recall_report's determinism argument and the sign-margin test
+    in tests/test_recall.py); recall floors stay asserted in tests.
 
     Bandwidth tuned for this corpus's weak-similarity regime (true
     neighbors only reach cosine ~0.45, so collision probabilities are
@@ -144,7 +148,15 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer, wider tables."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_topk(queries, emb, k=_K, n_tables=24, bits=6)
+    return lsh_topk(
+        queries,
+        emb,
+        k=_K,
+        n_tables=_LSH_TABLES,
+        bits=_LSH_BITS,
+        seed=_LSH_SEED,
+        exact_scores=True,
+    )
 
 
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,11 +1197,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_sql() -> str:
-    """Full-replay DuckDB twin of ann_recall_report (see the block
-    comment above for the determinism argument). The hyperplanes are
-    the SAME splitmix/Box-Muller stream Spark uses, embedded as 144
-    64-float list literals (repr round-trips doubles exactly)."""
+def _lsh_replay_ctes() -> str:
+    """Shared DuckDB replay of the LSH pipeline (hyperplanes →
+    signatures → collisions → fixed-association scoring → per-query
+    rank): the CTE chain both _knn_lsh_sql and _ann_recall_sql build
+    on. The hyperplanes are the SAME splitmix/Box-Muller stream Spark
+    uses, embedded as 144 64-float list literals (repr round-trips
+    doubles exactly)."""
     from big_data_pipeline_spark.similarity.knn import _hyperplanes
 
     planes = _hyperplanes(_LSH_TABLES, _LSH_BITS, EMB_DIMS_DEFAULT, _LSH_SEED)
@@ -1199,9 +1213,7 @@ def _ann_recall_sql() -> str:
         for b in range(_LSH_BITS)
     )
     d = EMB_DIMS_DEFAULT
-    return f"""
-WITH exact_topk AS ({_KNN_SQL}),
-planes(table_id, bit, ws) AS (VALUES
+    return f"""planes(table_id, bit, ws) AS (VALUES
     {rows}
 ),
 pw AS (
@@ -1242,13 +1254,31 @@ ascored AS (
   JOIN en qe ON qe.vec_id = query_id
   JOIN en ce ON ce.vec_id = neighbor_id
 ),
+aranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM ascored
+)"""
+
+
+def _knn_lsh_sql() -> str:
+    """Full-replay DuckDB twin of knn_lsh_topk."""
+    return f"""
+WITH {_lsh_replay_ctes()}
+SELECT query_id, CAST(rn AS INT) AS "rank", neighbor_id, cos_sim
+FROM aranked WHERE rn <= {_K}
+"""
+
+
+def _ann_recall_sql() -> str:
+    """Full-replay DuckDB twin of ann_recall_report (see the block
+    comment above for the determinism argument)."""
+    return f"""
+WITH exact_topk AS ({_KNN_SQL}),
+{_lsh_replay_ctes()},
 approx AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
-    FROM ascored
-  ) WHERE rn <= {_K}
+  SELECT query_id, neighbor_id FROM aranked WHERE rn <= {_K}
 ),
 per_q AS (
   SELECT ex.query_id,
@@ -2076,4 +2106,5 @@ ORACLE = {
     "embedding_norm_stats": _NORM_STATS_SQL,
     "knn_label_vote": _KNN_VOTE_SQL,
     "ann_recall_report": _ann_recall_sql(),
+    "knn_lsh_topk": _knn_lsh_sql(),
 }
