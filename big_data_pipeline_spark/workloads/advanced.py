@@ -1140,11 +1140,14 @@ WITH ranked AS (
 agg AS (
   SELECT o_orderpriority, COUNT(*) AS n,
          CAST(SUM(cents) AS BIGINT) AS s0,
-         SUM(CAST(CAST(cents AS DECIMAL(14,0))
-                  * CAST(r - 1 AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS s1,
-         SUM(CAST(CAST(cents AS DECIMAL(14,0))
-                  * CAST(r - 1 AS DECIMAL(12,0))
-                  * CAST(r - 2 AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS s2
+         -- HUGEINT (INT128) arithmetic: DuckDB's DECIMAL multiply
+         -- evaluates in the narrower operand's physical type and
+         -- overflows at sf1 where Spark's DECIMAL(38,0) is fine;
+         -- HUGEINT gives the same exact 128-bit products/sums, and
+         -- only the VARCHAR-routed double conversions below are
+         -- compared cross-engine (identical integer strings).
+         SUM(CAST(cents AS HUGEINT) * (r - 1)) AS s1,
+         SUM(CAST(cents AS HUGEINT) * (r - 1) * (r - 2)) AS s2
   FROM ranked GROUP BY o_orderpriority
 )
 SELECT o_orderpriority,
