@@ -9,7 +9,10 @@ def test_cli_list(capsys, spark):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "q1_pricing_summary\tsql-checked" in out
-    assert "knn_lsh_topk\trows-only" in out
+    # knn_lsh_topk graduated to sql-checked in r6 (full-replay twin);
+    # IVF stays rows-only (data-dependent k-means centroids)
+    assert "knn_lsh_topk\tsql-checked" in out
+    assert "knn_ivf_topk\trows-only" in out
 
 
 def test_cli_query_runs(capsys, spark):

@@ -317,6 +317,49 @@ def test_sharded_running_sum_equals_window(spark, sf_dir):
         assert a == b, shards
 
 
+def test_sharded_running_sums_multi_value_equals_windows(spark, sf_dir):
+    """The multi-value form (one approxQuantile + one local window for
+    ANY number of cumulative columns) must equal per-column windows —
+    pins the r6 pareto/ks_drift single-pass rewrite."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_pipeline_spark.io import read_table
+    from big_data_pipeline_spark.operators.prefix import (
+        sharded_running_sums,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 7).alias("v"),
+        (F.col("event_id") % 3).alias("u"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = ev.withColumns(
+        {
+            "cum_v": F.sum("v").over(w),
+            "cum_u": F.sum("u").over(w),
+            "rank": F.sum(F.lit(1)).over(w),
+        }
+    )
+    got = sharded_running_sums(
+        ev,
+        ["user_id"],
+        "event_id",
+        [("v", "cum_v"), ("u", "cum_u"), (F.lit(1), "rank")],
+        shards=8,
+    )
+    cols = ["event_id", "cum_v", "cum_u", "rank"]
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, want.select(*cols).collect()))
+    assert a == b
+
+
 def test_sharded_running_sum_low_cardinality_partition(spark, sf_dir):
     """The motivating case: ONE window partition, shards-way parallel."""
     from pyspark.sql import Window
