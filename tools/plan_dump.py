@@ -70,6 +70,10 @@ HEADLINE = [
     ("top_p_nucleus_filter", "vocab-partitioned rank/cumsum, integer cut"),
     ("source_token_kl_divergence", "integer micro-log accumulation via DECIMAL"),
     ("ngram_coverage_curve", "model-sized vocab window + threshold explode"),
+    ("customer_revenue_pareto", "ONE multi-value sharded prefix pass + single 3-threshold agg (r6)"),
+    ("multimodal_jpeg_block_stats", "repartitioned Arrow JPEG decode, no shuffle after (r6)"),
+    ("knn_lsh_topk", "signature bucket join, ids-only shuffle, exact-assoc rescore (r6)"),
+    ("theilsen_trend_per_user", "trailing-cap gate BEFORE the per-key pair join (r6)"),
 ]
 
 
