@@ -284,3 +284,45 @@ def test_ppjoin_equals_naive_join_property(spark, tmp_path_factory, texts):
         for r in jaccard_prefix_filter_pairs(spark, str(tmp)).collect()
     }
     assert pref == naive
+
+
+# --- baseline JPEG codec fuzz (round 6) -------------------------------------
+# No Spark involvement: pure codec round-trips over adversarial shapes
+# (1x1, extreme aspect ratios, non-multiple-of-8 dims, constant and
+# saturated rasters) — the cases a fixture corpus never produces.
+
+_jpeg_imgs = st.tuples(
+    st.integers(min_value=1, max_value=40),  # height
+    st.integers(min_value=1, max_value=40),  # width
+    st.integers(min_value=0, max_value=2**31 - 1),  # value seed
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_jpeg_imgs)
+def test_jpeg_unit_quant_roundtrip_property(dims):
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    h, w, seed = dims
+    rng = np.random.default_rng(seed)
+    # mix structured and saturated content: gradients hit long zero
+    # runs (ZRL/EOB paths), uniform noise hits dense AC blocks,
+    # constants hit the DC-only path
+    kind = seed % 3
+    if kind == 0:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    elif kind == 1:
+        img = np.fromfunction(
+            lambda y, x: (4 * x + 7 * y) % 256, (h, w)
+        ).astype(np.uint8)
+    else:
+        img = np.full((h, w), seed % 256, dtype=np.uint8)
+    pay = encode_jpeg_baseline(img, quant=np.ones(64))
+    dw, dh, ch, px = decode_jpeg_baseline(pay)
+    assert (dw, dh, ch) == (w, h, 1)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 1
