@@ -1,8 +1,11 @@
 """Approximate-dedup workload: MinHash-LSH and SimHash near-dup pairs.
 
-Both are approximate-by-construction (SURVEY.md §7.4: LSH ops can't
-hash-match an oracle), so the driver records rows-only checks here.
-Their quality is pinned two other ways:
+Both are approximate-by-construction but fully DETERMINISTIC, and both
+are cell-exact oracle checks today (minhash since r4, simhash since
+r5): the DuckDB twins replay the md5-derived signatures and recompute
+the pair sets brute-force, so the driver hash-checks the banding /
+pigeonhole tricks' completeness, not just the plumbing. Quality is
+additionally pinned in tests:
 - tests/test_dedup.py asserts MinHash recall == 1.0 on the corpus's
   planted near-dups vs the exact ``shingle_jaccard_pairs`` oracle query,
   and SimHash determinism across runs.

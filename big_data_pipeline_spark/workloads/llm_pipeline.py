@@ -9,11 +9,12 @@ whole lineage and prunes/pushes across stage boundaries.
 
 Sampling and approximate aggregates are the remaining first-class
 training-data ops: at 100 TB nobody counts distincts exactly or
-samples with ORDER BY rand() LIMIT n. Sketches and engine-RNG
-sampling are engine-specific (different internals than DuckDB) and
-get rows-only driver checks plus pytest accuracy bounds; the
-hash-ranked bottom-k sample and the greedy packer are deterministic,
-so they carry full oracle twins.
+samples with ORDER BY rand() LIMIT n. ENGINE-INTERNAL sketches
+(Spark HLL / DataSketches / percentile_approx) can't be replayed by
+DuckDB and get rows-only driver checks plus pytest accuracy bounds;
+everything built from replayable hashes carries a full oracle twin —
+the hash-ranked bottom-k sample, the greedy packer, and (since r6)
+the md5-prefix KMV theta sketches.
 """
 
 from __future__ import annotations
@@ -612,7 +613,12 @@ FROM keyed ORDER BY hv, doc_id LIMIT 100
 """
 
 
-# --- approximate aggregates (rows-only: sketch internals differ) -------------
+# --- approximate aggregates ------------------------------------------------
+# approx_corpus_stats / approx_sketch_rollup use ENGINE-INTERNAL
+# sketches (Spark HLL / DataSketches / percentile_approx) that DuckDB
+# cannot replay → rows-only checks with pytest accuracy bounds.
+# approx_theta_overlap's KMV sketch, by contrast, is built from a
+# replayable md5-prefix hash and is a cell-exact check since r6.
 
 
 def approx_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
