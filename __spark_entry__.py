@@ -109,10 +109,12 @@ _MODULES = (
 # are hash-green in the local tools/check_oracle.py sweep; every
 # window entry now carries an oracle twin (no weak rows possible).
 #
-# Round-7 rotation queue (the ~55 still-never-driver-checked entries;
+# Round-7 rotation queue (the still-never-driver-checked entries, plus
+# boilerplate_span_strip displaced by the GIF query;
 # the knn_ivf + approx-sketch + stream_heavy_hitter + bpe_merge_learn +
 # stock_pipeline_predict entries are rows-only by nature):
 # churn_label_features, time_decay_customer_value,
+# boilerplate_span_strip,
 # token_cooccurrence_topk, quality_rank_normalize, lang_id_confusion,
 # inverted_index_postings, bpe_token_counts, flesch_readability,
 # text_normalize_dedup, doc_fingerprint_winnow,
@@ -191,11 +193,13 @@ _PRIORITY = (
     "knn_lsh_topk",
     "approx_theta_overlap",
     # --- first-timers: text / curation (bigram_lm_quality also
-    # re-proves this round's degenerate-doc gate)
+    # re-proves this round's degenerate-doc gate). boilerplate_span_strip
+    # displaced to the r7 queue by the late-round GIF codec query
+    # (newest-work-first; the curation family keeps five other slots).
     "percolator_match_counts",
     "blocklist_term_filter",
     "doc_char_diversity",
-    "boilerplate_span_strip",
+    "multimodal_gif_frame_stats",
     "bigram_lm_quality",
     "bm25_topk_docs",
     # --- first-timer: drift stats (carries this round's one-pass CDFs)

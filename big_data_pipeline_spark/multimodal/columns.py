@@ -736,11 +736,137 @@ def decoded_jpeg_stats(df: DataFrame, payload_col: str = "media") -> DataFrame:
     return df.mapInPandas(extract, schema=out_schema)
 
 
+# --- GIF: multi-frame LZW container with an exactly-known raster ------------
+# attach_gif_media renders document text as an ANIMATED grayscale GIF:
+# 16x4-pixel frames of 64 text bytes each (up to _GIF_MAX_FRAMES,
+# zero-padded last frame), real variable-width LZW per frame
+# (multimodal/gif.py). Lossless → the PNG/JPEG oracle contract again:
+# the decoded frame stack is a pure function of the text bytes, so the
+# DuckDB twin recomputes every statistic from hex while the Spark side
+# must run the actual LZW decode + frame walk. This is the frame-
+# sample plumbing (SURVEY multimodal: video frame-sampling) exercised
+# against a REAL animated container rather than the synthetic
+# fake-media payloads.
+
+_GIF_FRAME_W = 16
+_GIF_FRAME_H = 4
+_GIF_FRAME_BYTES = _GIF_FRAME_W * _GIF_FRAME_H  # 64
+_GIF_MAX_FRAMES = 4  # cap: 256 text bytes per document
+
+
+def attach_gif_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from big_data_pipeline_spark.multimodal.gif import encode_gif
+
+    @pandas_udf(T.BinaryType())
+    def _enc(texts: pd.Series) -> pd.Series:
+        out = []
+        cap = _GIF_FRAME_BYTES * _GIF_MAX_FRAMES
+        for t in texts:
+            b = ("" if t is None else t).encode("utf-8")[:cap]
+            nf = max(1, -(-len(b) // _GIF_FRAME_BYTES))
+            b = b + bytes(nf * _GIF_FRAME_BYTES - len(b))
+            frames = [
+                np.frombuffer(
+                    b[i * _GIF_FRAME_BYTES : (i + 1) * _GIF_FRAME_BYTES],
+                    dtype=np.uint8,
+                ).reshape(_GIF_FRAME_H, _GIF_FRAME_W)
+                for i in range(nf)
+            ]
+            out.append(encode_gif(frames))
+        return pd.Series(out)
+
+    payload = _enc(F.col(text_col))
+    raw_len = F.least(
+        F.octet_length(F.encode(F.col(text_col), "UTF-8")),
+        F.lit(_GIF_FRAME_BYTES * _GIF_MAX_FRAMES),
+    )
+    n_frames = F.greatest(
+        F.lit(1), F.ceil(raw_len / F.lit(_GIF_FRAME_BYTES))
+    ).cast("int")
+    return df.withColumns(
+        {
+            "media": payload,
+            "media_meta": F.struct(
+                F.lit("animation").alias("media_type"),
+                F.lit("gif").alias("format"),
+                F.lit(_GIF_FRAME_W).alias("width"),
+                F.lit(_GIF_FRAME_H).alias("height"),
+                n_frames.alias("n_frames"),
+                F.octet_length(payload).cast("long").alias("n_bytes"),
+            ),
+        }
+    )
+
+
+def decoded_gif_stats(df: DataFrame, payload_col: str = "media") -> DataFrame:
+    """REAL LZW decode path: run ``decode_gif`` on each payload inside
+    one Arrow-batched mapInPandas pass and emit integer-exact raster
+    statistics over the full frame stack. Pass-through columns are
+    preserved; the payload column is pruned."""
+    from big_data_pipeline_spark.multimodal.gif import decode_gif
+
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [
+            *keep,
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("sum_pixels", T.LongType()),
+            T.StructField("n_zero", T.LongType()),
+            T.StructField("px_min", T.IntegerType()),
+            T.StructField("px_max", T.IntegerType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                w, h, frames = decode_gif(bytes(payload))
+                flat = np.concatenate(
+                    [f.reshape(-1) for f in frames]
+                ).astype(np.int64)
+                rows.append(
+                    (
+                        w,
+                        h,
+                        len(frames),
+                        int(flat.sum()),
+                        int((flat == 0).sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        float(flat.sum()) / len(flat),
+                    )
+                )
+            stats = pd.DataFrame(
+                rows,
+                columns=[
+                    "width",
+                    "height",
+                    "n_frames",
+                    "sum_pixels",
+                    "n_zero",
+                    "px_min",
+                    "px_max",
+                    "mean_pixel",
+                ],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf[keep_names], stats], axis=1)
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to a numpy array. Netpbm (P5/P6), PNG
-    (8-bit gray/RGB/RGBA) and baseline JPEG decode natively with no
-    dependencies; other formats fall back to a gated PIL import (not
-    present in this environment)."""
+    (8-bit gray/RGB/RGBA), baseline JPEG, and GIF (first frame) decode
+    natively with no dependencies; other formats fall back to a gated
+    PIL import (not present in this environment)."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)[4]
     if payload[:8] == _PNG_SIG:
@@ -751,6 +877,10 @@ def decode_image(payload: bytes):
         )
 
         return decode_jpeg_baseline(payload)[3]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from big_data_pipeline_spark.multimodal.gif import decode_gif
+
+        return decode_gif(payload)[2][0]
     try:
         import io
 

@@ -593,7 +593,70 @@ FROM d
 """
 
 
+# --- REAL animated-container decode: GIF multi-frame LZW --------------------
+# attach_gif_media renders each document as an ANIMATED grayscale GIF
+# (16x4 frames of 64 text bytes, up to 4 frames, real variable-width
+# LZW per frame — multimodal/gif.py). GIF is lossless, so the decoded
+# frame stack is exactly the capped text bytes + zero padding and the
+# DuckDB twin recomputes every statistic from hex — while the Spark
+# side must execute the real LZW decode (code-width growth, clear/EOI,
+# sub-block reassembly) and walk every frame. Alongside PNG (zlib) and
+# JPEG (DCT/Huffman) this covers the third major compressed format a
+# scraped multimodal corpus meets, and exercises the video-like
+# frame-walk path on a REAL container.
+#
+# Scale shape: one narrow Arrow pass, repartitioned like the JPEG
+# query (small corpora arrive as one split), no shuffle after; decode
+# cost linear in (capped) raster bytes.
+
+
+def multimodal_gif_frame_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from big_data_pipeline_spark.multimodal import (
+        attach_gif_media,
+        decoded_gif_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = attach_gif_media(docs)
+    return decoded_gif_stats(media.select("doc_id", "media"))
+
+
+_GIF_STATS_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         LEAST(octet_length(encode(text)), 256) AS nb
+  FROM documents
+), d AS (
+  SELECT doc_id, nb,
+         GREATEST(1, CAST(CEIL(nb / 64.0) AS BIGINT)) AS nf,
+         list_transform(range(0, nb), i ->
+           (strpos('0123456789ABCDEF', substring(hx, CAST(i*2+1 AS INT), 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substring(hx, CAST(i*2+2 AS INT), 1)) - 1
+         ) AS vals
+  FROM h
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(COALESCE(list_sum(vals), 0) AS BIGINT) AS sum_pixels,
+       CAST(COALESCE(len(list_filter(vals, v -> v = 0)), 0)
+            + (nf * 64 - nb) AS BIGINT) AS n_zero,
+       CAST(CASE WHEN nf * 64 > nb THEN 0
+                 ELSE list_aggregate(vals, 'min') END AS INT) AS px_min,
+       CAST(CASE WHEN nb = 0 THEN 0
+                 ELSE GREATEST(list_aggregate(vals, 'max'), 0) END AS INT)
+         AS px_max,
+       CAST(COALESCE(list_sum(vals), 0) AS DOUBLE) / (nf * 64) AS mean_pixel
+FROM d
+"""
+
+
 QUERIES = {
+    "multimodal_gif_frame_stats": multimodal_gif_frame_stats,
     "multimodal_jpeg_block_stats": multimodal_jpeg_block_stats,
     "multimodal_png_pixel_stats": multimodal_png_pixel_stats,
     "multimodal_corrupt_quarantine": multimodal_corrupt_quarantine,
@@ -607,6 +670,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "multimodal_gif_frame_stats": _GIF_STATS_SQL,
     "multimodal_jpeg_block_stats": _JPEG_STATS_SQL,
     "multimodal_png_pixel_stats": _PNG_STATS_SQL,
     "multimodal_corrupt_quarantine": _QUARANTINE_SQL,

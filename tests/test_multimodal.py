@@ -448,3 +448,73 @@ def test_decode_image_dispatches_jpeg():
     img = np.full((8, 16), 77, dtype=np.uint8)
     out = decode_image(encode_jpeg_baseline(img, quant=np.full(64, 8)))
     assert (out == img).all()
+
+
+# --- GIF codec (round-6: third real compressed format, multi-frame) ---------
+
+
+def test_gif_roundtrip_single_and_multiframe():
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(13, 29), dtype=np.uint8)
+    w, h, frames = decode_gif(encode_gif(img))
+    assert (w, h, len(frames)) == (29, 13, 1)
+    assert (frames[0] == img).all()
+    fr = [rng.integers(0, 256, size=(8, 16), dtype=np.uint8) for _ in range(5)]
+    w, h, frames = decode_gif(encode_gif(fr))
+    assert len(frames) == 5
+    assert all((a == b).all() for a, b in zip(frames, fr))
+
+
+def test_gif_lzw_dictionary_growth_reset_and_compression():
+    """A 200x300 raster pushes LZW through every code width up to the
+    12-bit cap and at least one dictionary reset; repetitive content
+    must actually COMPRESS (real LZW, not a store)."""
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, size=(200, 300), dtype=np.uint8)
+    assert (decode_gif(encode_gif(big))[2][0] == big).all()
+    rep = np.tile(np.arange(16, dtype=np.uint8), (64, 64))
+    pay = encode_gif(rep)
+    assert (decode_gif(pay)[2][0] == rep).all()
+    assert len(pay) < rep.size // 10  # 64 KiB raster -> ~2.6 KiB
+
+
+def test_gif_interlace_and_all_values():
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.gif import decode_gif, encode_gif
+
+    allv = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert (decode_gif(encode_gif(allv, interlace=True))[2][0] == allv).all()
+    assert (decode_gif(encode_gif(allv))[2][0] == allv).all()
+
+
+def test_gif_rejects_garbage_and_truncation():
+    import numpy as np
+    import pytest
+
+    from big_data_pipeline_spark.multimodal.gif import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"RIFFxxxxWAVE")
+    pay = encode_gif(np.full((8, 8), 7, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_gif(pay[: len(pay) // 2])
+
+
+def test_decode_image_dispatches_gif_first_frame():
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal import decode_image
+    from big_data_pipeline_spark.multimodal.gif import encode_gif
+
+    fr = [np.full((4, 8), v, dtype=np.uint8) for v in (9, 200)]
+    out = decode_image(encode_gif(fr))
+    assert (out == fr[0]).all()

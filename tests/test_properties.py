@@ -326,3 +326,38 @@ def test_jpeg_unit_quant_roundtrip_property(dims):
     dw, dh, ch, px = decode_jpeg_baseline(pay)
     assert (dw, dh, ch) == (w, h, 1)
     assert np.abs(px.astype(int) - img.astype(int)).max() <= 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),  # height
+        st.integers(min_value=1, max_value=30),  # width
+        st.integers(min_value=1, max_value=4),  # frames
+        st.integers(min_value=0, max_value=2**31 - 1),  # seed
+    )
+)
+def test_gif_lzw_roundtrip_property(dims):
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.gif import decode_gif, encode_gif
+
+    h, w, nf, seed = dims
+    rng = np.random.default_rng(seed)
+    kind = seed % 3
+    if kind == 0:
+        frames = [
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            for _ in range(nf)
+        ]
+    elif kind == 1:  # low-entropy: long LZW strings, many dict hits
+        frames = [
+            (np.indices((h, w)).sum(axis=0) % (2 + seed % 7)).astype(np.uint8)
+            for _ in range(nf)
+        ]
+    else:
+        frames = [np.full((h, w), (seed + i) % 256, np.uint8) for i in range(nf)]
+    dw, dh, got = decode_gif(encode_gif(frames, interlace=bool(seed % 2)))
+    assert (dw, dh, len(got)) == (w, h, nf)
+    for a, b in zip(got, frames):
+        assert (a == b).all()
