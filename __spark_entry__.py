@@ -109,101 +109,86 @@ _MODULES = (
 # are hash-green in the local tools/check_oracle.py sweep; every
 # window entry now carries an oracle twin (no weak rows possible).
 #
-# Round-7 rotation queue (the still-never-driver-checked entries, plus
-# boilerplate_span_strip displaced by the GIF query;
-# the knn_ivf + approx-sketch + stream_heavy_hitter + bpe_merge_learn +
-# stock_pipeline_predict entries are rows-only by nature):
-# churn_label_features, time_decay_customer_value,
-# boilerplate_span_strip,
-# token_cooccurrence_topk, quality_rank_normalize, lang_id_confusion,
-# inverted_index_postings, bpe_token_counts, flesch_readability,
-# text_normalize_dedup, doc_fingerprint_winnow,
-# maxsim_multivector_topk, knn_matryoshka_rerank, hard_negative_mining,
-# contrastive_negative_pairs, knn_ivf_topk,
-# knn_label_vote, record_linkage_score, sorted_neighborhood_neardup,
-# kcore_trade_graph, lpa_trade_communities, conformal_interval_report,
-# array_ops_tokens, salted_agg_flag_stats, scd2_asof_snapshot,
-# bpe_merge_learn, dataset_card_stats, approx_theta_overlap,
-# approx_heavy_tokens, approx_sketch_rollup, stratified_sample_docs,
-# sample_bottomk_docs, approx_corpus_stats, stream_heavy_hitter_users,
-# stream_stateful_user_stats, winsorized_priority_revenue,
-# fd_violation_audit, table_checksum_audit, poisson_bootstrap_means,
-# zscore_outlier_orders, join_fanout_audit, benford_deviation_audit,
-# mad_robust_outliers, mannwhitney_shift_test, equidepth_histogram,
-# preference_pair_assembly, sgns_training_pairs, epoch_shuffle_shards,
-# source_quota_sample, weighted_sample_docs, lineitem_regression_stats,
-# dsir_importance_score, ldiversity_audit, split_leakage_audit,
-# stock_pipeline_predict, sliding_window_counts,
-# session_concurrency_peak, ab_power_mde
+# Round-7 window (VERDICT r6 item 1): the driver has now checked 237
+# of 289 registry queries across r01-r06 with zero genuine failures;
+# exactly 52 have never held a window slot. This round the window IS
+# the rotation queue: all 52 never-checked entries in registry order,
+# minus the two weakest rows-only sketch queries (approx_sketch_rollup,
+# approx_corpus_stats — no oracle twin by design, so a window slot only
+# buys a rows>0 check; they mop up in r8 alongside this round's
+# rows-only->cell-exact conversions). 50 slots, 50 first-timers; after
+# this round 287/289 are driver-checked.
+#
+# Round-8 mop-up queue: approx_sketch_rollup, approx_corpus_stats,
+# plus re-proofs of any operator whose code changed in r7
+# (bpe_merge_learn + stock_pipeline_predict cell-exact conversions,
+# ann_recall_report cost shave).
 _PRIORITY = (
-    # --- anchors: §2 core agg/filter/topk/argmax + UDAF + dedup +
-    # text + streaming (hash-green r01..r05)
-    "q1_pricing_summary",
-    "filter_project",
-    "topk_orders",
-    "latest_event_per_user",
-    "median_order_value",
-    "exact_dedup",
-    "doc_token_stats",
-    "stream_tumbling_window_counts",
-    # --- re-proofs: operators whose code changed THIS round
-    "customer_revenue_pareto",
-    "lmoments_by_priority",
-    "mann_kendall_trend",
-    "theilsen_trend_per_user",
-    "simhash_near_dups",
-    # --- new/converted this round
-    "ann_recall_report",
-    "multimodal_jpeg_block_stats",
-    # --- first-timers: relational / SQL-surface / set ops
-    "keyset_pagination_page",
-    "sql_text_interface",
-    "lineitem_measures_unpivot",
-    "except_all_item_quantities",
-    "nth_order_values_per_customer",
-    "skyline_price_size",
-    "surrogate_global_seq",
-    # --- first-timers: association / market-basket
-    "association_rules_conf",
-    "cf_hitrate_eval",
-    "part_affinity_lift",
-    "part_triple_support",
-    # --- first-timers: attribution / funnel / behavior
-    "position_attribution_credit",
-    "conversion_hazard_table",
-    "attribution_latency_stats",
-    "markov_removal_attribution",
-    "funnel_window_timeout",
-    "sequence_pattern_counts",
-    "interarrival_rate_mle",
-    "event_type_pivot",
-    # --- first-timers: timeseries family
-    "yoy_revenue_growth",
-    "ohlc_daily_resample",
-    "max_drawdown_per_user",
-    "gap_fill_forward",
-    "seasonal_residual_outliers",
-    "cusum_changepoint_per_user",
-    "acf_lag_autocorr",
-    # --- converted to cell-exact THIS round (also first-timers):
-    # knn_lsh_topk (hyperplane/signature/scoring replay twin) and
-    # approx_theta_overlap (replayable md5-prefix KMV hash) displace
-    # churn_label_features + time_decay_customer_value to the r7 queue
-    # (the timeseries family keeps seven other in-window slots)
-    "knn_lsh_topk",
-    "approx_theta_overlap",
-    # --- first-timers: text / curation (bigram_lm_quality also
-    # re-proves this round's degenerate-doc gate). boilerplate_span_strip
-    # displaced to the r7 queue by the late-round GIF codec query
-    # (newest-work-first; the curation family keeps five other slots).
-    "percolator_match_counts",
-    "blocklist_term_filter",
-    "doc_char_diversity",
-    "multimodal_gif_frame_stats",
-    "bigram_lm_quality",
-    "bm25_topk_docs",
-    # --- first-timer: drift stats (carries this round's one-pass CDFs)
-    "ks_drift_stat",
+    # --- streaming-surface family
+    "sliding_window_counts",
+    "session_concurrency_peak",
+    # --- experiments family
+    "ab_power_mde",
+    # --- behavior / customer-value
+    "churn_label_features",
+    "time_decay_customer_value",
+    # --- text / curation
+    "boilerplate_span_strip",
+    "token_cooccurrence_topk",
+    "quality_rank_normalize",
+    "lang_id_confusion",
+    "inverted_index_postings",
+    "bpe_token_counts",
+    "flesch_readability",
+    "text_normalize_dedup",
+    "doc_fingerprint_winnow",
+    # --- similarity / ANN
+    "maxsim_multivector_topk",
+    "knn_matryoshka_rerank",
+    "hard_negative_mining",
+    "contrastive_negative_pairs",
+    "knn_label_vote",
+    # --- record linkage / near-dup
+    "record_linkage_score",
+    "sorted_neighborhood_neardup",
+    # --- graph
+    "kcore_trade_graph",
+    "lpa_trade_communities",
+    # --- ML prep / eval
+    "conformal_interval_report",
+    # --- nested types / skew / CDC
+    "array_ops_tokens",
+    "salted_agg_flag_stats",
+    "scd2_asof_snapshot",
+    # --- curation composites
+    "dataset_card_stats",
+    # --- approx sketches (rows-only by design; rows>0 driver check)
+    "approx_heavy_tokens",
+    # --- sampling family
+    "stratified_sample_docs",
+    "sample_bottomk_docs",
+    "source_quota_sample",
+    "weighted_sample_docs",
+    # --- data-quality / audit family
+    "winsorized_priority_revenue",
+    "fd_violation_audit",
+    "table_checksum_audit",
+    "poisson_bootstrap_means",
+    "zscore_outlier_orders",
+    "join_fanout_audit",
+    "benford_deviation_audit",
+    "mad_robust_outliers",
+    "mannwhitney_shift_test",
+    "equidepth_histogram",
+    # --- training-data assembly family
+    "preference_pair_assembly",
+    "sgns_training_pairs",
+    "epoch_shuffle_shards",
+    "lineitem_regression_stats",
+    "dsir_importance_score",
+    # --- privacy / leakage audits
+    "ldiversity_audit",
+    "split_leakage_audit",
 )
 
 

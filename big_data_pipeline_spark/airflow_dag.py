@@ -96,14 +96,21 @@ def build_stock_pipeline_dag(
         "retries": retries,
         "retry_delay": _dt.timedelta(seconds=retry_delay_sec),
     }
-    dag = DAG(
+    kwargs = dict(
         dag_id=dag_id,
         default_args=default_args,
         start_date=start_date or _dt.datetime(2025, 11, 5),
-        schedule=schedule,
         catchup=catchup,
         description="End-to-end stock data pipeline with ML prediction",
     )
+    try:
+        # Airflow >= 2.4 spelling (and the only one Airflow 3 accepts).
+        dag = DAG(schedule=schedule, **kwargs)
+    except TypeError:
+        # Airflow 2.0-2.3 (the reference's dags/stock_pipeline_dag.py
+        # era) only knows schedule_interval= — keep the factory drop-in
+        # across the 2.x line instead of TypeError-ing on older installs.
+        dag = DAG(schedule_interval=schedule, **kwargs)
     with dag:
         tasks = [
             PythonOperator(

@@ -32,8 +32,13 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     column is genuinely required.
     """
     # slice() is 1-based; sequence(1, n-k+1) enumerates start positions.
+    # Clamp the upper bound to 1 (not 0): sequence(1, 0) is the
+    # DESCENDING sequence [1, 0] and slice(tokens, 0, k) raises at
+    # runtime, so docs shorter than k tokens would crash the whole
+    # stage. The ≥1 clamp yields one (partial) shingle instead,
+    # matching exploded_shingles' behavior on short docs.
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
     )
 

@@ -41,6 +41,15 @@ from pyspark.sql.datasource import (
 _STAGING = "__staging"
 
 
+class InconsistentManifestError(RuntimeError):
+    """A manifest lists parts missing on disk and cannot apportion rows.
+
+    A dedicated type (not OSError) so the semantic refusal can never be
+    confused with — or swallowed by — transient _SUCCESS read-error
+    handling, and callers can catch it specifically.
+    """
+
+
 class _PartCommit(WriterCommitMessage):
     def __init__(self, staged_path: str, n_rows: int):
         self.staged_path = staged_path
@@ -107,7 +116,7 @@ class _JsonlDirWriter(DataSourceWriter):
                         if name not in missing
                     }
                 elif missing:
-                    raise OSError(
+                    raise InconsistentManifestError(
                         "jsonldir manifest lists parts that are missing "
                         f"on disk ({missing}); the legacy aggregate-only "
                         "manifest cannot apportion n_rows, refusing to "

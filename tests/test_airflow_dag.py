@@ -109,3 +109,30 @@ def test_import_error_without_airflow(monkeypatch, tmp_path):
 
     with pytest.raises(ImportError, match="run_pipeline_with_retries"):
         build_stock_pipeline_dag(str(tmp_path))
+
+
+def test_dag_falls_back_to_schedule_interval(stub_airflow, tmp_path):
+    """Airflow 2.0-2.3 only accepts schedule_interval=; the factory must
+    probe and fall back instead of TypeError-ing (ADVICE r6)."""
+
+    class _LegacyDag(_StubDag):
+        def __init__(self, **kwargs):
+            if "schedule" in kwargs:
+                raise TypeError(
+                    "__init__() got an unexpected keyword argument "
+                    "'schedule'"
+                )
+            super().__init__(**kwargs)
+
+    stub_airflow.DAG = _LegacyDag
+    from big_data_pipeline_spark.airflow_dag import build_stock_pipeline_dag
+
+    dag = build_stock_pipeline_dag(str(tmp_path / "lake"))
+    assert dag.kwargs["schedule_interval"] == "@daily"
+    assert "schedule" not in dag.kwargs
+    assert [t.task_id for t in dag.tasks] == [
+        "ingest_data",
+        "transform_data",
+        "combine_data",
+        "predict_future",
+    ]

@@ -404,3 +404,30 @@ def test_jsonldir_sink_append_drops_missing_part_counts(spark, tmp_path):
     assert sum(merged["file_rows"].values()) == merged["n_rows"]
     back = spark.read.json(os.path.join(target, "part-*.jsonl"))
     assert back.count() == merged["n_rows"]
+
+
+def test_jsonldir_legacy_manifest_missing_part_refuses_typed(tmp_path):
+    """A legacy (aggregate-only) manifest with a missing part must abort
+    the commit with the dedicated InconsistentManifestError — not a bare
+    OSError that transient-read handling could silently swallow."""
+    import json
+    import os
+
+    import pytest
+
+    from big_data_pipeline_spark.sources.jsonl_sink import (
+        InconsistentManifestError,
+        _JsonlDirWriter,
+    )
+
+    target = str(tmp_path / "legacy")
+    os.makedirs(target)
+    # legacy manifest: files + aggregate n_rows, NO file_rows map, and
+    # one listed part absent on disk → the count cannot be apportioned.
+    with open(os.path.join(target, "_SUCCESS"), "w") as f:
+        json.dump({"n_rows": 42, "files": ["part-gone.jsonl"]}, f)
+    writer = _JsonlDirWriter({"path": target}, overwrite=False)
+    with pytest.raises(InconsistentManifestError):
+        writer.commit([])
+    assert issubclass(InconsistentManifestError, RuntimeError)
+    assert not issubclass(InconsistentManifestError, OSError)
