@@ -206,23 +206,46 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
     """Decode every frame. Returns ``(width, height, frames)`` with
     each frame an (H, W) uint8 array of palette indices (for the
     grayscale palettes this engine emits, index == intensity).
-    Raises ValueError on malformed streams."""
+
+    Frames composite onto a persistent logical-screen canvas honoring
+    the Graphic Control Extension's disposal method (1 = leave, 2 =
+    restore region to background, 3 = restore to previous) and
+    transparency index, so foreign animated GIFs with partial frames or
+    do-not-dispose semantics decode to the raster a viewer would show —
+    not a partial frame pasted onto zeros (ADVICE r6). Self-encoded
+    GIFs are full-frame with disposal 0, for which compositing is the
+    identity. Raises ValueError on malformed streams.
+    """
     if payload[:6] not in _GIF_MAGICS:
         raise ValueError(f"not a GIF payload: head={payload[:6]!r}")
-    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     if flags & 0x80:  # global color table
         pos += 3 * (2 << (flags & 0x07))
+    else:
+        bg = 0  # bg index is meaningless without a global table
     frames: list[np.ndarray] = []
+    canvas = np.full((h, w), bg, dtype=np.uint8)
+    # GCE state applies to exactly one following rendering block
+    disposal, transp = 0, None
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
             pos += 2
+            sub0 = b""
             while pos < len(payload) and payload[pos] != 0:
-                pos += 1 + payload[pos]
+                n = payload[pos]
+                if not sub0:
+                    sub0 = payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
             pos += 1
+            if label == 0xF9 and len(sub0) >= 4:  # Graphic Control Ext
+                packed = sub0[0]
+                disposal = (packed >> 2) & 0x07
+                transp = sub0[3] if packed & 0x01 else None
         elif b == 0x2C:  # image descriptor
             ix, iy, iw, ih, iflags = struct.unpack(
                 "<HHHHB", payload[pos + 1 : pos + 10]
@@ -252,9 +275,19 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 deinter = np.empty_like(raster)
                 deinter[order] = raster
                 raster = deinter
-            full = np.zeros((h, w), dtype=np.uint8)
-            full[iy : iy + ih, ix : ix + iw] = raster
-            frames.append(full)
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[iy : iy + ih, ix : ix + iw]
+            if transp is None:
+                region[:] = raster
+            else:  # transparent pixels keep the underlying canvas
+                mask = raster != transp
+                region[mask] = raster[mask]
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore region to background
+                canvas[iy : iy + ih, ix : ix + iw] = bg
+            elif disposal == 3:  # restore to previous canvas
+                canvas = prev
+            disposal, transp = 0, None
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x} at byte {pos}")
     if not frames:

@@ -426,6 +426,12 @@ def decode_jpeg_baseline(
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker sync at byte {pos}")
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+        # before a marker; skip them so spec-legal padded streams parse.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
             raise ValueError(

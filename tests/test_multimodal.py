@@ -518,3 +518,131 @@ def test_decode_image_dispatches_gif_first_frame():
     fr = [np.full((4, 8), v, dtype=np.uint8) for v in (9, 200)]
     out = decode_image(encode_gif(fr))
     assert (out == fr[0]).all()
+
+
+def _gif_frame_bytes(raster, ix, iy, gce=None):
+    """Hand-build one GIF rendering block: optional GCE + image
+    descriptor + LZW raster. gce = (disposal, transparent_index|None)."""
+    import struct
+
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.gif import (
+        _lzw_encode,
+        _sub_blocks,
+    )
+
+    raster = np.asarray(raster, dtype=np.uint8)
+    ih, iw = raster.shape
+    out = bytearray()
+    if gce is not None:
+        disposal, transp = gce
+        packed = (disposal & 0x7) << 2 | (0 if transp is None else 1)
+        out += b"\x21\xf9\x04" + bytes(
+            (packed, 0, 0, 0 if transp is None else transp)
+        ) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", ix, iy, iw, ih, 0)
+    out += bytes([8]) + _sub_blocks(_lzw_encode(raster.ravel()))
+    return bytes(out)
+
+
+def _gif_stream(w, h, blocks, bg=0):
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, bg, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    for b in blocks:
+        out += b
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_disposal_and_transparency_composite():
+    """Foreign animated GIFs: partial frames must composite onto the
+    prior canvas per the GCE disposal method, honoring the transparency
+    index (ADVICE r6) — not paste onto a fresh zero canvas."""
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.gif import decode_gif
+
+    f1 = np.full((4, 4), 10, dtype=np.uint8)
+    # partial 2x2 patch at (1,1); index 0 marked transparent
+    patch = np.array([[0, 20], [20, 0]], dtype=np.uint8)
+    pay = _gif_stream(
+        4,
+        4,
+        [
+            _gif_frame_bytes(f1, 0, 0, gce=(1, None)),  # do not dispose
+            _gif_frame_bytes(patch, 1, 1, gce=(0, 0)),  # transp idx 0
+        ],
+    )
+    w, h, frames = decode_gif(pay)
+    assert (w, h, len(frames)) == (4, 4, 2)
+    assert (frames[0] == f1).all()
+    want = f1.copy()
+    want[1, 2] = 20
+    want[2, 1] = 20  # transparent cells keep the 10s underneath
+    assert (frames[1] == want).all()
+
+
+def test_gif_disposal_restore_background_and_previous():
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.gif import decode_gif
+
+    base = np.full((3, 3), 50, dtype=np.uint8)
+    dot = np.array([[99]], dtype=np.uint8)
+    tail = np.array([[77]], dtype=np.uint8)
+    # disposal=2: after frame 2 shows the dot, its region reverts to
+    # the background index (7) before frame 3 composites at (2,2).
+    pay = _gif_stream(
+        3,
+        3,
+        [
+            _gif_frame_bytes(base, 0, 0, gce=(1, None)),
+            _gif_frame_bytes(dot, 0, 0, gce=(2, None)),
+            _gif_frame_bytes(tail, 2, 2, gce=(0, None)),
+        ],
+        bg=7,
+    )
+    frames = decode_gif(pay)[2]
+    assert frames[1][0, 0] == 99
+    assert frames[2][0, 0] == 7  # restored to background
+    assert frames[2][2, 2] == 77
+    assert frames[2][1, 1] == 50  # untouched canvas persists
+    # disposal=3: after frame 2, the canvas reverts to frame 1's state.
+    pay = _gif_stream(
+        3,
+        3,
+        [
+            _gif_frame_bytes(base, 0, 0, gce=(1, None)),
+            _gif_frame_bytes(dot, 1, 1, gce=(3, None)),
+            _gif_frame_bytes(tail, 2, 2, gce=(0, None)),
+        ],
+    )
+    frames = decode_gif(pay)[2]
+    assert frames[1][1, 1] == 99
+    assert frames[2][1, 1] == 50  # restored to previous, not 99
+    assert frames[2][2, 2] == 77
+
+
+def test_jpeg_tolerates_fill_bytes_before_markers():
+    """ITU-T T.81 B.1.1.2 permits 0xFF fill bytes before any marker;
+    some encoders pad — the parser must skip them (ADVICE r6)."""
+    import numpy as np
+
+    from big_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    pay = encode_jpeg_baseline(img)
+    # inject fill bytes before the DQT marker (first 0xFFDB)
+    i = pay.index(b"\xff\xdb")
+    padded = pay[:i] + b"\xff\xff\xff" + pay[i:]
+    w, h, ch, out = decode_jpeg_baseline(padded)
+    assert (w, h, ch) == (16, 16, 1)
+    assert (out == decode_jpeg_baseline(pay)[3]).all()
