@@ -59,14 +59,21 @@ def synthetic_bars(symbol: str, periods: int, seed: int) -> pd.DataFrame:
     # crc32, not hash(): str hashing is salted per-process (PYTHONHASHSEED).
     rng = np.random.default_rng(zlib.crc32(symbol.encode()) + seed)
     close = 100.0 + np.cumsum(rng.normal(0, 1.0, periods))
-    spread = np.abs(rng.normal(0, 0.5, periods))
+    # Independent up/down wicks: a shared spread would make
+    # High + Low - 2*Close == 0 EXACTLY in float64, leaving the
+    # 6-feature OLS design rank-deficient (real OHLC bars are never
+    # collinear). Full rank makes the flagship prediction the unique
+    # normal-equation solution, which the exact-rational oracle twin
+    # (workloads/pipeline_flagship.py) recomputes independently.
+    up = np.abs(rng.normal(0, 0.5, periods))
+    down = np.abs(rng.normal(0, 0.5, periods))
     ts = pd.date_range("2024-01-02 09:30:00", periods=periods, freq="h", tz="US/Eastern")
     return pd.DataFrame(
         {
             "Datetime": [t.strftime("%Y-%m-%d %H:%M:%S%z")[:-2] + ":00" for t in ts],
             f"Open_{symbol}": close + rng.normal(0, 0.2, periods),
-            f"High_{symbol}": close + spread,
-            f"Low_{symbol}": close - spread,
+            f"High_{symbol}": close + up,
+            f"Low_{symbol}": close - down,
             f"Close_{symbol}": close,
             f"Volume_{symbol}": rng.integers(1_000, 100_000, periods),
         }

@@ -1262,6 +1262,65 @@ def _bpe_learn_local(word_counts, rounds):
     return rules
 
 
+def _bpe_merge_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled DuckDB replay of the BPE rounds (rows-only -> cell-exact,
+    VERDICT r6 item 3).
+
+    Per round, two relational steps twin the trainer exactly:
+    - pair counting: split each word's symbol string back into its
+      symbol array and unnest adjacent (l, r) pairs weighted by word
+      count; the top pair is ORDER BY cnt DESC, l, r LIMIT 1 — the
+      byte-order tie-break _bpe_learn_local uses (Python code-point
+      tuple compare == DuckDB binary VARCHAR collation for UTF-8).
+    - merge apply: each symbol is wrapped as chr(1)|sym|chr(1), so
+      SQL replace() of chr(1)|l|chr(1)chr(1)|r|chr(1) with
+      chr(1)|lr|chr(1) IS the greedy left-to-right non-overlapping
+      BPE merge — consecutive matches share no characters, and chr(1)
+      never occurs inside a token (whitespace-split text). Counts are
+      integer-exact, so the replay is deterministic at any SF.
+    """
+    sep = "chr(1)"
+    parts = [f"""
+WITH words AS (
+  SELECT word, count(*) AS wc
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+seqs0 AS (
+  SELECT wc,
+         regexp_replace(word, '(.)', {sep} || '\\1' || {sep}, 'g')
+           || {sep} || '{_BPE_EOW}' || {sep} AS s
+  FROM words
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+pairs{r} AS (
+  SELECT p['l'] AS lft, p['r'] AS rgt, CAST(SUM(wc) AS BIGINT) AS cnt
+  FROM (SELECT wc,
+               unnest([{{'l': syms[i], 'r': syms[i + 1]}}
+                       for i in generate_series(1, len(syms) - 1)]) AS p
+        FROM (SELECT wc, string_split(trim(s, {sep}), {sep} || {sep}) AS syms
+              FROM seqs{r - 1}))
+  GROUP BY 1, 2
+),
+top{r} AS (SELECT lft, rgt, cnt FROM pairs{r}
+           ORDER BY cnt DESC, lft, rgt LIMIT 1),
+seqs{r} AS (
+  SELECT wc, replace(s, {sep} || lft || {sep} || {sep} || rgt || {sep},
+                     {sep} || lft || rgt || {sep}) AS s
+  FROM seqs{r - 1}, top{r}
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT {r} AS round, lft AS "left", rgt AS "right", '
+        f"lft || rgt AS merged, cnt AS pair_count FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
 def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
@@ -1576,6 +1635,7 @@ QUERIES = {
 
 ORACLE = {
     "approx_theta_overlap": _theta_sql(),
+    "bpe_merge_learn": _bpe_merge_sql(),
     "top_p_nucleus_filter": _NUCLEUS_SQL,
     "span_corruption_plan": _SPAN_SQL,
     "gini_source_concentration": _GINI_SQL,

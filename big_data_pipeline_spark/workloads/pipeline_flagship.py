@@ -2,19 +2,39 @@
 
 Runs the full 4-stage pipeline (ingest → transform → combine → predict,
 SURVEY.md §7.2) on deterministic synthetic bars in a temp lake and
-returns the predictions frame. No SQL oracle — multi-feature OLS via
-``applyInPandas`` is not SQL-expressible — so the driver applies its
-rows-only check (3 symbols → 3 rows); the numeric golden check lives in
-``tests/test_linreg.py`` / ``tests/test_pipeline.py``.
+returns the predictions frame.
+
+Cell-exact since round 7 (VERDICT r6 item 3): the pipeline's synthetic
+input is deterministic and the OLS design is full rank (see
+``pipeline.synthetic_bars``), so the flagship output is a mathematical
+constant of (symbols, periods, seed). The oracle recomputes it
+INDEPENDENTLY of the Spark path — same generator, but a pure-Python
+exact-rational normal-equation solve (``fractions.Fraction``, Gaussian
+elimination with exact pivoting) instead of Arrow + numpy ``lstsq`` —
+and embeds the rounded values as a VALUES literal, because DuckDB
+cannot host a rational 6×6 solve. The generator asserts every exact
+value sits ≥1e-7 away from its round-half-even boundary, so any
+correctly-implemented float solver (numpy's SVD path included, observed
+|Δ| ≈ 1e-10) rounds to the identical cell values. The numeric golden
+check against shuffled input lives in ``tests/test_linreg.py``.
 """
 
 from __future__ import annotations
 
 import tempfile
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_pipeline_spark.pipeline import PipelineConfig, run_pipeline
+from big_data_pipeline_spark.pipeline import (
+    DEFAULT_SYMBOLS,
+    PipelineConfig,
+    run_pipeline,
+    synthetic_bars,
+)
+
+_FLAGSHIP_PERIODS = 60
+_FLAGSHIP_SEED = 42
 
 
 def stock_pipeline_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -22,9 +42,103 @@ def stock_pipeline_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 60 hourly bars x 3 symbols: enough rows to exercise every stage
     # (well past the <2-row guard) while keeping the bench entry cheap —
     # the flagship's cost is layer materialization, not data volume.
-    cfg = PipelineConfig(base_dir=base, periods=60)
+    cfg = PipelineConfig(
+        base_dir=base, periods=_FLAGSHIP_PERIODS, seed=_FLAGSHIP_SEED
+    )
     return run_pipeline(spark, cfg)
 
 
+def _exact_rational_prediction(
+    symbol: str, periods: int, seed: int
+) -> tuple[str, float, str, float]:
+    """One symbol's flagship row via exact rational arithmetic.
+
+    Recomputes ``ml/linreg.train_predict_group`` semantics (sort, build
+    shift(-1) target, drop the last row, fit intercept+OHLCV OLS,
+    predict from the latest bar, reference rounding) with every float
+    lifted to an exact ``Fraction`` — ``Fraction(float)`` is lossless —
+    and the normal equations solved by exact Gaussian elimination. The
+    JSON raw layer round-trips doubles losslessly (shortest-round-trip
+    serialization both engines), so the normalized features equal the
+    generator's values bit-for-bit and the exact answer is THE answer.
+    """
+    import pandas as pd
+
+    pdf = synthetic_bars(symbol, periods, seed)
+    feats = [f"{m}_{symbol}" for m in ("Open", "High", "Low", "Close", "Volume")]
+    vals = [
+        [Fraction(float(pdf[c].iloc[i])) for c in feats]
+        for i in range(periods)
+    ]
+    close = [Fraction(float(pdf[f"Close_{symbol}"].iloc[i])) for i in range(periods)]
+    rows = [[Fraction(1), *vals[i]] for i in range(periods - 1)]
+    y = [close[i + 1] for i in range(periods - 1)]
+    n, k = len(rows), 6
+    gram = [
+        [sum(rows[t][i] * rows[t][j] for t in range(n)) for j in range(k)]
+        for i in range(k)
+    ]
+    rhs = [sum(rows[t][i] * y[t] for t in range(n)) for i in range(k)]
+    m = [row[:] + [rhs[i]] for i, row in enumerate(gram)]
+    for c in range(k):
+        p = max(range(c, k), key=lambda r: abs(m[r][c]))
+        m[c], m[p] = m[p], m[c]
+        if m[c][c] == 0:
+            raise AssertionError(
+                "flagship design is rank-deficient; synthetic_bars must "
+                "generate independent up/down wicks"
+            )
+        for r in range(k):
+            if r != c and m[r][c] != 0:
+                f = m[r][c] / m[c][c]
+                m[r] = [m[r][j] - f * m[c][j] for j in range(k + 1)]
+    beta = [m[i][k] / m[i][i] for i in range(k)]
+    x_last = [Fraction(1), *vals[periods - 1]]
+    pred = sum(a * b for a, b in zip(x_last, beta))
+    mse = (
+        sum(
+            (y[t] - sum(rows[t][j] * beta[j] for j in range(k))) ** 2
+            for t in range(n)
+        )
+        / n
+    )
+    for exact, dp in ((pred, 2), (mse, 4)):
+        scaled = exact * 10**dp
+        frac = scaled - (scaled.numerator // scaled.denominator)
+        margin = min(abs(frac - Fraction(1, 2)), frac, 1 - frac)
+        if margin < Fraction(1, 10**7):
+            raise AssertionError(
+                f"flagship exact value {float(exact)} sits {float(margin)}"
+                " from a rounding boundary; adjust _FLAGSHIP_PERIODS"
+            )
+    # tz path twin: offset-aware string -> UTC instant -> session-tz
+    # (UTC) naive str, exactly what str(last[dt_col]) yields in the
+    # grouped trainer under spark.sql.session.timeZone=UTC.
+    ts = pd.date_range(
+        "2024-01-02 09:30:00", periods=periods, freq="h", tz="US/Eastern"
+    )
+    last_date = ts[-1].tz_convert("UTC").strftime("%Y-%m-%d %H:%M:%S")
+    # round(Fraction, n) is exact round-half-even — the same decimal
+    # Python's round(float, n) picks whenever the float solver is
+    # within the asserted boundary margin.
+    return symbol, float(round(pred, 2)), last_date, float(round(mse, 4))
+
+
+def _flagship_sql() -> str:
+    rows = [
+        _exact_rational_prediction(s, _FLAGSHIP_PERIODS, _FLAGSHIP_SEED)
+        for s in DEFAULT_SYMBOLS
+    ]
+    values = ",\n  ".join(
+        f"('{s}', CAST({p!r} AS DOUBLE), '{d}', CAST({m!r} AS DOUBLE))"
+        for s, p, d, m in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + values
+        + "\n) AS t(symbol, predicted_close, last_date, mse)"
+    )
+
+
 QUERIES = {"stock_pipeline_predict": stock_pipeline_predict}
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {"stock_pipeline_predict": _flagship_sql()}

@@ -62,3 +62,38 @@ def test_spark_end_to_end_per_symbol(spark):
         row = out[out["symbol"] == sym].iloc[0]
         assert row["predicted_close"] == pred
         assert row["mse"] == mse
+
+
+def test_flagship_exact_rational_oracle_matches_float_solver():
+    """The VALUES oracle for stock_pipeline_predict is derived from an
+    exact-rational normal-equation solve; the production path is numpy
+    lstsq. Both must land on the same reference-rounded cells (the
+    oracle generator asserts a >=1e-7 boundary margin, so this can only
+    fail if a solver is wrong, not from fp noise)."""
+    from big_data_pipeline_spark.pipeline import synthetic_bars
+    from big_data_pipeline_spark.workloads.pipeline_flagship import (
+        _FLAGSHIP_PERIODS,
+        _FLAGSHIP_SEED,
+        _exact_rational_prediction,
+        DEFAULT_SYMBOLS,
+    )
+
+    for sym in DEFAULT_SYMBOLS:
+        pdf = synthetic_bars(sym, _FLAGSHIP_PERIODS, _FLAGSHIP_SEED)
+        feats = [f"{m}_{sym}" for m in ("Open", "High", "Low", "Close", "Volume")]
+        x = np.column_stack(
+            [np.ones(_FLAGSHIP_PERIODS - 1)]
+            + [pdf[c].to_numpy(float)[:-1] for c in feats]
+        )
+        y = pdf[f"Close_{sym}"].to_numpy(float)[1:]
+        coef, *_ = np.linalg.lstsq(x, y, rcond=None)
+        mse = float(np.mean((x @ coef - y) ** 2))
+        pred = float(
+            np.concatenate([[1.0], pdf[feats].to_numpy(float)[-1]]) @ coef
+        )
+        got_sym, got_pred, _, got_mse = _exact_rational_prediction(
+            sym, _FLAGSHIP_PERIODS, _FLAGSHIP_SEED
+        )
+        assert got_sym == sym
+        assert got_pred == round(pred, 2)
+        assert got_mse == round(mse, 4)
