@@ -43,9 +43,16 @@ def main() -> int:
         if status == "FAIL":
             n_fail += 1
     missing = [q for q in queries if q not in results]
+    # registry_size is read from the live registry, never typed by
+    # hand: BENCH/SWEEP/README counts drifted in past rounds precisely
+    # because artifacts carried constants (VERDICT r6 item 7).
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
     artifact = {
         "artifact": desc,
         "sf_dir": sf_dir,
+        "registry_size": len(entrymod.queries()),
         "n_queries": len(queries),
         "n_failures": n_fail,
         "missing": missing,
