@@ -623,8 +623,11 @@ FROM keyed ORDER BY hv, doc_id LIMIT 100
 
 def approx_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct + quantile sketches — the 100 TB formulations of
-    COUNT(DISTINCT) and percentile_cont. Accuracy bounds are asserted
-    against exact values in tests/test_llm_pipeline.py."""
+    COUNT(DISTINCT) and percentile_cont. No SQL oracle BY DESIGN:
+    Spark's HLL++/KLL estimator internals (hash, register layout,
+    interpolation) differ from DuckDB's sketches, so the estimates are
+    engine-specific; accuracy bounds are asserted against exact values
+    in tests/test_llm_pipeline.py."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
@@ -841,6 +844,11 @@ FROM scalars
 
 
 def approx_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters joined to exact counts. No SQL oracle
+    BY DESIGN: the MG summary's estimates depend on partition merge
+    order (any single-pass replay in DuckDB would pin one traversal,
+    not the operator's contract); the frequency guarantee
+    (est <= exact <= est + n/k) is asserted in tests instead."""
     from big_data_pipeline_spark.functions.sketches import misra_gries_topk
 
     tokens = (

@@ -223,3 +223,46 @@ def test_bpe_merge_learn_matches_independent_reference(spark, sf_dir):
     finally:
         lp._BPE_DRIVER_MAX_VOCAB = old
     assert dist == got
+
+
+def test_bpe_oracle_sql_replays_trainer_on_adversarial_corpus():
+    """The unrolled DuckDB CTE oracle (_bpe_merge_sql) must replay
+    _bpe_learn_local exactly — including the spots where a naive SQL
+    translation breaks: runs of a repeated symbol ('aaaa' forces the
+    greedy non-overlapping merge), merged symbols that are substrings
+    of other symbols ('ab' vs 'xab'), count ties resolved by byte
+    order, and words shorter than one pair. Pure DuckDB + Python — no
+    Spark session needed."""
+    import duckdb
+
+    import big_data_pipeline_spark.workloads.llm_pipeline as lp
+
+    docs = [
+        "aaaa aaaa aa",          # overlapping-run greedy merges
+        "abab xab ab ab",        # 'ab' appears inside 'xab'
+        "cd cd dc dc",           # exact-count tie -> byte-order winner
+        "x",                     # single-char word: one (char, EOW) pair
+        "  spaced   out  ",      # tokenizer trim/split edges
+        "abab abab",
+    ]
+    con = duckdb.connect()
+    quoted = ", ".join(
+        f"({i}, '{d}')" for i, d in enumerate(docs)  # docs are quote-free
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + quoted
+        + ") AS t(doc_id, text)"
+    )
+    got = sorted(con.execute(lp._bpe_merge_sql()).fetchall())
+
+    wc: dict[str, int] = {}
+    for d in docs:
+        for w in d.strip().split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    expect = sorted(
+        (rnd, l, r, m, c)
+        for rnd, l, r, m, c in lp._bpe_learn_local(wc, lp._BPE_ROUNDS)
+    )
+    assert got == expect
