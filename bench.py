@@ -110,7 +110,11 @@ def main() -> int:
         "mean_sec": round(total / len(ok), 4) if ok else 0.0,
         "median_sec": round(ok[len(ok) // 2], 3) if ok else 0.0,
     }
-    detail_path = REPO / "BENCH_DETAIL.json"
+    # Subset runs must never clobber the canonical full-registry
+    # snapshot the judge reads against BENCH_r{N}.json.
+    detail_path = REPO / (
+        "BENCH_DETAIL_SUBSET.json" if only else "BENCH_DETAIL.json"
+    )
     detail_path.write_text(
         json.dumps(
             {

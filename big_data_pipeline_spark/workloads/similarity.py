@@ -558,8 +558,6 @@ _SEM_CLUSTER_TARGET = 250  # target mean cluster population
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_pipeline_spark.functions.vectors import seq_l2_sq
-
     emb = read_table(spark, sf_dir, "embeddings").withColumn(
         "sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0))
     )
@@ -578,17 +576,47 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("c_vec"),
         )
     )
-    scored = (
+    # Assignment: centroids are MODEL-sized (k = max(8, n/target) rows
+    # of 64 floats — 1.2 MB even at the sf10 stress corpus), so they
+    # ride the mapInPandas closure and each corpus batch computes its
+    # (batch x k) distance matrix in numpy. The previous formulation
+    # (crossJoin(broadcast(cent)) + pairwise UDF + per-vec window)
+    # shipped n x k PAIRS of 64-float vectors through Arrow — ~1.3 TB
+    # of serialization at sf10, the one superlinear offender of the r7
+    # scale audit (20x on 10x data; this path is ~linear). Per-scalar
+    # fp association is unchanged (d0*d0 then acc + d_i*d_i, dims in
+    # order, operands cast float32->double), and np.argmin's
+    # first-minimum rule equals the old ORDER BY dist_sq, cluster_id
+    # tie-break, so assignments — and the DuckDB oracle replay — are
+    # bit-identical. Beyond ~1e5 centroids the coarse-quantizer
+    # two-level search (similarity/knn.py IVF pattern) is the
+    # documented escalation.
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cent.collect(), key=lambda r: r.cluster_id)
+    c_mat = np.array([r.c_vec for r in cent_rows], dtype=np.float64)
+    c_ids = np.array([r.cluster_id for r in cent_rows], dtype=np.int32)
+
+    def _assign_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = np.empty(len(ids), dtype=np.int32)
+            for s in range(0, len(ids), 1024):  # bound (rows x k) blocks
+                xb = x[s : s + 1024]
+                d0 = xb[:, 0][:, None] - c_mat[:, 0][None, :]
+                acc = d0 * d0
+                for i in range(1, xb.shape[1]):
+                    di = xb[:, i][:, None] - c_mat[:, i][None, :]
+                    acc = acc + di * di
+                out[s : s + 1024] = c_ids[np.argmin(acc, axis=1)]
+            yield pd.DataFrame({"vec_id": ids, "cluster_id": out})
+
+    assign = (
         emb.select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("dist_sq", seq_l2_sq(F.col("embedding"), F.col("c_vec")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_sq"), F.asc("cluster_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id")
+        .mapInPandas(_assign_batches, "vec_id long, cluster_id int")
     )
     sides = assign.join(emb.select("vec_id", "embedding", "sqn"), "vec_id")
     a = sides.select(
