@@ -173,12 +173,22 @@ def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-propagation result cell-exact."""
     from pyspark.sql import functions as F
 
-    from big_data_pipeline_spark.dedup.clusters import connected_components
+    from big_data_pipeline_spark.dedup.clusters import (
+        connected_components_star,
+    )
 
     pairs = entity_blocking_pairs(spark, sf_dir).select(
         "custkey_a", "custkey_b"
     )
-    return connected_components(pairs, "custkey_a", "custkey_b").select(
+    # large-star/small-star (O(log d) rounds), not plain min-label
+    # propagation: customer names chain through one-digit edits into
+    # components whose diameter grows with the key space, so LPA's
+    # O(d)-round cost went superlinear at the sf10 stress corpus
+    # (17.4x on 10x data; star converges in a near-constant round
+    # count -> back to ~linear). Output contract is identical
+    # (cluster_id = component minimum; equivalence pinned in
+    # tests/test_clusters.py on random and pathological graphs).
+    return connected_components_star(pairs, "custkey_a", "custkey_b").select(
         F.col("id").alias("custkey"), "cluster_id"
     )
 
