@@ -28,7 +28,7 @@ HEADLINE = [
     ("moving_sum_per_user", "running window over user partitions"),
     ("exact_dedup", "hash-groupBy dedup, map-side combine"),
     ("knn_cosine_topk", "broadcast queries x repartitioned corpus + Arrow kernel"),
-    ("semdedup_prune", "in-plan k, centroid broadcast, cluster equi-join"),
+    ("semdedup_prune", "centroid matrix in mapInPandas closure, cluster equi-join"),
     ("embedding_pq_codes", "broadcast codebook + per-(vec,subspace) argmin"),
     ("boilerplate_span_strip", "span count + broadcast strip + reassembly"),
     ("minhash_lsh_dedup", "banded signature join + exact verify"),
