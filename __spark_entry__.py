@@ -119,76 +119,90 @@ _MODULES = (
 # rows-only->cell-exact conversions). 50 slots, 50 first-timers; after
 # this round 287/289 are driver-checked.
 #
-# Round-8 mop-up queue: approx_sketch_rollup, approx_corpus_stats,
-# plus re-proofs of any operator whose code changed in r7
-# (bpe_merge_learn + stock_pipeline_predict cell-exact conversions,
-# ann_recall_report cost shave).
+# Round-8 window (VERDICT r7 item 1 + ADVICE r7 item 3): cumulative
+# driver coverage entering this round is 287/289 distinct queries
+# (r01-r07 window keys, verified by set-union over the seven
+# CORRECTNESS_r0*.json artifacts; the five names ADVICE questioned all
+# held earlier slots: knn_ivf_topk r02, stream_heavy_hitter_users r03,
+# stream_stateful_user_stats r02, bpe_merge_learn r04,
+# stock_pipeline_predict r02+r03 — but those rows predate the r6/r7
+# cell-exact conversions, so they re-prove here). The 50 slots:
+#
+#   (a) 15 MOP-UP / RE-PROOF — the 2 never-checked rows-only sketches
+#       (approx_sketch_rollup, approx_corpus_stats → 289/289 cumulative
+#       after this round); the r7 rows-only→cell-exact conversions
+#       (stock_pipeline_predict, bpe_merge_learn); the r7 strategy
+#       changes (entity_clusters star-CC, semdedup_prune closure-
+#       broadcast, ann_recall_report single-join); the r6 conversions
+#       never driver-checked in cell-exact form (knn_lsh_topk,
+#       approx_theta_overlap, simhash_near_dups); the three stale
+#       rows-only-era checks ADVICE flagged (knn_ivf_topk,
+#       stream_heavy_hitter_users, stream_stateful_user_stats); and
+#       the two r7 bench-wobble queries (sequence_pattern_counts,
+#       latest_event_per_user) to confirm no silent plan change.
+#   (b) 5 R8-CHANGED — queries whose code changes this round:
+#       incremental_neardup_batch (persisted-corpus-shingle path,
+#       VERDICT #3), multimodal_png_pixel_stats + nb_lang_confusion
+#       (heap bounding, VERDICT #4), multimodal_gif_frame_stats
+#       (descriptor-bounds ValueError, ADVICE #4), rfm_user_segments
+#       (third wobble query).
+#   (c) 30 OLDEST-VINTAGE — stability re-confirmation of queries last
+#       driver-checked in r01/r02 (67 such; the first 30 in registry
+#       order, skipping any already in (a)).
 _PRIORITY = (
-    # --- streaming-surface family
-    "sliding_window_counts",
-    "session_concurrency_peak",
-    # --- experiments family
-    "ab_power_mde",
-    # --- behavior / customer-value
-    "churn_label_features",
-    "time_decay_customer_value",
-    # --- text / curation
-    "boilerplate_span_strip",
-    "token_cooccurrence_topk",
-    "quality_rank_normalize",
-    "lang_id_confusion",
-    "inverted_index_postings",
-    "bpe_token_counts",
-    "flesch_readability",
-    "text_normalize_dedup",
-    "doc_fingerprint_winnow",
-    # --- similarity / ANN
-    "maxsim_multivector_topk",
-    "knn_matryoshka_rerank",
-    "hard_negative_mining",
-    "contrastive_negative_pairs",
-    "knn_label_vote",
-    # --- record linkage / near-dup
-    "record_linkage_score",
-    "sorted_neighborhood_neardup",
-    # --- graph
-    "kcore_trade_graph",
-    "lpa_trade_communities",
-    # --- ML prep / eval
-    "conformal_interval_report",
-    # --- nested types / skew / CDC
-    "array_ops_tokens",
-    "salted_agg_flag_stats",
-    "scd2_asof_snapshot",
-    # --- curation composites
-    "dataset_card_stats",
-    # --- approx sketches (rows-only by design; rows>0 driver check)
-    "approx_heavy_tokens",
-    # --- sampling family
-    "stratified_sample_docs",
-    "sample_bottomk_docs",
-    "source_quota_sample",
-    "weighted_sample_docs",
-    # --- data-quality / audit family
-    "winsorized_priority_revenue",
-    "fd_violation_audit",
-    "table_checksum_audit",
-    "poisson_bootstrap_means",
-    "zscore_outlier_orders",
-    "join_fanout_audit",
-    "benford_deviation_audit",
-    "mad_robust_outliers",
-    "mannwhitney_shift_test",
-    "equidepth_histogram",
-    # --- training-data assembly family
-    "preference_pair_assembly",
-    "sgns_training_pairs",
-    "epoch_shuffle_shards",
-    "lineitem_regression_stats",
-    "dsir_importance_score",
-    # --- privacy / leakage audits
-    "ldiversity_audit",
-    "split_leakage_audit",
+    # --- (a) mop-up / re-proof
+    "approx_sketch_rollup",
+    "approx_corpus_stats",
+    "stock_pipeline_predict",
+    "bpe_merge_learn",
+    "entity_clusters",
+    "semdedup_prune",
+    "ann_recall_report",
+    "knn_lsh_topk",
+    "approx_theta_overlap",
+    "simhash_near_dups",
+    "knn_ivf_topk",
+    "stream_heavy_hitter_users",
+    "stream_stateful_user_stats",
+    "sequence_pattern_counts",
+    "latest_event_per_user",
+    # --- (b) r8-changed
+    "incremental_neardup_batch",
+    "multimodal_png_pixel_stats",
+    "nb_lang_confusion",
+    "multimodal_gif_frame_stats",
+    "rfm_user_segments",
+    # --- (c) oldest-vintage (last checked r01/r02)
+    "distinct_flag_status",
+    "union_orders_split",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "scalar_functions",
+    "grouped_agg_stats",
+    "having_count_filter",
+    "q4_priority_with_late_items",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_item_customers",
+    "q12_urgency_shipping_buckets",
+    "q14_brand_revenue_ratio",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q2_min_acctbal_supplier",
+    "q11_important_part_values",
+    "q6_forecast_revenue_change",
+    "q9_nation_profit",
+    "q13_customer_order_distribution",
+    "q15_top_revenue_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q20_excess_volume_suppliers",
+    "q21_sole_late_supplier",
+    "anti_join_no_orders",
+    "semi_join_open_orders",
+    "left_join_order_counts",
+    "rollup_order_revenue",
 )
 
 

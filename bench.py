@@ -146,7 +146,7 @@ def main() -> int:
                 "n_queries": len(timings),
                 "registry_size": len(entrymod.queries()),
                 "mean_sec": stats["mean_sec"],
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_path.name,
             },
             separators=(",", ":"),
         )

@@ -251,6 +251,15 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
                 "<HHHHB", payload[pos + 1 : pos + 10]
             )
             pos += 10
+            if ix + iw > w or iy + ih > h:
+                # Must be explicit: the transparent-composite path would
+                # otherwise hit a numpy boolean-mask shape mismatch
+                # (IndexError), breaking the ValueError-on-malformed
+                # contract the opaque path gets from broadcasting.
+                raise ValueError(
+                    f"image descriptor {iw}x{ih}@({ix},{iy}) exceeds "
+                    f"logical screen {w}x{h}"
+                )
             if iflags & 0x80:  # local color table
                 pos += 3 * (2 << (iflags & 0x07))
             min_code = payload[pos]

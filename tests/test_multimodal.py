@@ -559,6 +559,23 @@ def _gif_stream(w, h, blocks, bg=0):
     return bytes(out)
 
 
+def test_gif_descriptor_exceeding_screen_raises_valueerror():
+    """A descriptor extending past the logical screen must raise the
+    documented ValueError on BOTH composite paths (ADVICE r7: the
+    transparent path used to surface a numpy IndexError instead)."""
+    import numpy as np
+    import pytest
+
+    from big_data_pipeline_spark.multimodal.gif import decode_gif
+
+    patch = np.full((3, 3), 9, dtype=np.uint8)
+    # 3x3 patch anchored at (2,2) on a 4x4 screen -> overhangs by 1
+    for gce in (None, (0, 0)):  # opaque and transparent-index paths
+        pay = _gif_stream(4, 4, [_gif_frame_bytes(patch, 2, 2, gce=gce)])
+        with pytest.raises(ValueError, match="exceeds logical screen"):
+            decode_gif(pay)
+
+
 def test_gif_disposal_and_transparency_composite():
     """Foreign animated GIFs: partial frames must composite onto the
     prior canvas per the GCE disposal method, honoring the transparency

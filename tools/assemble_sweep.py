@@ -25,21 +25,38 @@ import __spark_entry__ as entrymod  # noqa: E402
 _LINE = re.compile(
     r"(ok|FAIL|weak)\s+(\S+?):.*?(?:rows=(\d+))?\s*\(([0-9.]+)s\)"
 )
+# check_oracle's three error paths (spark error / duckdb error /
+# complex-column refusal) print FAIL lines with NO '(N.Ns)' timing
+# suffix; without this pattern those counted as "unchecked" rather
+# than failures (ADVICE r7 item 1 — fail-safe held, diagnostics lied).
+_LINE_NOTIME = re.compile(
+    r"(FAIL)\s+(\S+?): (spark error|duckdb error|complex output)"
+)
 
 
 def parse(log_path: str) -> dict[str, dict]:
     results: dict[str, dict] = {}
     text = Path(log_path).read_text()
     for line in text.replace("\r", "\n").splitlines():
-        m = _LINE.search(line.strip())
-        if not m:
+        line = line.strip()
+        m = _LINE.search(line)
+        if m:
+            status, name, rows, sec = m.groups()
+            results[name] = {
+                "status": status,
+                "rows": int(rows) if rows else None,
+                "sec": float(sec),
+            }
             continue
-        status, name, rows, sec = m.groups()
-        results[name] = {
-            "status": status,
-            "rows": int(rows) if rows else None,
-            "sec": float(sec),
-        }
+        m = _LINE_NOTIME.search(line)
+        if m:
+            status, name, kind = m.groups()
+            results[name] = {
+                "status": status,
+                "rows": None,
+                "sec": None,
+                "err": kind,
+            }
     return results
 
 
