@@ -295,12 +295,37 @@ def test_boilerplate_strip_broadcasts_span_set(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_semdedup_broadcasts_centroids_only(spark, sf_dir):
-    """Centroids (k rows) broadcast for assignment; the quadratic pair
-    search must be confined to the cluster_id equi-join — never a
-    cartesian across the corpus."""
+def test_semdedup_assignment_is_mapinpandas_no_pair_fanout(spark, sf_dir):
+    """The r7 rewrite (VERDICT r7 item 6): centroid assignment is a
+    model-sized matrix riding the mapInPandas closure — one (batch x k)
+    numpy block per Arrow batch. A regression to the quadratic r6 form
+    (crossJoin(broadcast(cent)) + pairwise UDF + per-vec Window) shipped
+    n x k vector PAIRS through Arrow (~1.3 TB at sf10, 20x superlinear);
+    that shape must never come back."""
     plan = _plan(spark, sf_dir, "semdedup_prune")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan          # closure-broadcast assignment
+    assert "Window" not in plan           # no per-vec argmin window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # keep-best + pair-verify joins are bounded; a pile-up here means
+    # per-vec lineage leaked back into the serving plan
+    assert plan.count("Exchange") <= 20
+
+
+def test_entity_clusters_routes_through_star_cc_flat_serving_plan(spark, sf_dir):
+    """entity_clusters must resolve components via large-star/small-star
+    (O(log d) rounds), not the plain LPA loop that went 17.4x on 10x
+    data at sf10 (VERDICT r7 item 6). Two guards: the source routes
+    through connected_components_star, and the served plan is flat
+    (star's localCheckpoint cut the per-round lineage)."""
+    import inspect
+
+    from big_data_pipeline_spark.workloads import dedup as _dedup
+
+    src = inspect.getsource(_dedup.entity_clusters)
+    assert "connected_components_star" in src
+    plan = _plan(spark, sf_dir, "entity_clusters")
+    assert plan.count("Exchange") <= 8
     assert "CartesianProduct" not in plan
 
 
