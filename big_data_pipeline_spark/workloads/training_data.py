@@ -556,24 +556,37 @@ WHERE t.n_tokens >= th.lang_p75
 _NEARDUP_JACCARD = 0.5
 
 
-def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dedup: find new-batch docs whose 3-word-shingle
-    Jaccard against some already-ingested corpus doc clears 0.5 —
-    without re-clustering the corpus.
+def neardup_batch_vs_corpus(
+    batch_sh: DataFrame,
+    corpus_sh: DataFrame,
+    batch_sizes: DataFrame,
+    corpus_sizes: DataFrame,
+    threshold: float = _NEARDUP_JACCARD,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Core of incremental near-dedup: given the incoming batch's
+    exploded shingles and the ALREADY-PERSISTED corpus shingle table
+    (plus per-doc shingle counts for each side), return the
+    (batch_id, corpus_id, n_common, jaccard) pairs clearing
+    ``threshold``.
 
-    The companion to ``incremental_dedup_new_batch`` (same
-    ``doc_id % 5`` corpus/batch split) one level up the dedup ladder:
-    exact fingerprints catch byte-identical re-crawls, this catches the
-    re-crawl with a new boilerplate header. The asymmetry is the whole
-    point at 100 TB: a Bloom bitmap over the BATCH's shingles (the
-    small side — a few MB regardless of batch size) prunes the corpus
-    shingle stream map-side, so the only corpus rows that reach the
-    shuffle are those sharing a shingle with the incoming batch;
+    This is the production shape at 100 TB: the corpus-side shingle
+    table and its per-doc sizes are the persisted outputs of prior
+    ingests — each incremental run re-shingles ONLY the batch. The
+    asymmetry does the work: a Bloom bitmap over the BATCH's shingles
+    (the small side — a few MB regardless of corpus size) prunes the
+    corpus shingle stream map-side, so the only corpus rows that reach
+    the shuffle are those sharing a shingle with the incoming batch;
     everything else never moves. Candidates then pay the exact
     count/Jaccard verify, so output pairs are exactly the plain-join
-    answer (oracle-checked) — the Bloom stage can only add ~fpp wasted
-    shuffle rows, never drop a match. In production the corpus-side
-    shingle table is the persisted output of prior ingests.
+    answer — the Bloom stage can only add ~fpp wasted shuffle rows,
+    never drop a match.
+
+    ``batch_sh`` feeds three consumers (bloom sizing, bloom build, the
+    verify join); callers should localCheckpoint/persist it first.
+    ``batch_sizes`` is batch-sized and broadcasts; ``corpus_sizes`` is
+    corpus-doc-count-sized and joins the (small) candidate aggregate —
+    AQE picks the broadcast direction at runtime.
     """
     from big_data_pipeline_spark.operators.bloom import (
         bloom_filter_rows,
@@ -581,21 +594,10 @@ def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         optimal_bits,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = exploded_shingles(docs, "doc_id", "text", 3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    is_corpus = F.col("doc_id") % 5 == 0
-    # the batch shingle set feeds three consumers (bloom sizing, bloom
-    # build, the verify join) — materialize once, same trade as the
-    # minhash/simhash fingerprint reuse (on a cluster: persist or an
-    # intermediate table)
-    batch_sh = sh.filter(~is_corpus).localCheckpoint(eager=True)
     n_keys = max(1, batch_sh.select("shingle").distinct().count())
-    num_bits, num_hashes = optimal_bits(n_keys, 0.01)
+    num_bits, num_hashes = optimal_bits(n_keys, fpp)
     bitmap = build_bloom(batch_sh, "shingle", num_bits, num_hashes)
-    corpus_pruned = bloom_filter_rows(
-        sh.filter(is_corpus), "shingle", bitmap, num_hashes
-    )
+    corpus_pruned = bloom_filter_rows(corpus_sh, "shingle", bitmap, num_hashes)
     inter = (
         batch_sh.alias("b")
         # both sides are exploded-shingle-sized: pin the shuffle-hash
@@ -611,15 +613,47 @@ def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sb, sc = sizes.alias("sb"), sizes.alias("sc")
+    sb, sc = batch_sizes.alias("sb"), corpus_sizes.alias("sc")
     jacc = F.col("n_common").cast("double") / (
         F.col("sb.n") + F.col("sc.n") - F.col("n_common")
     )
     return (
         inter.join(F.broadcast(sb), F.col("batch_id") == F.col("sb.doc_id"))
-        .join(F.broadcast(sc), F.col("corpus_id") == F.col("sc.doc_id"))
-        .filter(jacc >= _NEARDUP_JACCARD)
+        .join(sc, F.col("corpus_id") == F.col("sc.doc_id"))
+        .filter(jacc >= threshold)
         .select("batch_id", "corpus_id", "n_common", jacc.alias("jaccard"))
+    )
+
+
+def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: find new-batch docs whose 3-word-shingle
+    Jaccard against some already-ingested corpus doc clears 0.5 —
+    without re-clustering the corpus.
+
+    The companion to ``incremental_dedup_new_batch`` (same
+    ``doc_id % 5`` corpus/batch split) one level up the dedup ladder:
+    exact fingerprints catch byte-identical re-crawls, this catches the
+    re-crawl with a new boilerplate header. This self-contained form
+    shingles both sides from the documents table so a DuckDB oracle can
+    replay it exactly; the production path — persisted corpus shingles,
+    batch a small fraction of the corpus — is ``neardup_batch_vs_corpus``
+    above (same plan from the Bloom stage on; stressed on an asymmetric
+    1/50 split by tools/stress_neardup.py, numbers in SCALE.md).
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    is_corpus = F.col("doc_id") % 5 == 0
+    # the batch shingle set feeds three consumers (bloom sizing, bloom
+    # build, the verify join) — materialize once, same trade as the
+    # minhash/simhash fingerprint reuse (on a cluster: persist or an
+    # intermediate table)
+    batch_sh = sh.filter(~is_corpus).localCheckpoint(eager=True)
+    return neardup_batch_vs_corpus(
+        batch_sh,
+        sh.filter(is_corpus),
+        sizes.filter(~is_corpus),
+        sizes.filter(is_corpus),
     )
 
 

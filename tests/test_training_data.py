@@ -408,3 +408,48 @@ def test_epoch_shuffle_is_seeded_permutation(spark, sf_dir):
     again = {(r.doc_id, r.shard, r.pos_in_shard)
              for r in epoch_shuffle_shards(spark, sf_dir).collect()}
     assert again == {(r.doc_id, r.shard, r.pos_in_shard) for r in out}
+
+
+def test_neardup_persisted_corpus_path_equals_self_contained(
+    spark, sf_dir, tmp_path
+):
+    """The production path (persisted corpus shingle/size tables fed to
+    neardup_batch_vs_corpus) must return exactly the pairs of the
+    self-contained registry query on the same %5 split — parquet
+    round-tripping the corpus side changes cost, never results."""
+    from big_data_pipeline_spark.functions.text import exploded_shingles
+    from big_data_pipeline_spark.workloads.training_data import (
+        incremental_neardup_batch,
+        neardup_batch_vs_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus_sh_src = exploded_shingles(
+        docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text", 3
+    )
+    corpus_sh_src.write.parquet(str(tmp_path / "corpus_shingles"))
+    corpus_sh = spark.read.parquet(str(tmp_path / "corpus_shingles"))
+    corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).write.parquet(
+        str(tmp_path / "corpus_sizes")
+    )
+    corpus_sizes = spark.read.parquet(str(tmp_path / "corpus_sizes"))
+
+    batch_sh = exploded_shingles(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", 3
+    ).localCheckpoint(eager=True)
+    batch_sizes = batch_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    got = {
+        (r.batch_id, r.corpus_id, r.n_common, round(r.jaccard, 12))
+        for r in neardup_batch_vs_corpus(
+            batch_sh, corpus_sh, batch_sizes, corpus_sizes
+        ).collect()
+    }
+    want = {
+        (r.batch_id, r.corpus_id, r.n_common, round(r.jaccard, 12))
+        for r in incremental_neardup_batch(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want  # split must actually produce near-dup pairs

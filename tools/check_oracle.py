@@ -116,8 +116,13 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):
+            # gen_sf stress corpora write each table as a directory of
+            # part files (multi-split substrate); DuckDB needs the glob
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     spark = get_spark("check-oracle", master="local[8]")
     qs, oracle = entrymod.queries(), entrymod.oracle_sql()

@@ -128,17 +128,40 @@ def _replica(table: str, t: pa.Table, i: int, units: dict[str, int]) -> pa.Table
     return t
 
 
-def scale_corpus(src: Path, dst: Path, k: int) -> None:
+def _write_split(out: pa.Table, path: Path, n_files: int) -> None:
+    """Write one table as a DIRECTORY of ``n_files`` part files.
+
+    A single parquet file splits only at row-group boundaries, so a
+    15 M-row stress table used to hand local[32] just ~15 input splits
+    — map-side scans ran on half the cores with a straggler tail, and
+    3 pure map queries measured >12x on 10x data purely from the
+    substrate (VERDICT r7 item 2). Spark reads the directory natively;
+    the DuckDB oracle side globs it (tools/check_oracle.py).
+    """
+    path.mkdir(parents=True, exist_ok=True)
+    step = (out.num_rows + n_files - 1) // n_files
+    for j in range(n_files):
+        chunk = out.slice(j * step, step)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(chunk, path / f"part-{j:05d}.parquet")
+
+
+def scale_corpus(src: Path, dst: Path, k: int, n_files: int = 32) -> None:
     dst.mkdir(parents=True, exist_ok=True)
     units = _shift_units(src)
     for table in FIXED:
+        # tiny fixed dims stay single-file (5/25 rows)
         pq.write_table(pq.read_table(src / f"{table}.parquet"), dst / f"{table}.parquet")
     for table in _SHIFTS:
         base = pq.read_table(src / f"{table}.parquet")
         parts = [_replica(table, base, i, units) for i in range(k)]
         out = pa.concat_tables(parts, promote_options="none")
-        pq.write_table(out, dst / f"{table}.parquet")
-        print(f"{table}: {base.num_rows} -> {out.num_rows} rows", file=sys.stderr)
+        _write_split(out, dst / f"{table}.parquet", n_files)
+        step = (out.num_rows + n_files - 1) // n_files
+        written = -(-out.num_rows // step) if out.num_rows else 0
+        print(f"{table}: {base.num_rows} -> {out.num_rows} rows "
+              f"({written} files)", file=sys.stderr)
 
 
 if __name__ == "__main__":
