@@ -74,6 +74,8 @@ HEADLINE = [
     ("multimodal_jpeg_block_stats", "repartitioned Arrow JPEG decode, no shuffle after (r6)"),
     ("knn_lsh_topk", "signature bucket join, ids-only shuffle, exact-assoc rescore (r6)"),
     ("theilsen_trend_per_user", "trailing-cap gate BEFORE the per-key pair join (r6)"),
+    ("incremental_neardup_batch", "batch-Bloom prunes corpus map-side; sizes join AQE-sided (r8)"),
+    ("entity_clusters", "star-CC serving plan, lineage cut per round (r7/r8)"),
 ]
 
 
