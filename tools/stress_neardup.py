@@ -45,7 +45,12 @@ from big_data_pipeline_spark.workloads.training_data import (  # noqa: E402
     neardup_batch_vs_corpus,
 )
 
-_BATCH_MOD = 50  # batch = 1/50 of the document stream
+import os
+
+# batch = 1/_BATCH_MOD of the document stream; override via env to
+# measure how incremental cost scales with BATCH size at a fixed
+# corpus (STRESS_NEARDUP_MOD=10 -> a 5x bigger batch)
+_BATCH_MOD = int(os.environ.get("STRESS_NEARDUP_MOD", "50"))
 
 
 def prepare(spark, sf_dir: str, shingle_dir: str) -> None:
