@@ -453,3 +453,76 @@ def test_neardup_persisted_corpus_path_equals_self_contained(
     }
     assert got == want
     assert want  # split must actually produce near-dup pairs
+
+
+def test_neardup_core_matches_bruteforce_at_threshold_boundary(spark):
+    """Crafted corpus with pairs AT, just above, and just below the 0.5
+    Jaccard threshold: the Bloom-pruned path must return exactly the
+    brute-force pair set (no false negatives from the bitmap, no
+    boundary drift from the n_common/(na+nb-n_common) arithmetic)."""
+    from big_data_pipeline_spark.functions.text import exploded_shingles
+    from big_data_pipeline_spark.workloads.training_data import (
+        neardup_batch_vs_corpus,
+    )
+
+    def doc(words):
+        return " ".join(words)
+
+    base = [f"w{i}" for i in range(12)]  # 10 3-shingles
+    rows = [
+        # corpus docs (even ids), batch docs (odd ids)
+        (0, doc(base)),
+        # identical -> jaccard 1.0
+        (1, doc(base)),
+        # shares a 6-word prefix with doc 0: 4 common shingles,
+        # 10 + 8 - 4 = 14 union -> 0.2857 (below)
+        (3, doc(base[:6] + [f"x{i}" for i in range(4)])),
+        # shares 9 of 12 words contiguously: 7 common, 10+10-7=13
+        # -> 0.538 (above)
+        (5, doc(base[:9] + ["y0", "y1", "y2"])),
+        # exactly AT 0.5: 12 common shingles, 14+22-12=24 union = 0.5
+        (2, doc([f"z{i}" for i in range(16)])),           # 14 shingles
+        (7, doc([f"q{i}" for i in range(10)] + [f"z{i}" for i in range(14)])),
+        # disjoint batch doc -> no pair
+        (9, doc([f"n{i}" for i in range(12)])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(words):
+        toks = words.split()
+        k = 3
+        n = max(1, len(toks) - k + 1)
+        return {" ".join(toks[i : i + k]) for i in range(n)}
+
+    by_id = {i: shingles(t) for i, t in rows}
+    want = set()
+    for b, bs in by_id.items():
+        if b % 2 == 0:
+            continue
+        for c, cs in by_id.items():
+            if c % 2 == 1:
+                continue
+            inter = len(bs & cs)
+            if inter and inter / len(bs | cs) >= 0.5:
+                want.add((b, c, inter))
+
+    corpus = df.filter(F.col("doc_id") % 2 == 0)
+    batch = df.filter(F.col("doc_id") % 2 == 1)
+    corpus_sh = exploded_shingles(corpus, "doc_id", "text", 3)
+    batch_sh = exploded_shingles(batch, "doc_id", "text", 3).localCheckpoint(
+        eager=True
+    )
+    got = {
+        (r.batch_id, r.corpus_id, r.n_common)
+        for r in neardup_batch_vs_corpus(
+            batch_sh,
+            corpus_sh,
+            batch_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
+            corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
+        ).collect()
+    }
+    assert got == want
+    # the fixture must actually exercise all three regimes
+    assert (1, 0, 10) in want          # identical pair
+    assert (7, 2, 12) in want          # exactly at threshold
+    assert all(b != 3 and b != 9 for b, _, _ in want)  # below + disjoint
