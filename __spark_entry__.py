@@ -149,60 +149,78 @@ _MODULES = (
 #   (c) 30 OLDEST-VINTAGE — stability re-confirmation of queries last
 #       driver-checked in r01/r02 (67 such; the first 30 in registry
 #       order, skipping any already in (a)).
+#
+# Round-9 window (VERDICT r8 item 1): cumulative driver coverage
+# entering this round is 289/289 — the window is now a pure freshness
+# rotation. The 50 slots:
+#
+#   (a) 35 OLDEST-VINTAGE — every remaining query last driver-checked
+#       in r01/r02 (the full residue after r8's 30; computed as
+#       registry keys grouped by last CORRECTNESS_r* appearance).
+#       After this round no query's last driver check is older than
+#       r03.
+#   (b) 2 RE-PROOF — incremental_neardup_batch (r8 refactor into the
+#       shared neardup_batch_vs_corpus core, training_data.py:559 —
+#       re-prove post-refactor) and split_leakage_audit (its
+#       repartition-before-BNLJ plan shape gets pinned in
+#       tests/test_plans.py this round; re-prove alongside).
+#   (c) 13 R3-VINTAGE — next-oldest fills, first 13 in alphabetical
+#       registry order among the 38 queries last checked in r03.
 _PRIORITY = (
-    # --- (a) mop-up / re-proof
-    "approx_sketch_rollup",
-    "approx_corpus_stats",
-    "stock_pipeline_predict",
-    "bpe_merge_learn",
-    "entity_clusters",
-    "semdedup_prune",
-    "ann_recall_report",
-    "knn_lsh_topk",
-    "approx_theta_overlap",
-    "simhash_near_dups",
-    "knn_ivf_topk",
-    "stream_heavy_hitter_users",
-    "stream_stateful_user_stats",
-    "sequence_pattern_counts",
-    "latest_event_per_user",
-    # --- (b) r8-changed
+    # --- (a) oldest-vintage: last driver-checked r01
+    "above_customer_avg_orders",
+    "argmax_customer_by_segment",
+    "cube_status_year",
+    "customer_rank_in_segment",
+    "except_customer_keys",
+    "grouping_sets_status_priority",
+    "intersect_customer_keys",
+    "nations_per_region_list",
+    "ntile_acctbal_quartiles",
+    "quantity_percentiles",
+    "unpivot_price_components",
+    "vocab_top_tokens",
+    # --- (a) oldest-vintage: last driver-checked r02
+    "contamination_ngram_overlap",
+    "date_arithmetic",
+    "dedup_cluster_assignments",
+    "dedup_keep_best",
+    "doc_quality_score",
+    "embedding_near_dups",
+    "global_argmax_latest",
+    "gopher_repetition_stats",
+    "grouped_mse",
+    "json_props_extract",
+    "lang_id_stopwords",
+    "llm_clean_corpus_stats",
+    "multimodal_binary_meta",
+    "price_bucket_profile",
+    "regexp_text_ops",
+    "stream_dedup_exact",
+    "stream_session_windows",
+    "stream_sliding_window_counts",
+    "stream_static_enrich",
+    "tfidf_top_terms",
+    "time_range_window_stats",
+    "variant_props_stats",
+    "window_lead_next_value",
+    # --- (b) re-proof of this round's touched ops
     "incremental_neardup_batch",
-    "multimodal_png_pixel_stats",
-    "nb_lang_confusion",
-    "multimodal_gif_frame_stats",
-    "rfm_user_segments",
-    # --- (c) oldest-vintage (last checked r01/r02)
-    "distinct_flag_status",
-    "union_orders_split",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "scalar_functions",
-    "grouped_agg_stats",
-    "having_count_filter",
-    "q4_priority_with_late_items",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_item_customers",
-    "q12_urgency_shipping_buckets",
-    "q14_brand_revenue_ratio",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q2_min_acctbal_supplier",
-    "q11_important_part_values",
-    "q6_forecast_revenue_change",
-    "q9_nation_profit",
-    "q13_customer_order_distribution",
-    "q15_top_revenue_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_sole_late_supplier",
-    "anti_join_no_orders",
-    "semi_join_open_orders",
-    "left_join_order_counts",
-    "rollup_order_revenue",
+    "split_leakage_audit",
+    # --- (c) r3-vintage fills
+    "asof_last_purchase",
+    "bigram_explode_udtf",
+    "bloom_pruned_urgent_revenue",
+    "cdc_orders_diff",
+    "cohort_retention",
+    "dedup_cluster_star",
+    "doc_chunk_overlap",
+    "doc_pack_assign",
+    "entity_blocking_pairs",
+    "funnel_conversion",
+    "incremental_dedup_new_batch",
+    "intersect_all_item_quantities",
+    "kmeans_assign_embeddings",
 )
 
 

@@ -995,11 +995,19 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sqn").alias("e_sqn"),
         )
     )
+    # optimizer fence: score-then-filter on a deterministic pandas UDF
+    # makes Catalyst push the filter below the projection and evaluate
+    # the kernel TWICE (two ArrowEvalPython nodes — once for the
+    # filter, once for the output column), doubling the dominant
+    # |train| x |eval| cost. The function is pure; the flag only stops
+    # the pushdown so the score is computed once and the filter reads
+    # the materialized column. Verified bit-identical output.
+    score_once = seq_cosine.asNondeterministic()
     return (
         train.crossJoin(F.broadcast(ev))
         .withColumn(
             "cos_sim",
-            seq_cosine(
+            score_once(
                 F.col("t_vec"), F.col("e_vec"), F.col("t_sqn"), F.col("e_sqn")
             ),
         )

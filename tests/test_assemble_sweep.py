@@ -39,6 +39,33 @@ def test_parse_counts_no_timing_fail_lines_as_failures(tmp_path):
     assert r["valq"] == {"status": "FAIL", "rows": 10, "sec": 2.0}
 
 
+def test_parse_error_line_with_quoted_duration_stays_untimed(tmp_path):
+    """ADVICE r8 item 2: a '(N.Ns)' substring INSIDE an error message
+    (e.g. a quoted Py4J timeout) must not be parsed as a timed row —
+    the err kind must survive and sec must stay None."""
+    log = tmp_path / "sweep.log"
+    log.write_text(
+        "FAIL  timeoutq: spark error: job aborted after (30.0s) limit\n"
+        "FAIL  duckt: duckdb error: hint was 'retry in (1.5s)'\n"
+    )
+    r = parse(str(log))
+    for name, kind in (("timeoutq", "spark error"), ("duckt", "duckdb error")):
+        assert r[name]["status"] == "FAIL"
+        assert r[name]["sec"] is None
+        assert r[name]["err"] == kind
+
+
+def test_parse_diff_suffix_with_embedded_duration(tmp_path):
+    """A value-mismatch FAIL whose diff text quotes a duration must
+    still take its timing from the real '(N.Ns)' before the '|'."""
+    log = tmp_path / "sweep.log"
+    log.write_text(
+        "FAIL  valq2: rows=3 (2.5s) | values differ | spark=('x (9.9s)',)\n"
+    )
+    r = parse(str(log))
+    assert r["valq2"] == {"status": "FAIL", "rows": 3, "sec": 2.5}
+
+
 def test_parse_handles_carriage_return_wrapped_lines(tmp_path):
     # Spark progress bars interleave \r into captured logs
     log = tmp_path / "sweep.log"

@@ -67,6 +67,33 @@ def test_fk_consistency_survives_replication(tmp_path):
     assert per_replica == 3
 
 
+def test_rerun_into_same_dst_clears_stale_parts(tmp_path):
+    """ADVICE r8 item 1: re-running scale_corpus into an existing dst
+    with a layout that produces FEWER part files must not leave stale
+    part-*.parquet behind (globs would double-count rows), and a dst
+    holding the old single-file layout must not make mkdir raise."""
+    dst = tmp_path / "scaled"
+    scale_corpus(SRC, dst, 3, n_files=4)
+    first_parts = set((dst / "lineitem.parquet").glob("part-*.parquet"))
+    assert len(first_parts) > 2
+    # shrink: k=2, n_files=2 -> fewer parts; stale ones must be gone
+    scale_corpus(SRC, dst, 2, n_files=2)
+    parts = sorted((dst / "lineitem.parquet").glob("part-*.parquet"))
+    assert len(parts) <= 2
+    n = sum(pq.read_metadata(p).num_rows for p in parts)
+    base = pq.read_table(SRC / "lineitem.parquet").num_rows
+    assert n == 2 * base
+    # old single-FILE layout at the table path must be replaced too
+    target = dst / "events.parquet"
+    import shutil
+
+    shutil.rmtree(target)
+    pq.write_table(pq.read_table(SRC / "events.parquet"), target)
+    assert target.is_file()
+    scale_corpus(SRC, dst, 2, n_files=2)
+    assert target.is_dir()
+
+
 def test_replicas_share_no_shingles(tmp_path):
     """The token-suffix transform must keep cross-replica docs at
     Jaccard 0: a 10x corpus gains 10x more near-dup clusters of the

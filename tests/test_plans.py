@@ -285,6 +285,35 @@ def test_incremental_neardup_shuffle_hash_no_broadcast_explode(spark, sf_dir):
     assert "pythonUDF" in plan or "ArrowEvalPython" in plan  # bloom probe
 
 
+def test_split_leakage_repartitions_streamed_side_and_caps_eval(spark, sf_dir):
+    """VERDICT r8 item 2: the 126s -> 8s split_leakage_audit win rests
+    on (a) a round-robin Exchange spreading the train side across all
+    cores BEFORE the broadcast NLJ (a small-file corpus otherwise
+    arrives as ONE split and the whole |train| x |eval| scoring runs on
+    a single thread), and (b) the 600-row eval-benchmark cap selected
+    via TakeOrderedAndProject (never a global sort, never an unbounded
+    f(1-f)·N² pair fan-out). Also pins the r9 single-pass scoring: the
+    Arrow kernel must appear in exactly ONE ArrowEvalPython node (the
+    deterministic form was evaluated twice — once for the filter, once
+    for the output column)."""
+    import re
+
+    from big_data_pipeline_spark.workloads.training_data import _LEAK_BENCH_K
+
+    plan = _plan(spark, sf_dir, "split_leakage_audit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # (a) round-robin repartition of the streamed (train) side
+    assert "RoundRobinPartitioning" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    # (b) fixed-size eval benchmark via top-k, not Sort+GlobalLimit
+    assert "TakeOrderedAndProject" in plan
+    assert f"Arguments: {_LEAK_BENCH_K}," in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    # single scoring pass
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+
+
 def test_boilerplate_strip_broadcasts_span_set(spark, sf_dir):
     """The qualifying boilerplate span set is threshold-bounded and must
     broadcast onto the span stream; the only wide movement is the span

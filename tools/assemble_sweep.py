@@ -22,13 +22,20 @@ sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+# Timed rows end in '(N.Ns)' optionally followed by a ' | ...' diff
+# suffix (value-mismatch FAILs); anchoring to end-of-line keeps a
+# quoted '(N.Ns)' inside an error message from being read as timing
+# (ADVICE r8 item 2).
 _LINE = re.compile(
-    r"(ok|FAIL|weak)\s+(\S+?):.*?(?:rows=(\d+))?\s*\(([0-9.]+)s\)"
+    r"(ok|FAIL|weak)\s+(\S+?):.*?(?:rows=(\d+))?\s*"
+    r"\(([0-9.]+)s\)(?:\s*\|.*)?$"
 )
 # check_oracle's three error paths (spark error / duckdb error /
 # complex-column refusal) print FAIL lines with NO '(N.Ns)' timing
 # suffix; without this pattern those counted as "unchecked" rather
 # than failures (ADVICE r7 item 1 — fail-safe held, diagnostics lied).
+# Matched FIRST so a duration quoted inside the error text can never
+# fall through to the timed pattern (ADVICE r8 item 2).
 _LINE_NOTIME = re.compile(
     r"(FAIL)\s+(\S+?): (spark error|duckdb error|complex output)"
 )
@@ -39,15 +46,6 @@ def parse(log_path: str) -> dict[str, dict]:
     text = Path(log_path).read_text()
     for line in text.replace("\r", "\n").splitlines():
         line = line.strip()
-        m = _LINE.search(line)
-        if m:
-            status, name, rows, sec = m.groups()
-            results[name] = {
-                "status": status,
-                "rows": int(rows) if rows else None,
-                "sec": float(sec),
-            }
-            continue
         m = _LINE_NOTIME.search(line)
         if m:
             status, name, kind = m.groups()
@@ -56,6 +54,15 @@ def parse(log_path: str) -> dict[str, dict]:
                 "rows": None,
                 "sec": None,
                 "err": kind,
+            }
+            continue
+        m = _LINE.search(line)
+        if m:
+            status, name, rows, sec = m.groups()
+            results[name] = {
+                "status": status,
+                "rows": int(rows) if rows else None,
+                "sec": float(sec),
             }
     return results
 

@@ -30,6 +30,7 @@ e.g.   python tools/gen_sf.py /root/testdata/sf0.1 /root/repo/.bench/sf1 10
 
 from __future__ import annotations
 
+import shutil
 import sys
 from pathlib import Path
 
@@ -138,7 +139,16 @@ def _write_split(out: pa.Table, path: Path, n_files: int) -> None:
     substrate (VERDICT r7 item 2). Spark reads the directory natively;
     the DuckDB oracle side globs it (tools/check_oracle.py).
     """
-    path.mkdir(parents=True, exist_ok=True)
+    # Clear any previous layout first: a stale single-file parquet at
+    # this path would make mkdir raise, and stale part-*.parquet files
+    # from a LARGER previous run would be silently globbed alongside
+    # the new ones — duplicating rows in both Spark and the DuckDB
+    # oracle with no warning (ADVICE r8 item 1).
+    if path.is_file():
+        path.unlink()
+    elif path.is_dir():
+        shutil.rmtree(path)
+    path.mkdir(parents=True)
     step = (out.num_rows + n_files - 1) // n_files
     for j in range(n_files):
         chunk = out.slice(j * step, step)
