@@ -67,8 +67,7 @@ def cosine_sql(a: str, b: str, dims: int, offset: int = 0) -> str:
     )
 
 
-@pandas_udf(T.DoubleType())
-def seq_cosine(
+def _seq_cosine_kernel(
     a: pd.Series, b: pd.Series, a_sqn: pd.Series, b_sqn: pd.Series
 ) -> pd.Series:
     """dot(a,b)/(sqrt(|a|²)·sqrt(|b|²)) with LEFT-ASSOCIATED accumulation.
@@ -91,6 +90,25 @@ def seq_cosine(
     return pd.Series(
         acc / (np.sqrt(a_sqn.to_numpy()) * np.sqrt(b_sqn.to_numpy()))
     )
+
+
+seq_cosine = pandas_udf(T.DoubleType())(_seq_cosine_kernel)
+
+# Optimizer-fenced twin for SCORE-THEN-FILTER call sites: on a
+# deterministic pandas UDF, Catalyst pushes a filter on the score
+# column below the projection and evaluates the kernel in TWO
+# ArrowEvalPython nodes (once for the filter, once for the output
+# column) — doubling the dominant pair-scoring cost. The kernel is
+# pure; the nondeterministic flag only stops that pushdown so the
+# score is computed once and the filter reads the materialized column.
+# A SEPARATE UDF instance is mandatory: pyspark's asNondeterministic()
+# MUTATES the underlying UserDefinedFunction in place and returns
+# self, so fencing the shared ``seq_cosine`` at a call site would
+# silently change every other query's plan for the rest of the
+# process (query-order-dependent plans in the sweep).
+seq_cosine_fenced = pandas_udf(T.DoubleType())(
+    _seq_cosine_kernel
+).asNondeterministic()
 
 
 def l2_sq_sql(a: str, b: str, dims: int, offset: int = 0) -> str:

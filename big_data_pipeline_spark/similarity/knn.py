@@ -354,7 +354,13 @@ def ivf_topk(
     n_clusters = min(n_clusters, len(train))
     n_probe = min(n_probe, n_clusters)
     cent = _kmeans_centroids(train, n_clusters, seed=seed)
-    assign1 = _nearest_clusters_udf(cent, 1)
+    # fence the corpus-side assignment: the inferred isnotnull(cluster)
+    # join filter otherwise duplicates the centroid matmul into a
+    # second ArrowEvalPython node (every candidate row assigned twice).
+    # Mutating here is safe — _nearest_clusters_udf returns a FRESH
+    # UDF instance per call (unlike the shared seq_cosine, see
+    # functions/vectors.py).
+    assign1 = _nearest_clusters_udf(cent, 1).asNondeterministic()
     probe_n = _nearest_clusters_udf(cent, n_probe)
 
     c = candidates.select(

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from big_data_pipeline_spark.functions.vectors import (
     EMB_DIMS_DEFAULT,
     cosine_sql,
-    seq_cosine,
+    seq_cosine_fenced,
     sq_norm_sql,
 )
 from big_data_pipeline_spark.io import read_table
@@ -334,7 +334,10 @@ _NEARDUP_THRESHOLD = 0.35
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring via the Arrow seq_cosine kernel (squared norms precomputed
     # once per vector): bit-identical to the oracle's unrolled SQL, ~5x
-    # the interpreted expression chain — same trade as knn_cosine_topk
+    # the interpreted expression chain — same trade as knn_cosine_topk.
+    # The FENCED variant keeps the all-pairs scoring to one
+    # ArrowEvalPython pass: the threshold filter otherwise duplicates
+    # the kernel (see seq_cosine_fenced in functions/vectors.py).
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _NEARDUP_SLICE
     ).withColumn("sqn", F.expr(sq_norm_sql("embedding", EMB_DIMS_DEFAULT, offset=0)))
@@ -352,7 +355,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            seq_cosine(
+            seq_cosine_fenced(
                 F.col("vec_a"), F.col("vec_b"), F.col("sqn_a"), F.col("sqn_b")
             ),
         )

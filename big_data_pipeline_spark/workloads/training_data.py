@@ -53,7 +53,7 @@ from big_data_pipeline_spark.functions.text import exploded_shingles, tokenize
 from big_data_pipeline_spark.functions.vectors import (
     EMB_DIMS_DEFAULT,
     dot_sql,
-    seq_cosine,
+    seq_cosine_fenced,
     sq_norm_sql,
 )
 from big_data_pipeline_spark.io import read_table
@@ -995,19 +995,15 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sqn").alias("e_sqn"),
         )
     )
-    # optimizer fence: score-then-filter on a deterministic pandas UDF
-    # makes Catalyst push the filter below the projection and evaluate
-    # the kernel TWICE (two ArrowEvalPython nodes — once for the
-    # filter, once for the output column), doubling the dominant
-    # |train| x |eval| cost. The function is pure; the flag only stops
-    # the pushdown so the score is computed once and the filter reads
-    # the materialized column. Verified bit-identical output.
-    score_once = seq_cosine.asNondeterministic()
+    # score-then-filter: the fenced kernel keeps the |train| x |eval|
+    # scoring to ONE ArrowEvalPython pass (the deterministic form was
+    # evaluated twice — see seq_cosine_fenced in functions/vectors.py).
+    # Verified bit-identical output.
     return (
         train.crossJoin(F.broadcast(ev))
         .withColumn(
             "cos_sim",
-            score_once(
+            seq_cosine_fenced(
                 F.col("t_vec"), F.col("e_vec"), F.col("t_sqn"), F.col("e_sqn")
             ),
         )

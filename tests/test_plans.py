@@ -314,6 +314,43 @@ def test_split_leakage_repartitions_streamed_side_and_caps_eval(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
 
 
+def _arrow_node_args(plan: str) -> list[str]:
+    import re
+
+    return re.findall(
+        r"ArrowEvalPython\n(?:Input.*\n)?Arguments: \[(.*?)\],", plan
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["split_leakage_audit", "embedding_near_dups", "knn_ivf_topk"]
+)
+def test_no_duplicated_arrow_kernel_evaluation(spark, sf_dir, name):
+    """A full-registry plan audit (r9) found three queries evaluating
+    the SAME pandas-UDF expression in two ArrowEvalPython nodes —
+    Catalyst pushes a filter on the score column (or an inferred
+    isnotnull join key) below the projection and duplicates the kernel,
+    doubling the dominant pair-scoring / assignment cost. The fenced
+    UDF variants pin it to one evaluation per expression."""
+    args = _arrow_node_args(_plan(spark, sf_dir, name))
+    assert len(args) == len(set(args)), f"duplicated Arrow kernel: {args}"
+
+
+def test_fenced_kernel_does_not_mutate_shared_seq_cosine(spark, sf_dir):
+    """pyspark's asNondeterministic() mutates the UDF IN PLACE and
+    returns self — fencing the shared seq_cosine at a call site would
+    silently flip every later query's plan in the same process
+    (query-order-dependent sweeps). The fence must live on a separate
+    instance: building the fenced queries leaves the shared kernel
+    deterministic."""
+    from big_data_pipeline_spark.functions import vectors
+
+    for name in ("split_leakage_audit", "embedding_near_dups", "knn_ivf_topk"):
+        entrymod.queries()[name](spark, sf_dir)
+    assert vectors.seq_cosine.deterministic is True
+    assert vectors.seq_cosine_fenced.deterministic is False
+
+
 def test_boilerplate_strip_broadcasts_span_set(spark, sf_dir):
     """The qualifying boilerplate span set is threshold-bounded and must
     broadcast onto the span stream; the only wide movement is the span
