@@ -110,3 +110,64 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower()
     rows = joined.collect()
     assert rows and rows[0]["count"] > 0
+
+
+def test_assemble_sf10_merges_prev_and_flags_over_threshold(tmp_path):
+    """tools/assemble_sf10.py: cumulative merge with the previous
+    round's artifact, isolated re-measure overrides the batch ratio,
+    and the exit code flags any query still over threshold."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sf1 = tmp_path / "sf1.json"
+    sf10 = tmp_path / "sf10.json"
+    prev = tmp_path / "prev.json"
+    out = tmp_path / "out.json"
+    sf1.write_text(json.dumps({"queries": {"qa": 1.0, "qb": 2.0}}))
+    # qa batch-flags at 15x but the isolated re-measure clears it
+    sf10.write_text(json.dumps({"queries": {"qa": 15.0, "qb": 8.0}}))
+    prev.write_text(
+        json.dumps(
+            {"results": {"old": {"sf1_sec": 1.0, "sf10_sec": 5.0, "ratio": 5.0}}}
+        )
+    )
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "tools/assemble_sf10.py"),
+            str(out),
+            "test artifact",
+            str(sf1),
+            str(sf10),
+            "--prev",
+            str(prev),
+            "--isolated",
+            "qa=1.0:6.0",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    art = json.loads(out.read_text())
+    assert art["n_queries"] == 3  # cumulative: old + qa + qb
+    assert art["over_12x"] == []
+    assert art["results"]["qa"]["isolated_ratio"] == 6.0
+    assert art["results"]["qa"]["ratio"] == 15.0  # batch number kept
+    # without the isolated override the same inputs must FAIL loudly
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "tools/assemble_sf10.py"),
+            str(tmp_path / "out2.json"),
+            "test artifact",
+            str(sf1),
+            str(sf10),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert r2.returncode == 1
+    assert "qa" in json.loads((tmp_path / "out2.json").read_text())["over_12x"]

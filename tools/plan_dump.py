@@ -76,6 +76,7 @@ HEADLINE = [
     ("theilsen_trend_per_user", "trailing-cap gate BEFORE the per-key pair join (r6)"),
     ("incremental_neardup_batch", "batch-Bloom prunes corpus map-side; sizes join AQE-sided (r8)"),
     ("entity_clusters", "star-CC serving plan, lineage cut per round (r7/r8)"),
+    ("split_leakage_audit", "round-robin spread before broadcast NLJ; fenced single-pass Arrow scoring (r9)"),
 ]
 
 
