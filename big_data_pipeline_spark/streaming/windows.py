@@ -149,10 +149,55 @@ def run_available_now(
     the session setting."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_store = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     try:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        # RocksDB state store: the default HDFSBackedStateStoreProvider
+        # keeps EVERY state row on the JVM heap — a complete-mode
+        # session aggregation over the sf10 stress corpus (10 M events)
+        # ran the 8 g heap out executor-side (r9 stress). RocksDB holds
+        # state off-heap and spills to local disk, which is also the
+        # provider a production continuous job with large keyed state
+        # runs. Results are provider-independent; restored after the
+        # drain so batch queries and any caller-set provider are
+        # untouched.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+            if output_mode == "complete":
+                # Complete-mode results are corpus-shaped (e.g. one
+                # session row per burst — ~|events| rows), and the
+                # memory sink materializes EVERY batch's full result as
+                # driver-heap Rows: at the sf10 stress corpus that blew
+                # the shared local-JVM heap even with RocksDB state
+                # (r9 stress). foreachBatch + parquet overwrite is the
+                # scalable drain — each micro-batch's complete result
+                # is written by executor tasks straight to files, the
+                # last committed batch IS the final answer, and nothing
+                # result-sized ever lives on the driver. The sink dir
+                # deliberately outlives this call (the returned
+                # DataFrame reads it lazily); it sits in the OS tmpdir.
+                sink = tempfile.mkdtemp(prefix=f"sink_{name}_")
+                out = f"{sink}/data"
+
+                def _overwrite(batch_df: DataFrame, _bid: int) -> None:
+                    batch_df.write.mode("overwrite").parquet(out)
+
+                q = (
+                    stream_df.writeStream.foreachBatch(_overwrite)
+                    .outputMode("complete")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return spark.read.parquet(out)
             q = (
                 stream_df.writeStream.format("memory")
                 .queryName(name)
@@ -164,6 +209,12 @@ def run_available_now(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_store is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_store
+            )
     return spark.table(name)
 
 

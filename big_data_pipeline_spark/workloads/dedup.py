@@ -498,10 +498,19 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from big_data_pipeline_spark.dedup.clusters import connected_components
+    from big_data_pipeline_spark.dedup.clusters import (
+        connected_components_star,
+    )
 
     scored = record_linkage_score(spark, sf_dir)
-    clusters = connected_components(
+    # star-CC, not the plain LPA loop: the r9 sf10 stress measured this
+    # query at 15.8x on 10x data with LPA (the same superlinear
+    # signature entity_clusters showed in r7 — O(d) label-propagation
+    # rounds, each a full edge shuffle). Large-star/small-star
+    # converges in O(log d) rounds and returns the identical
+    # min-id-per-component labeling (equivalence tested in
+    # tests/test_clusters.py), so the oracle is untouched.
+    clusters = connected_components_star(
         scored.select("rep_a", "rep_b"), "rep_a", "rep_b"
     ).select(F.col("id").alias("rep_key"), "cluster_id")
     profiles = (

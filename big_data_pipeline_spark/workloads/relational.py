@@ -471,9 +471,18 @@ def theil_inequality_decomposition(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
     )
     j = rows.crossJoin(F.broadcast(tot))
+    # Scale-dependent integer products route through DECIMAL(38,0):
+    # cents*n reaches ~8e18 at the sf10 stress corpus (within a hair of
+    # int64) and s_g*n / s*n_g reach ~1e22 — BIGINT multiply threw
+    # ARITHMETIC_OVERFLOW at sf10 (r9 stress). The exact integer then
+    # converts to double round-to-nearest identically on both engines
+    # (the oracle twin uses HUGEINT in the same positions), so values
+    # at the driver's scales are unchanged.
     micro_i = F.round(
         F.log(
-            (F.col("cents") * F.col("n")).cast("double")
+            (F.col("cents").cast("decimal(38,0)") * F.col("n")).cast(
+                "double"
+            )
             / F.col("s").cast("double")
         )
         * 1_000_000
@@ -492,16 +501,18 @@ def theil_inequality_decomposition(
     )
     micro_g = F.round(
         F.log(
-            (F.col("s_g") * F.col("n")).cast("double")
-            / (F.col("s") * F.col("n_g")).cast("double")
+            (F.col("s_g").cast("decimal(38,0)") * F.col("n")).cast("double")
+            / (F.col("s").cast("decimal(38,0)") * F.col("n_g")).cast(
+                "double"
+            )
         )
         * 1_000_000
     ).cast("bigint")
     between_term = grp.agg(
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum((F.col("s_g") * micro_g).cast("decimal(38,0)")).alias(
-            "b_sum"
-        ),
+        F.sum(F.col("s_g").cast("decimal(38,0)") * micro_g).cast(
+            "decimal(38,0)"
+        ).alias("b_sum"),
     )
     out = total_term.crossJoin(F.broadcast(between_term))
     t_total = F.col("t_sum").cast("double") / (
@@ -530,7 +541,8 @@ WITH rows_ AS (
 tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s FROM rows_),
 total_term AS (
   SELECT MAX(n) AS n, MAX(s) AS s,
-         SUM(CAST(cents * CAST(round(ln(CAST(cents * n AS DOUBLE)
+         SUM(CAST(cents * CAST(round(ln(CAST(CAST(cents AS HUGEINT) * n
+                                               AS DOUBLE)
                                         / CAST(s AS DOUBLE)) * 1000000)
                                AS BIGINT) AS DECIMAL(38,0))) AS t_sum
   FROM rows_, tot
@@ -541,9 +553,11 @@ grp AS (
 ),
 between_term AS (
   SELECT COUNT(*) AS n_groups,
-         SUM(CAST(s_g * CAST(round(ln(CAST(s_g * n AS DOUBLE)
-                                      / CAST(s * n_g AS DOUBLE)) * 1000000)
-                             AS BIGINT) AS DECIMAL(38,0))) AS b_sum
+         SUM(CAST(CAST(s_g AS HUGEINT)
+                  * CAST(round(ln(CAST(CAST(s_g AS HUGEINT) * n AS DOUBLE)
+                                  / CAST(CAST(s AS HUGEINT) * n_g AS DOUBLE))
+                               * 1000000)
+                         AS BIGINT) AS DECIMAL(38,0))) AS b_sum
   FROM grp, tot
 )
 SELECT CAST(n AS BIGINT) AS n_orders,

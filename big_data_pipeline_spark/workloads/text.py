@@ -417,8 +417,15 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_shingle = pos.groupBy("shingle").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
+    # merge (not shuffle_hash) pin: both sides are corpus-sized and the
+    # hint must only prevent the broadcast misfire (Catalyst costs the
+    # exploded side from the compact pre-explode parquet). A shuffle-
+    # hash build of the per-shingle side is NOT spillable — its
+    # per-partition hash map holds |unique shingles|/partitions long
+    # string keys and threw SparkOutOfMemoryError at the sf10 stress
+    # corpus — while sort-merge spills gracefully at any scale.
     return (
-        pos.join(per_shingle.hint("shuffle_hash"), "shingle")
+        pos.join(per_shingle.hint("merge"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

@@ -813,38 +813,47 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     products would overflow int64, drop to per-feature double
     log-weights and a rows-only check — the plan shape is unchanged.)
 
-    Scale: one explode (map-side), one groupBy per feature, one
-    feature-keyed shuffle join back, one per-doc groupBy. The totals
-    are a 1-row broadcast. No Python anywhere.
+    Scale: one explode (map-side), then the exploded frame crosses the
+    wire exactly ONCE — a single shingle-keyed exchange on which a
+    whole-partition window (``partitionBy(shingle)``, no frame) attaches
+    raw_cnt/target_cnt to every occurrence row in place, followed by the
+    per-doc groupBy. The earlier groupBy-then-join-back formulation
+    shuffled the exploded frame on shingle TWICE (stats agg + join
+    re-exchange); the r9 sf10 stress measured that at 12.8x on 10x data
+    isolated, and halving the dominant exchange is what brings it back
+    inside the linear envelope. The totals ride a 1-row broadcast and
+    come straight off the pre-shuffle frame: summing raw_cnt over
+    distinct shingles equals counting occurrence rows (and likewise for
+    the target mass), so rt/tt need a map-side partial agg only, never
+    the per-shingle table. No Python anywhere.
     """
+    from pyspark.sql import Window
+
     docs = read_table(spark, sf_dir, "documents")
     feats = exploded_shingles(
         docs, "doc_id", "text", k=2, distinct=True, extra_cols=("lang",)
     )
-    stats = feats.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("raw_cnt"),
-        F.sum(
-            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("target_cnt"),
+    is_target = F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("rt"), F.sum(is_target).alias("tt")
     )
-    totals = stats.agg(
-        F.sum("raw_cnt").alias("rt"), F.sum("target_cnt").alias("tt")
-    )
-    leaned = stats.crossJoin(F.broadcast(totals)).select(
-        "shingle",
-        (
-            F.col("target_cnt") * F.col("rt") - F.col("raw_cnt") * F.col("tt")
-        ).alias("lean"),
-        (F.col("rt") * F.col("tt")).alias("denom"),
+    w = Window.partitionBy("shingle")
+    occ = feats.select(
+        "doc_id",
+        "lang",
+        F.count(F.lit(1)).over(w).alias("raw_cnt"),
+        F.sum(is_target).over(w).alias("target_cnt"),
     )
     per_doc = (
-        feats.select("doc_id", "lang", "shingle")
-        .join(leaned, "shingle")
+        occ.crossJoin(F.broadcast(totals))
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum("lean").alias("score_num"),
-            F.first("denom").alias("denom"),
+            F.sum(
+                F.col("target_cnt") * F.col("rt")
+                - F.col("raw_cnt") * F.col("tt")
+            ).alias("score_num"),
+            F.first(F.col("rt") * F.col("tt")).alias("denom"),
         )
     )
     return per_doc.select(

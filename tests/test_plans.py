@@ -430,17 +430,39 @@ def test_cooccurrence_topk_takeordered_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_dup_span_fraction_shuffle_hash_no_cartesian(spark, sf_dir):
+def test_dup_span_fraction_merge_join_no_cartesian(spark, sf_dir):
     """The exploded-positions x per-shingle-count join must be the
-    pinned shuffle-hash equi-join on shingle (Catalyst costs the
-    exploded side from the compact pre-explode parquet, so the
-    auto-broadcast threshold can misfire), never a cartesian; both
-    aggregations are partial+final hash aggregates."""
+    pinned SORT-MERGE equi-join on shingle: the hint exists to prevent
+    the broadcast misfire (Catalyst costs the exploded side from the
+    compact pre-explode parquet), and merge — unlike shuffle_hash,
+    whose per-partition build of |unique shingles|/partitions string
+    keys threw SparkOutOfMemoryError at the sf10 stress corpus — spills
+    gracefully when both sides are corpus-sized."""
     plan = _plan(spark, sf_dir, "dup_span_fraction")
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_dsir_single_shingle_exchange_no_join_back(spark, sf_dir):
+    """DSIR scoring must shuffle the exploded bigram frame on shingle
+    exactly ONCE — a whole-partition window attaches raw/target counts
+    to every occurrence in place. The groupBy-then-join-back
+    formulation exchanged the exploded frame on shingle twice and the
+    r9 sf10 stress measured it at 12.8x on 10x data isolated (the
+    window plan re-measured at 1.9x). The totals must come off the
+    pre-shuffle frame (map-side partial agg + 1-row broadcast), never
+    the per-shingle table, and no equi-join may appear at all."""
+    plan = _plan(spark, sf_dir, "dsir_importance_score")
+    assert plan.count("hashpartitioning(shingle") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # totals ride the broadcast cross join; nothing corpus-sized builds
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
 
 
 def test_kmeans_topic_terms_single_lineage(spark, sf_dir):
