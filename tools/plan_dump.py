@@ -37,6 +37,7 @@ HEADLINE = [
     ("salted_join_user_events", "skew-salted replicated join"),
     ("curation_pipeline_v2", "multi-stage composite in one plan"),
     ("dup_span_fraction", "map-side shingle explode + pinned spillable sort-merge (r9)"),
+    ("dsir_importance_score", "single shingle exchange: window stats, no join-back (r9)"),
     ("kmeans_topic_terms", "single-lineage cluster labeling (window df)"),
     ("fk_integrity_audit", "per-FK-edge anti-pattern audit, pruned scans"),
     ("lineitem_measures_unpivot", "native unpivot: one scan + Expand"),
