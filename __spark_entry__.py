@@ -204,23 +204,28 @@ _PRIORITY = (
     "time_range_window_stats",
     "variant_props_stats",
     "window_lead_next_value",
-    # --- (b) re-proof of this round's touched ops
+    # --- (b) re-proof of this round's touched ops: the sf10 stress on
+    # ranks 21-40 changed these plans (single-exchange DSIR, star-CC
+    # golden merge, array_distinct shingles, sort-merge dup spans,
+    # DECIMAL-routed Theil, RocksDB/foreachBatch stream drain), so they
+    # outrank r03-vintage freshness for this window; the displaced r03
+    # fills rotate in r10.
     "incremental_neardup_batch",
     "split_leakage_audit",
+    "dsir_importance_score",
+    "golden_record_merge",
+    "dup_span_fraction",
+    "theil_inequality_decomposition",
+    "stream_session_dynamic_gap",
+    "shingle_jaccard_pairs",
+    "shingle_containment_pairs",
+    "minhash_lsh_dedup",
+    "simhash_near_dups",
+    "sorted_neighborhood_neardup",
     # --- (c) r3-vintage fills
-    "asof_last_purchase",
-    "bigram_explode_udtf",
-    "bloom_pruned_urgent_revenue",
-    "cdc_orders_diff",
-    "cohort_retention",
     "dedup_cluster_star",
-    "doc_chunk_overlap",
     "doc_pack_assign",
     "entity_blocking_pairs",
-    "funnel_conversion",
-    "incremental_dedup_new_batch",
-    "intersect_all_item_quantities",
-    "kmeans_assign_embeddings",
 )
 
 
