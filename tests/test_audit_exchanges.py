@@ -1,0 +1,51 @@
+"""Unit tests for the exchange-shape audit's pure classification
+logic (the full registry scan runs as a tool, not in the suite)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from audit_exchanges import (  # noqa: E402
+    KNOWN_TWO_SIDED,
+    count_text_key_exchanges,
+    status_for,
+)
+
+
+def test_double_shingle_exchange_flagged():
+    plan = (
+        "Exchange hashpartitioning(shingle#9, 32)\n"
+        "... SortMergeJoin ...\n"
+        "Exchange hashpartitioning(shingle#42, 32)\n"
+    )
+    assert count_text_key_exchanges(plan) == {"shingle": 2}
+
+
+def test_single_exchange_and_non_text_keys_pass():
+    plan = (
+        "Exchange hashpartitioning(shingle#9, 32)\n"
+        "Exchange hashpartitioning(o_orderkey#3L, 32)\n"
+        "Exchange hashpartitioning(o_orderkey#7L, 32)\n"
+    )
+    # one shingle exchange is the fixed DSIR shape; FK keys are the
+    # ordinary relational shape and are out of scope by design
+    assert count_text_key_exchanges(plan) == {}
+
+
+def test_expression_id_suffixes_collapse_to_one_family():
+    plan = (
+        "Exchange hashpartitioning(token#101, 32)\n"
+        "Exchange hashpartitioning(token#2087, 32)\n"
+        "Exchange hashpartitioning(tok#3, 32)\n"
+    )
+    assert count_text_key_exchanges(plan) == {"token": 2}
+
+
+def test_status_precedence_known_then_measured_then_unexplained():
+    assert status_for("dup_span_fraction", set()) == "known-two-sided"
+    assert "dup_span_fraction" in KNOWN_TWO_SIDED
+    assert status_for("some_new_query", {"some_new_query"}) == "sf10-measured"
+    assert status_for("some_new_query", set()) == "UNEXPLAINED"

@@ -69,6 +69,26 @@ KNOWN_TWO_SIDED = {
 }
 
 
+def count_text_key_exchanges(plan: str) -> dict[str, int]:
+    """Occurrences of hashpartitioning on each text-explosion key
+    family (expression-ID suffixes stripped), >=2 meaning the frame
+    family crosses the wire more than once."""
+    counts: dict[str, int] = {}
+    for m in _PAT.finditer(plan):
+        key = m.group(1).rstrip("0123456789_")
+        if key in _TEXT_KEYS:
+            counts[key] = counts.get(key, 0) + 1
+    return {k: c for k, c in counts.items() if c >= 2}
+
+
+def status_for(name: str, measured: set[str]) -> str:
+    if name in KNOWN_TWO_SIDED:
+        return "known-two-sided"
+    if name in measured:
+        return "sf10-measured"
+    return "UNEXPLAINED"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     measured: set[str] = set()
@@ -89,19 +109,10 @@ def main() -> int:
         except Exception as ex:  # streaming drains etc. still plan fine
             print(f"ERR  {name}: {type(ex).__name__}")
             continue
-        counts: dict[str, int] = {}
-        for m in _PAT.finditer(plan):
-            key = m.group(1).rstrip("0123456789_")
-            if key in _TEXT_KEYS:
-                counts[key] = counts.get(key, 0) + 1
-        hot = {k: c for k, c in counts.items() if c >= 2}
+        hot = count_text_key_exchanges(plan)
         if not hot:
             continue
-        status = (
-            "known-two-sided" if name in KNOWN_TWO_SIDED
-            else "sf10-measured" if name in measured
-            else "UNEXPLAINED"
-        )
+        status = status_for(name, measured)
         print(f"flag {name}: {hot} [{status}]")
         if status == "UNEXPLAINED":
             unexplained.append(name)
