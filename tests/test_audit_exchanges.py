@@ -10,6 +10,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from audit_exchanges import (  # noqa: E402
     KNOWN_TWO_SIDED,
+    count_duplicate_arrow_evals,
     count_text_key_exchanges,
     status_for,
 )
@@ -42,6 +43,30 @@ def test_expression_id_suffixes_collapse_to_one_family():
         "Exchange hashpartitioning(tok#3, 32)\n"
     )
     assert count_text_key_exchanges(plan) == {"token": 2}
+
+
+def test_duplicate_arrow_eval_same_invocation_flagged():
+    plan = (
+        "(10) ArrowEvalPython\n"
+        "Arguments: [_seq_cosine_kernel(q_vec#6, c_vec#9)#16], [pythonUDF0#20], 200\n"
+        "(14) ArrowEvalPython\n"
+        "Arguments: [_seq_cosine_kernel(q_vec#31, c_vec#34)#41], [pythonUDF0#45], 200\n"
+    )
+    # same kernel, same columns (expression IDs differ) = the
+    # optimizer-duplication shape
+    assert count_duplicate_arrow_evals(plan) == {
+        "_seq_cosine_kernel(q_vec, c_vec)": 2
+    }
+
+
+def test_same_kernel_different_columns_is_legitimate():
+    plan = (
+        "(10) ArrowEvalPython\n"
+        "Arguments: [_seq_cosine_kernel(q_vec#6, brute_vec#9)#16], [pythonUDF0#20], 200\n"
+        "(14) ArrowEvalPython\n"
+        "Arguments: [_seq_cosine_kernel(q_vec#31, lsh_vec#34)#41], [pythonUDF0#45], 200\n"
+    )
+    assert count_duplicate_arrow_evals(plan) == {}
 
 
 def test_status_precedence_known_then_measured_then_unexplained():

@@ -17,6 +17,13 @@ linear-or-better in the cumulative sf10 stress artifact
 exists to make NEW entrants visible, so review any name this prints
 that is not in KNOWN_TWO_SIDED before shipping it.
 
+A second check automates the r8 manual plan audit: any pandas-UDF
+invocation evaluated by two ArrowEvalPython nodes in one plan
+(optimizer pushdown cloning a score expression into score + filter
+nodes — double the Arrow transfer and kernel work) is always flagged;
+the fix is a dedicated `asNondeterministic()` kernel instance, never
+mutating the shared one (asNondeterministic mutates in place).
+
 Usage: python tools/audit_exchanges.py [sf_dir]
 Exit code: 1 if an unexplained (not known, not sf10-measured) flag
 appears, else 0.
@@ -69,6 +76,30 @@ KNOWN_TWO_SIDED = {
 }
 
 
+_ARROW_PAT = re.compile(
+    r"\(\d+\) ArrowEvalPython\s*\nArguments: \[(\w+)\(([^\]]*?)\)#\d+\]"
+)
+
+
+def count_duplicate_arrow_evals(plan: str) -> dict[str, int]:
+    """(kernel, normalized-argument) signatures evaluated by >=2
+    ArrowEvalPython nodes in one plan — the optimizer-duplication
+    shape (score-then-filter pushdown cloning a pandas UDF into two
+    Arrow nodes) that r8 fixed by fencing a nondeterministic kernel
+    instance. Two nodes running the SAME kernel on DIFFERENT columns
+    (e.g. a recall report scoring two candidate sets) are legitimate
+    and do not match: argument expression IDs are stripped but column
+    names are kept, so only a true re-evaluation of one invocation
+    counts."""
+    sigs: dict[str, int] = {}
+    for m in _ARROW_PAT.finditer(plan):
+        kernel, args = m.groups()
+        norm_args = re.sub(r"#\d+", "", args)
+        sig = f"{kernel}({norm_args})"
+        sigs[sig] = sigs.get(sig, 0) + 1
+    return {s: c for s, c in sigs.items() if c >= 2}
+
+
 def count_text_key_exchanges(plan: str) -> dict[str, int]:
     """Occurrences of hashpartitioning on each text-explosion key
     family (expression-ID suffixes stripped), >=2 meaning the frame
@@ -109,6 +140,12 @@ def main() -> int:
         except Exception as ex:  # streaming drains etc. still plan fine
             print(f"ERR  {name}: {type(ex).__name__}")
             continue
+        dup_evals = count_duplicate_arrow_evals(plan)
+        if dup_evals:
+            # always a defect: fence with a dedicated nondeterministic
+            # kernel instance (see functions/similarity seq_cosine_fenced)
+            print(f"flag {name}: duplicate Arrow eval {dup_evals} [UNEXPLAINED]")
+            unexplained.append(name)
         hot = count_text_key_exchanges(plan)
         if not hot:
             continue
