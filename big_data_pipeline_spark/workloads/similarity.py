@@ -740,39 +740,65 @@ def knn_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(sq_norm_sql("embedding", _MRL_DIMS, offset=0)).alias("p_sqn"),
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    # Stage 1 ranks on a NARROW frame — (query_id, neighbor_id,
+    # pre_cos) only. The full and prefix vectors must NOT ride through
+    # the shortlist window: rescore needs them afterwards, so Catalyst
+    # cannot prune them the way it does in knn_cosine_topk, and the
+    # exchange-then-sort of |corpus|x|queries| rows each carrying four
+    # float arrays across only _N_QUERIES partition keys hit a
+    # per-partition sort/spill cliff at the sf10 stress corpus (32.2x
+    # batch / 29x isolated on 10x data). With ~16-byte rows the same
+    # window is linear; the shortlist (_MRL_SHORTLIST x _N_QUERIES
+    # rows) then broadcast-joins back against the corpus scan to fetch
+    # vectors for the full-dim rescore — map-side, no corpus shuffle.
+    q_narrow = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
         F.col("prefix").alias("q_pre"),
-        F.col("sqn").alias("q_sqn"),
         F.col("p_sqn").alias("q_psqn"),
     )
-    c = emb.select(
+    c_narrow = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_vec"),
         F.col("prefix").alias("c_pre"),
-        F.col("sqn").alias("c_sqn"),
         F.col("p_sqn").alias("c_psqn"),
     ).repartition(spark.sparkContext.defaultParallelism)
     stage1 = (
-        c.crossJoin(F.broadcast(q))
+        c_narrow.crossJoin(F.broadcast(q_narrow))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "pre_cos",
+        .select(
+            "query_id",
+            "neighbor_id",
             seq_cosine(
                 F.col("q_pre"), F.col("c_pre"), F.col("q_psqn"), F.col("c_psqn")
-            ),
+            ).alias("pre_cos"),
         )
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("pre_cos"), F.asc("neighbor_id")
     )
-    short = stage1.withColumn("pre_rank", F.row_number().over(w1)).filter(
-        F.col("pre_rank") <= _MRL_SHORTLIST
+    short = (
+        stage1.withColumn("pre_rank", F.row_number().over(w1))
+        .filter(F.col("pre_rank") <= _MRL_SHORTLIST)
+        .select("query_id", "neighbor_id", "pre_rank")
     )
-    rescored = short.withColumn(
-        "cos_sim",
-        seq_cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_sqn"), F.col("c_sqn")),
+    q_full = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sqn").alias("q_sqn"),
+    )
+    c_full = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("sqn").alias("c_sqn"),
+    )
+    rescored = (
+        c_full.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .withColumn(
+            "cos_sim",
+            seq_cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_sqn"), F.col("c_sqn")
+            ),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

@@ -465,6 +465,29 @@ def test_dsir_single_shingle_exchange_no_join_back(spark, sf_dir):
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
 
 
+def test_matryoshka_shortlist_window_is_narrow(spark, sf_dir):
+    """The stage-1 shortlist window must rank NARROW rows — ids +
+    prefix cosine only. Full/prefix vectors riding through the window
+    made the exchange-then-sort of |corpus|x|queries| array-carrying
+    rows across only _N_QUERIES partition keys a per-partition spill
+    cliff (r9 sf10 stress: 32.2x batch / 19.4x isolated on 10x data;
+    narrow rework: 2.8x). The shortlist then fetches vectors back via
+    broadcast equi-joins against the corpus scan (map-side, no corpus
+    shuffle), and every ranking window carries a WindowGroupLimit
+    (map-side partial top-k before the exchange)."""
+    plan = _plan(spark, sf_dir, "knn_matryoshka_rerank")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # every query_id-keyed exchange (the shortlist windows) is narrow:
+    # no embedding/prefix arrays in its input schema
+    for block in plan.split("\n\n"):
+        if "Exchange hashpartitioning(query_id" in block:
+            assert "embedding" not in block
+            assert "_vec" not in block
+            assert "_pre" not in block or "pre_cos" in block
+
+
 def test_kmeans_topic_terms_single_lineage(spark, sf_dir):
     """Cluster labeling must join documents to assignments BEFORE the
     token explode (compact join, map-side fan-out), compute the
