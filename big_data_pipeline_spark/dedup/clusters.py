@@ -34,14 +34,15 @@ def connected_components(
         .distinct()
         # materialize once: every round re-joins this frame, and without
         # the checkpoint each round would re-execute the entire upstream
-        # pair-finding pipeline (shingle→minhash→join) from scratch
-        .localCheckpoint()
+        # pair-finding pipeline (shingle→minhash→join) from scratch.
+        # Lazy: round 1's convergence count materializes it in-job.
+        .localCheckpoint(eager=False)
     )
     labels = (
         both.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
@@ -61,7 +62,11 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
                 ).alias("changed"),
             )
-            .localCheckpoint()  # cut lineage: plan size stays O(1) per round
+            # lazy lineage cut: the convergence count below is a FULL
+            # action (every partition aggregates), so it materializes the
+            # checkpoint in the same job — one pass + one job per round
+            # instead of an eager-checkpoint job followed by a count job
+            .localCheckpoint(eager=False)
         )
         n_changed = updated.filter("changed").count()
         labels = updated.drop("changed")
@@ -157,17 +162,23 @@ def connected_components_star(
     # materialize the raw pair projection once: cur AND isolated both
     # consume it, and without this the upstream pair-finding pipeline
     # (shingle→minhash→join) executes twice
+    # lazy: the first fingerprint(cur) materializes raw and cur in one
+    # job; isolated then reads raw from the cache
     raw = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # lazy: the first fingerprint(cur) below materializes it in one job
     cur = (
-        symmetrize(raw).filter(F.col("a") != F.col("b")).localCheckpoint()
+        symmetrize(raw)
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=False)
     )
+    # single-consumer frame derived from the checkpointed raw: computed
+    # once by the final join's plan, a checkpoint job would buy nothing
     isolated = (
         raw.select(F.col("a").alias("id"))
         .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     def fingerprint(e: DataFrame) -> tuple:
         # cheap per-round convergence probe: one 1-row aggregate instead
@@ -183,7 +194,10 @@ def connected_components_star(
     converged = False
     for _ in range(max_iter):
         after_large = large_star(symmetrize(cur))
-        after_small = small_star(after_large).localCheckpoint()
+        # lazy lineage cut: the fingerprint aggregate computes every
+        # partition, so it materializes the checkpoint in its own job —
+        # one job per round instead of checkpoint + fingerprint
+        after_small = small_star(after_large).localCheckpoint(eager=False)
         new_fp = fingerprint(after_small)
         stable = new_fp == fp
         prev, cur, fp = cur, after_small, new_fp

@@ -113,7 +113,9 @@ def pagerank(
     trans = (
         e.join(out_w, "e_src")
         .select("e_src", "e_dst", (F.col("w") / F.col("out_w")).alias("p"))
-        .localCheckpoint()
+        # lazy: the node count below is a full action over both trans
+        # projections, so it materializes the checkpoint in its own job
+        .localCheckpoint(eager=False)
     )
     # nodes derive from the CHECKPOINTED trans (it holds every edge), so
     # the upstream edge-build plan runs exactly once, not once per
@@ -127,6 +129,14 @@ def pagerank(
     if n == 0:
         # empty edge frame -> empty ranks, not a ZeroDivisionError
         return nodes_raw.withColumn("rank", F.lit(0.0))
+    if 0 < driver_max_edges and n <= driver_max_edges:
+        m = trans.count()  # checkpointed: a metadata-cheap count
+        if m <= driver_max_edges:
+            # collect straight from the checkpointed trans (nodes_raw
+            # derives from it) — the distributed loop's repartition+
+            # checkpoint pair below would be two wasted jobs (and
+            # shuffles) for data that is about to leave the cluster
+            return _pagerank_driver(trans, nodes_raw, n, damping, max_iter)
     # Size the iteration's shuffle width to the NODE frame, not the
     # session default: ranks is node-sized, and iterating a 25-node
     # graph through 32-partition exchanges spends everything on empty
@@ -134,10 +144,6 @@ def pagerank(
     parts = max(1, min(int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")), n // 1_000_000 + 1))
     nodes = nodes_raw.repartition(parts, "id").localCheckpoint()
     trans = trans.repartition(parts, "e_src").localCheckpoint()
-    if 0 < driver_max_edges and n <= driver_max_edges:
-        m = trans.count()  # checkpointed: a metadata-cheap count
-        if m <= driver_max_edges:
-            return _pagerank_driver(trans, nodes, n, damping, max_iter)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     has_out = trans.select(F.col("e_src").alias("id")).distinct()
     dangling_nodes = nodes.join(has_out, "id", "left_anti").localCheckpoint()

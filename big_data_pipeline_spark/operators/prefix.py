@@ -33,6 +33,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def shard_bounds(
+    df: DataFrame, order_cols: list[str], shards: int = 32
+) -> list[list[float]]:
+    """Shard boundaries for several order columns in ONE approxQuantile
+    pass (identical per-column results to separate calls — the sketch is
+    built per column either way). Callers that rank the same frame by
+    multiple metrics (e.g. R/F/M) otherwise pay one full boundary-probe
+    job per metric."""
+    return df.approxQuantile(
+        order_cols, [i / shards for i in range(1, shards)], 0.001
+    )
+
+
 def sharded_running_sums(
     df: DataFrame,
     part_cols: list[str],
@@ -40,6 +53,7 @@ def sharded_running_sums(
     values: list[tuple[str | Column, str]],
     shards: int = 32,
     tiebreak_cols: list[str] | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Append one running-sum column per ``(value_col, out_col)`` pair,
     all over the SAME total order, in ONE pass — one approxQuantile,
@@ -57,13 +71,10 @@ def sharded_running_sums(
     vals = [
         (F.col(v) if isinstance(v, str) else v, out) for v, out in values
     ]
-    bounds = (
-        df.approxQuantile(
-            order_col, [i / shards for i in range(1, shards)], 0.001
+    if bounds is None:
+        bounds = (
+            shard_bounds(df, [order_col], shards)[0] if shards > 1 else []
         )
-        if shards > 1
-        else []
-    )
     # shard id = number of boundaries strictly below the order value;
     # duplicate boundaries just leave some shards empty (harmless).
     # NULL order values make every comparison NULL — coalesce them into
@@ -120,6 +131,7 @@ def sharded_running_sum(
     out_col: str,
     shards: int = 32,
     tiebreak_cols: list[str] | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Single-column form of :func:`sharded_running_sums`."""
     return sharded_running_sums(
@@ -129,6 +141,7 @@ def sharded_running_sum(
         [(value_col, out_col)],
         shards=shards,
         tiebreak_cols=tiebreak_cols,
+        bounds=bounds,
     )
 
 

@@ -720,6 +720,12 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(exact_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        # materialize the 25-row nation aggregate once: it fans out into
+        # per_region, total and the final join, and without the cut the
+        # fact-table join pipeline replays per consumer (the before-plan
+        # scanned lineitem 3×) — "touched exactly once" now holds by
+        # construction, not by hoping for runtime exchange reuse
+        .localCheckpoint(eager=True)
     )
     per_region = per_nation.groupBy("r_name").agg(
         F.sum(F.col("revenue").cast(DEC)).cast("double").alias("region_rev")
@@ -800,6 +806,10 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg", -F.col("cents"))
         .withColumn("g", F.lit(0))
+        # materialize the per-customer frame once: the sharded prefix
+        # sum consumes it three times and the totals a fourth — each
+        # replay re-ran the orders scan + groupBy. Reduced side.
+        .localCheckpoint(eager=True)
     )
     ranked = sharded_running_sums(
         per_cust,
@@ -905,6 +915,12 @@ def surrogate_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "events")
         .select("event_id", "ts")
         .withColumn("o", F.col("ts").cast("double"))
+        # materialize the narrow (id, ts) projection once: the sharded
+        # prefix sum consumes it three times (boundary probe, local
+        # window, offsets), each replay a full events scan. The cache is
+        # exactly the two pruned columns — one write + two reads beats
+        # three parquet scans.
+        .localCheckpoint(eager=True)
     )
     seq = sharded_running_sum(
         ev,
@@ -954,6 +970,10 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .withColumn("neg_size", -F.col("size"))
+        # materialize the distinct-point frame once: the sharded running
+        # max consumes it three times, each replay re-running the part
+        # scan + groupBy. |distinct points|-sized.
+        .localCheckpoint(eager=True)
     )
     marked = sharded_running_max(
         pts,

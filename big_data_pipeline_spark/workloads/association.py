@@ -322,6 +322,14 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= _MIN_PAIR_SUPPORT)
+        # materialize the support-filtered pair table once: it fans out
+        # into both adj_dir orientations, deg, adj and the final
+        # anti-join — without the cut the basket self-join + aggregate
+        # replays per consumer (the before-plan scanned lineitem 28×).
+        # Already the REDUCED frame (pairs with support ≥ 2, far
+        # smaller than the exploded wedge input), so caching it is the
+        # guide's materialize-the-proxy move, valid at any scale.
+        .localCheckpoint(eager=True)
     )
     adj_dir = edges.select(
         F.col("part1").alias("node"), F.col("part2").alias("nbr"), "n_pair"

@@ -450,16 +450,29 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-execute the full events scan+agg. The checkpointed frame is
     # |users| rows — orders of magnitude smaller than events — so this
     # is the standard cache-the-reduced-side move, safe at any scale.
-    base = base.localCheckpoint()
+    # lazy: the one-pass approxQuantile below is a full action and
+    # materializes the checkpoint in the same job
+    base = base.localCheckpoint(eager=False)
     n = base.select(F.count(F.lit(1)).alias("n_users"))
+    # ONE approxQuantile pass computes all three metrics' shard
+    # boundaries (identical per-column results to three separate calls);
+    # the per-metric form paid three full boundary-probe jobs over base
+    metrics = ("recency_days", "frequency", "monetary")
+    from big_data_pipeline_spark.operators.prefix import shard_bounds
+
+    all_bounds = shard_bounds(base, list(metrics))
     ranked = base
-    for metric, out in (
-        ("recency_days", "r_rank"),
-        ("frequency", "f_rank"),
-        ("monetary", "m_rank"),
+    for metric, out, bnds in zip(
+        metrics, ("r_rank", "f_rank", "m_rank"), all_bounds
     ):
         ranked = sharded_running_sum(
-            ranked, ["g"], metric, F.lit(1), out, tiebreak_cols=["user_id"]
+            ranked,
+            ["g"],
+            metric,
+            F.lit(1),
+            out,
+            tiebreak_cols=["user_id"],
+            bounds=bnds,
         )
     b = _RFM_BUCKETS
     bucket = lambda c: ((F.col(c) - 1) * b / F.col("n_users")).cast(  # noqa: E731

@@ -538,11 +538,23 @@ def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     orders = read_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # Two aggregates, deliberately: mixing the multi-column
+    # count_distincts (an Expand that duplicates every row 7×) with
+    # min/max over STRING columns forces the whole aggregate onto the
+    # SortAggregate fallback (string agg buffers are not hash-mutable),
+    # i.e. a full sort of the 7×-expanded table — the before-plan's
+    # dominant cost. Split, the distinct pass stays pure HashAggregate
+    # over the Expand, and the min/max/null pass is a global aggregate
+    # with no grouping keys, so its sort-based fallback sorts nothing.
+    # Both are 1-row results; the crossJoin is free.
+    dist_aggs = [
+        F.count_distinct(F.col(col)).alias(f"dist_{col}")
+        for col, _ in _PROFILE_COLS
+    ]
+    rest_aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col, kind in _PROFILE_COLS:
-        aggs += [
+        rest_aggs += [
             F.sum(F.col(col).isNull().cast("long")).alias(f"nulls_{col}"),
-            F.count_distinct(F.col(col)).alias(f"dist_{col}"),
             F.expr(
                 _render(kind, f"MIN({col})", "STRING").replace(
                     "printf", "format_string"
@@ -554,7 +566,9 @@ def table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias(f"max_{col}"),
         ]
-    wide = orders.agg(*aggs)
+    wide = orders.agg(*rest_aggs).crossJoin(
+        F.broadcast(orders.agg(*dist_aggs))
+    )
     stack = ", ".join(
         f"'{col}', nulls_{col}, dist_{col}, min_{col}, max_{col}"
         for col, _ in _PROFILE_COLS
@@ -623,9 +637,16 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ranks2(col: str) -> DataFrame:
+        # materialize the per-(flag, value) count frame once: the
+        # sharded prefix sum consumes it three times (approxQuantile
+        # boundary probe, local window, offsets aggregate) and each
+        # replay re-ran the full lineitem scan + groupBy (the
+        # before-plan scanned lineitem twice for this subtree alone).
+        # The frame is |distinct values|-sized — the already-reduced
+        # side — so the cut is cheap at any input size.
         cnts = li.groupBy("l_returnflag", col).agg(
             F.count(F.lit(1)).alias("cnt")
-        )
+        ).localCheckpoint(eager=True)
         run = sharded_running_sum(
             cnts, ["l_returnflag"], col, "cnt", "cum", tiebreak_cols=[]
         )
@@ -833,10 +854,14 @@ def ks_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
+    # materialize the per-value count frame once: the sharded prefix sum
+    # consumes it three times (boundary probe, local window, offsets) and
+    # the totals aggregate a fourth — each replay re-ran the events scan
+    # + groupBy. |distinct values|-sized: the reduced side.
     per_val = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == _KS_A).cast("long")).alias("c_a"),
         F.sum((F.col("event_type") == _KS_B).cast("long")).alias("c_b"),
-    )
+    ).localCheckpoint(eager=True)
     # both empirical CDFs ride ONE prefix-sum pass (same total order)
     run = sharded_running_sums(
         per_val, [], "value", [("c_a", "cum_a"), ("c_b", "cum_b")],
@@ -918,10 +943,14 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from big_data_pipeline_spark.operators.prefix import sharded_running_sum
 
+    # materialize the per-value count frame once: the sharded prefix sum
+    # consumes it three times and the n_rows total a fourth — each replay
+    # re-ran the orders scan + groupBy. |distinct values|-sized.
     per_val = (
         read_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_totalprice").alias("v"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     run = sharded_running_sum(
         per_val, [], "v", "cnt", "cum", tiebreak_cols=[]
@@ -990,10 +1019,12 @@ def mannwhitney_shift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
+    # materialize once — same reasoning as ks_drift_stat's per_val (the
+    # prefix sum's three consumers each replayed the events scan+groupBy)
     per_val = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == _KS_A).cast("long")).alias("c_a"),
         F.sum((F.col("event_type") == _KS_B).cast("long")).alias("c_b"),
-    )
+    ).localCheckpoint(eager=True)
     run = sharded_running_sum(
         per_val.withColumn("cnt", F.col("c_a") + F.col("c_b")),
         [],
@@ -1297,6 +1328,14 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("xc"),
     )
+    # spread the hash work over every core: the 2·B md5+fold towers are
+    # CPU-bound and the narrow (key, cents) projection is 16 bytes/row,
+    # so a round-robin fan-out costs ~nothing while the single
+    # consolidated aggregate below would otherwise run at the scan's
+    # split count (3 tasks at sf0.1 — measured 6.1s vs 1.1s spread).
+    # On a many-split production table this is a no-op-sized insurance.
+    if base.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        base = base.repartition(spark.sparkContext.defaultParallelism)
     # four narrow codegen stages keep each generated method small:
     # md5s -> uniforms -> weights -> 2B aggregates
     hs = base.select(
@@ -1328,11 +1367,16 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_BOOT_B)
         ],
     )
+    # materialize the single 2B-column aggregate row once: the B-branch
+    # union below otherwise replicates the whole scan+aggregate subtree
+    # per replica in the plan (32 scans before; runtime exchange reuse
+    # collapsed the execution but the optimizer still planned all 32),
+    # and a 1-row checkpoint makes the reuse structural.
+    agg = agg.localCheckpoint(eager=True)
     # reshape the single agg row into B rows with a unionAll of B
-    # one-column selects: Spark's exchange reuse computes the shared
-    # aggregate ONCE and fans the branches off the reused result
-    # (measured faster than the explode(array(struct…)) reshape, which
-    # rebuilds the wide projection inside one giant stage).
+    # one-column selects (measured faster than the explode(array(
+    # struct…)) reshape, which rebuilds the wide projection inside one
+    # giant stage).
     from functools import reduce
 
     rows = [

@@ -245,8 +245,15 @@ def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
+    # rank on a NARROW projection (guide: project before the exchange —
+    # the prefix sum's window exchange otherwise carries the full text
+    # column), materialized once because the helper consumes its input
+    # three times (boundary probe, local window, offsets)
+    key = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("o")
+    ).localCheckpoint(eager=True)
     ranked = sharded_running_sum(
-        docs.withColumn("o", F.col("n_chars").cast("double")),
+        key,
         part_cols=[],
         order_col="o",
         value_col=F.lit(1).cast("long"),

@@ -453,8 +453,15 @@ def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "session_id",
     )
-    sweep = starts.unionByName(ends).withColumn(
-        "o", F.col("ts").cast("double")
+    # materialize the sweep frame once: the sharded prefix sum consumes
+    # it three times (approxQuantile boundary probe, local window,
+    # offsets aggregate), and each replay re-ran the whole windowed
+    # sessionization twice (starts + ends arms — the before-plan held 5
+    # events scans). 2×|sessions| narrow rows: the reduced side.
+    sweep = (
+        starts.unionByName(ends)
+        .withColumn("o", F.col("ts").cast("double"))
+        .localCheckpoint(eager=True)
     )
     run = sharded_running_sum(
         sweep,

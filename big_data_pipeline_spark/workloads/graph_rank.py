@@ -183,10 +183,13 @@ def kcore_peel(und: DataFrame, k: int, rounds: int = _KCORE_ROUNDS) -> DataFrame
     """Peel an undirected (a, b) edge list to its k-core; returns the
     surviving symmetric edges (u, v). Exposed for direct testing on
     crafted graphs."""
+    # lazy lineage cuts: each round's count is a full action, so it
+    # materializes that round's checkpoint in the same job — one job per
+    # peel round instead of an eager-checkpoint job plus a count job
     sym = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges = sym.count()
     for _ in range(rounds):
@@ -200,7 +203,7 @@ def kcore_peel(und: DataFrame, k: int, rounds: int = _KCORE_ROUNDS) -> DataFrame
             .join(F.broadcast(dv), "v")
             .filter((F.col("du") >= k) & (F.col("dv") >= k))
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
         sym = nxt
@@ -494,16 +497,20 @@ def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # lazy lineage cuts: each round's frontier count is a full action and
+    # materializes und (round 1), the new frontier, and the previous
+    # visited union in ONE job — the eager form paid three jobs per round
     und = (
         strong.unionByName(
             strong.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # a 1-row local relation: no lineage to cut, checkpoint buys nothing
     frontier = spark.createDataFrame(
         [(_BFS_SOURCE, 0)], "nation string, hop int"
-    ).localCheckpoint()
+    )
     visited = frontier
     for hop in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
@@ -512,11 +519,11 @@ def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("nation"), "nation", "left_anti")
             .withColumn("hop", F.lit(hop))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
 
@@ -593,11 +600,15 @@ def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint()
+        # lazy lineage cuts: round 1's improvement count materializes
+        # und and relaxed in one job (eager form: one checkpoint job +
+        # one probe job per round)
+        .localCheckpoint(eager=False)
     )
+    # a 1-row local relation: no lineage to cut, checkpoint buys nothing
     dist = spark.createDataFrame(
         [(_BFS_SOURCE, 0)], "nation string, cost long"
-    ).localCheckpoint()
+    )
     for _ in range(_SSSP_MAX_ROUNDS):
         relaxed = (
             dist.join(und, dist["nation"] == und["a"])
@@ -608,20 +619,21 @@ def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(dist)
             .groupBy("nation")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # converged when no distance improved this round
-        changed = (
+        # converged when no distance improved this round (full-action
+        # count, so it also materializes relaxed's checkpoint in-job)
+        n_improved = (
             relaxed.join(
                 dist.withColumnRenamed("cost", "old"), "nation", "left"
             )
             .filter(
                 F.col("old").isNull() | (F.col("cost") < F.col("old"))
             )
-            .isEmpty()
+            .count()
         )
         dist = relaxed
-        if changed:
+        if n_improved == 0:
             break
     return dist
 
@@ -689,17 +701,19 @@ def closeness_trade_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # lazy lineage cuts (same device as bfs_trade_hops): the per-round
+    # frontier count materializes everything this round needs in one job
     und = (
         strong.unionByName(
             strong.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = und.select(F.col("a").alias("nation")).distinct()
     frontier = nodes.select(
         F.col("nation").alias("source"), "nation", F.lit(0).alias("hop")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     visited = frontier
     for hop in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
@@ -712,11 +726,11 @@ def closeness_trade_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_anti",
             )
             .withColumn("hop", F.lit(hop))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.groupBy(F.col("source").alias("nation")).agg(
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reachable"),
@@ -795,9 +809,20 @@ def degree_assortativity_trade(
     edges = edges.crossJoin(F.broadcast(avg_rev)).filter(
         F.col("revenue") > 1.8 * F.col("avg_rev")
     )
-    und = edges.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        # materialize the thresholded edge list once: it fans out into
+        # sym (twice), deg and the moment join — without the cut the
+        # 5-way join + aggregate pipeline replays per consumer (the
+        # before-plan held 144 parquet scans). Key-cardinality-bounded
+        # (≤ |nations|²), so a tiny cached table at any input size —
+        # same device as triangle_count_trade's `strong`.
+        .localCheckpoint(eager=True)
+    )
     sym = und.union(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

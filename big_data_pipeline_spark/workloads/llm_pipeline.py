@@ -84,7 +84,10 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_tokens") == pow_prev, F.col("n_tokens")).otherwise(
             pow_prev * 2
         ),
-    )
+    # materialize once: the sharded prefix sum consumes the frame three
+    # times (boundary probe, local window, offsets) and each replay
+    # re-tokenized the corpus. One narrow row per doc.
+    ).localCheckpoint(eager=True)
     rn = sharded_running_sum(toks, ["bucket"], "doc_id", F.lit(1), "rn")
     batched = rn.withColumn(
         "batch_id", F.floor((F.col("rn") - 1) / _BATCH_DOCS)
@@ -411,9 +414,11 @@ def doc_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_pipeline_spark.operators.prefix import sharded_running_sum
 
     docs = read_table(spark, sf_dir, "documents")
+    # materialize once: the sharded prefix sum consumes the frame three
+    # times and each replay re-tokenized the corpus. Narrow per-doc rows.
     toks = docs.select(
         "doc_id", "lang", F.size(tokenize("text")).alias("n_tokens")
-    )
+    ).localCheckpoint(eager=True)
     # A plain per-lang cumulative window caps parallelism at the number
     # of languages (single-task streams at 100 TB); the two-phase
     # sharded prefix sum computes the identical integer cumsum with
@@ -1350,12 +1355,15 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pair_count bigint",
         )
 
+    # lazy: each round's top-pair collect is a full action, so it
+    # materializes the pending checkpoint in the same job (and the final
+    # round's checkpoint — whose frame nothing consumes — never runs)
     seqs = words.select(
         "wc",
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(_BPE_EOW))
         ).alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     rules = []
     for rnd in range(1, _BPE_ROUNDS + 1):
@@ -1410,8 +1418,8 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs = seqs.select("wc", apply_merge("syms").alias("syms"))
         # cut lineage each round — K stacked UDF stages otherwise
         # re-execute cumulatively (same discipline as the CC/PageRank
-        # loops in operators/graph.py)
-        seqs = seqs.localCheckpoint()
+        # loops in operators/graph.py); lazy, see the note above
+        seqs = seqs.localCheckpoint(eager=False)
 
     return spark.createDataFrame(
         rules, "round int, left string, right string, merged string, pair_count bigint"

@@ -552,7 +552,18 @@ def conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("abs_resid", F.abs(F.col("value") - F.col("prediction")))
     )
     split = F.lit(_CONF_SPLIT).cast("timestamp")
-    cal = pred.filter(F.col("ts") < split)
+    # project the calibration side to the two columns the rank needs and
+    # materialize it once: the n_cal count below is a full action (it
+    # completes the lazy checkpoint in-job), and the sharded prefix sum
+    # then consumes the cached narrow frame three times (approxQuantile
+    # probe, local window, offsets) instead of replaying the per-user
+    # prediction window per consumer (the before-plan ran the events
+    # scan + window 4×). |cal| narrow rows: the reduced side.
+    cal = (
+        pred.filter(F.col("ts") < split)
+        .select("event_id", "abs_resid")
+        .localCheckpoint(eager=False)
+    )
     test = pred.filter(F.col("ts") >= split)
     n_cal = cal.count()
     k = -((n_cal + 1) * (100 - _CONF_ALPHA_PCT) // -100)  # ceil

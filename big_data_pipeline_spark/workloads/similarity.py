@@ -617,6 +617,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(_assign_batches, "vec_id long, cluster_id int")
+        # materialize the assignment once: it feeds both pair-join
+        # orientations AND the final keep/drop join, and without the cut
+        # the numpy distance kernel re-scored the whole corpus three
+        # times (three MapInPandas nodes in the before-plan). Two narrow
+        # columns per vector: the reduced side.
+        .localCheckpoint(eager=True)
     )
     sides = assign.join(emb.select("vec_id", "embedding", "sqn"), "vec_id")
     a = sides.select(

@@ -709,7 +709,15 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokenize("text")).alias("token")
     ).filter(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # materialize the vocab counts once: the sharded prefix sum consumes
+    # the frame three times (boundary probe, local window, offsets) and
+    # each replay re-ran tokenize+explode+groupBy over the corpus.
+    # |vocab|-sized: the reduced side.
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     ranked = sharded_running_sum(
         vocab,
         [],
@@ -936,6 +944,11 @@ def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = tokenize("text")
     en_hits = stopword_hits(toks, LANG_STOPWORDS["en"])
+    # materialize the per-doc scores once: the sharded prefix sum
+    # consumes the frame three times and the per-source totals a fourth,
+    # and each replay re-ran the tokenizing quality kernel over the full
+    # corpus. One narrow row per doc: far smaller than the text it
+    # derives from.
     scored = docs.select(
         "doc_id",
         "source",
@@ -944,7 +957,7 @@ def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(toks).cast("double"),
             (en_hits.cast("double") / F.size(toks)),
         ).alias("quality"),
-    )
+    ).localCheckpoint(eager=True)
     ranked = sharded_running_sum(
         scored,
         ["source"],

@@ -367,9 +367,25 @@ def test_semdedup_assignment_is_mapinpandas_no_pair_fanout(spark, sf_dir):
     numpy block per Arrow batch. A regression to the quadratic r6 form
     (crossJoin(broadcast(cent)) + pairwise UDF + per-vec Window) shipped
     n x k vector PAIRS through Arrow (~1.3 TB at sf10, 20x superlinear);
-    that shape must never come back."""
+    that shape must never come back.
+
+    r9: the assignment frame is localCheckpoint'ed (the numpy kernel
+    used to re-score the corpus once per consumer — three MapInPandas
+    nodes in one plan), so the SERVING plan reads the cached result;
+    the mapInPandas closure-broadcast shape is asserted at source level
+    (same device as the entity_clusters star-CC guard)."""
+    import inspect
+
+    from big_data_pipeline_spark.workloads import similarity as _sim
+
+    src = inspect.getsource(_sim.semdedup_prune)
+    assert ".mapInPandas(_assign_batches" in src
+    assert "crossJoin(F.broadcast(cent" not in src  # r6 pair fan-out
     plan = _plan(spark, sf_dir, "semdedup_prune")
-    assert "MapInPandas" in plan          # closure-broadcast assignment
+    # exactly one kernel execution: the serving plan reads the cached
+    # assignment, so NO MapInPandas node may appear (one would mean a
+    # consumer re-runs the corpus scoring)
+    assert "MapInPandas" not in plan
     assert "Window" not in plan           # no per-vec argmin window
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -638,12 +654,17 @@ def test_flesch_is_mapside_projection(spark, sf_dir):
 
 
 def test_table_profile_single_scan_expand(spark, sf_dir):
-    """The profiler reads orders once; distinct counts go through
-    Expand, never one sub-query per column (no Union of scans)."""
+    """r9 split: distinct counts ride the Expand in a pure HashAggregate
+    pass; min/max/null counts run as a keyless global aggregate in a
+    SECOND scan — mixing them forced the whole aggregate onto the
+    SortAggregate fallback (string agg buffers are not hash-mutable),
+    i.e. a full sort of the 7×-expanded table. Two scans, zero sorts,
+    never one sub-query per column (no Union of scans)."""
     plan = _plan(spark, sf_dir, "table_profile_summary")
-    assert plan.count("Scan parquet") == 2  # tree + details => 1 scan
+    assert plan.count("Scan parquet") == 4  # tree + details => 2 scans
     assert "Expand" in plan
     assert "Union" not in plan
+    assert "Sort (" not in plan  # the SortAggregate sort must stay gone
 
 
 def test_bm25_topk_no_global_sort(spark, sf_dir):
@@ -1042,6 +1063,7 @@ _GLOBAL_WINDOW_OK = {
 
 _BNLJ_OK = {
     # crossJoin(broadcast(model-sized)) scalar/model attaches
+    "table_profile_summary",  # two 1-row aggregate sides (r9 agg split)
     "woe_risk_encoding",
     "reciprocal_best_match",
     "bigram_pmi_collocations",
