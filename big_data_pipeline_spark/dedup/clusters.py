@@ -22,9 +22,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Edge sets at or below this size solve on the driver (~32 MB of pairs
+# at the default): same device as operators/graph.pagerank's
+# _pagerank_driver and the DBSCAN cell union-find — aggregated entity
+# graphs are key-cardinality-bounded, and iterating a driver-small
+# graph through cluster rounds spends everything on scheduling
+# (measured: 8 star rounds ≈ 3-5 s at sf0.1 vs <1 s collected).
+# Pass driver_max_edges=0 to force the distributed loop.
+_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _cc_driver(pairs_df: DataFrame, id_type) -> DataFrame:
+    """Driver union-find over a DRIVER-SMALL (a, b) pair frame.
+
+    Returns the identical (id, cluster_id = component minimum) frame
+    the distributed loops produce — path-halving union-find, then one
+    min per root. Deterministic: output sorted by id."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in pairs_df.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    label: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in label or v < label[r]:
+            label[r] = v
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("cluster_id", id_type),
+        ]
+    )
+    rows = sorted((v, label[find(v)]) for v in parent)
+    return pairs_df.sparkSession.createDataFrame(rows, schema)
+
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    driver_max_edges: int = _CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(id, cluster_id) for every vertex in ``edges``; cluster_id is the
     minimum vertex id reachable from the vertex."""
@@ -38,6 +91,10 @@ def connected_components(
         # Lazy: round 1's convergence count materializes it in-job.
         .localCheckpoint(eager=False)
     )
+    if driver_max_edges:
+        n_pairs = both.count()  # materializes the checkpoint in-job
+        if n_pairs <= driver_max_edges:
+            return _cc_driver(both, both.schema["a"].dataType)
     labels = (
         both.select(F.col("a").alias("id"))
         .distinct()
@@ -100,7 +157,11 @@ def dedup_representatives(
 
 
 def connected_components_star(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    driver_max_edges: int = _CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -167,11 +228,25 @@ def connected_components_star(
     raw = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=False)
+    if driver_max_edges:
+        n_pairs = raw.count()  # materializes the checkpoint in-job
+        if n_pairs <= driver_max_edges:
+            return _cc_driver(raw, raw.schema["a"].dataType)
+    # Corpus-scale loop frames cache DISK_ONLY: the default
+    # MEMORY_AND_DISK level had per-round edge caches competing with 32
+    # concurrent tasks' execution memory — the sf10 stress graph (31 M
+    # pairs) ran the default 8 g heap out in round 1's distinct (the
+    # prior artifact's sf10 number was only obtained at 48 g). Disk
+    # reads of the compact UnsafeRow blocks are cheap next to the
+    # per-round shuffles, and execution memory stays whole.
+    from pyspark import StorageLevel
+
+    _lvl = StorageLevel.DISK_ONLY
     # lazy: the first fingerprint(cur) below materializes it in one job
     cur = (
         symmetrize(raw)
         .filter(F.col("a") != F.col("b"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_lvl)
     )
     # single-consumer frame derived from the checkpointed raw: computed
     # once by the final join's plan, a checkpoint job would buy nothing
@@ -197,7 +272,9 @@ def connected_components_star(
         # lazy lineage cut: the fingerprint aggregate computes every
         # partition, so it materializes the checkpoint in its own job —
         # one job per round instead of checkpoint + fingerprint
-        after_small = small_star(after_large).localCheckpoint(eager=False)
+        after_small = small_star(after_large).localCheckpoint(
+            eager=False, storageLevel=_lvl
+        )
         new_fp = fingerprint(after_small)
         stable = new_fp == fp
         prev, cur, fp = cur, after_small, new_fp

@@ -141,11 +141,17 @@ def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate comes from the compact pre-explode parquet, so the
     # auto-broadcast threshold can misfire and try to broadcast
     # hundreds of MB (observed at the sf1 stress run: a 416 MiB / 2.7M
-    # row single-threaded broadcast build). Force the shuffle-hash join
-    # the key cardinality actually calls for; verify BEFORE distinct so
-    # non-matches never enter the dedup shuffle.
+    # row single-threaded broadcast build). Pin a SORT-MERGE join:
+    # it blocks the broadcast misfire like the old shuffle_hash hint,
+    # but spills gracefully — shuffle_hash's per-partition hash build
+    # of the exploded side threw SparkOutOfMemoryError at the sf10
+    # stress corpus on the default 8 g heap (r9 re-measure; the prior
+    # artifact's number was only obtained in a 48 g batch context).
+    # Same failure mode and same fix as dup_span_fraction's pinned
+    # merge join. Verify BEFORE distinct so non-matches never enter
+    # the dedup shuffle.
     return (
-        a.join(b.hint("shuffle_hash"), "bkey")
+        a.join(b.hint("merge"), "bkey")
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .select("custkey_a", "custkey_b", "name_a", "name_b")

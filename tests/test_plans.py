@@ -239,10 +239,14 @@ def test_multimodal_decode_paths_are_mapside_no_shuffle(spark, sf_dir):
 def test_entity_blocking_never_broadcasts_exploded_side(spark, sf_dir):
     # regression for the sf1 stress finding: Catalyst sizes the exploded
     # key frame from the compact pre-explode parquet and tried to
-    # broadcast a 416 MiB build side; the shuffle_hash hint pins the
-    # O(n)-safe plan at every scale
+    # broadcast a 416 MiB build side. r9: the pin moved from
+    # shuffle_hash to SORT-MERGE — shuffle_hash's non-spillable
+    # per-partition build of the exploded side OOM'd the default 8 g
+    # heap at the sf10 stress corpus (same failure + fix as
+    # dup_span_fraction); merge spills gracefully and still blocks the
+    # broadcast misfire
     plan = _plan(spark, sf_dir, "entity_blocking_pairs")
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
 
 
