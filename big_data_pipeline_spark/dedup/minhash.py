@@ -130,10 +130,6 @@ def minhash_dedup_pairs(
     LSH surfaced — same schema as the exact ``shingle_jaccard_pairs``
     query, so recall is directly measurable (tests do exactly that).
     """
-    sh = exploded_shingles(
-        docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id", text_col, 3
-    )
-
     # Signatures are (num_perm+2) longs per doc — compact at any corpus
     # size — and feed BOTH sides of the band self-join plus the size
     # lookup below; cut lineage so the shingle explode + num_perm-way
@@ -147,7 +143,32 @@ def minhash_dedup_pairs(
     sizes = sigs.select(
         F.col(id_col).alias("doc_id"), F.col("n_shingles").alias("n")
     )
-    cands = candidate_pairs(sigs, bands, rows_per_band, "doc_id", num_perm=num_perm)
+    # The candidate PAIR LIST is metadata-sized (ids only, bounded by
+    # the LSH collision count) and feeds three consumers below (the
+    # intersection join plus both shingle-side prunes); materialize it
+    # so the band self-join runs exactly once (r10 — before this the
+    # exact-verify explode re-shingled the FULL corpus twice, once per
+    # join side: guide §2.3 "shuffle keys, then move heavy bytes once").
+    cands = candidate_pairs(
+        sigs, bands, rows_per_band, "doc_id", num_perm=num_perm
+    ).localCheckpoint(eager=True)
+    # Re-shingle ONLY the docs that appear in some candidate pair: the
+    # exact-verify intersection never looks at any other document, so
+    # the result is unchanged while the verify-side explode drops from
+    # corpus-sized to candidate-sized (the LSH prefilter's whole point).
+    cand_docs = (
+        cands.select(F.col("doc_id1").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_id2").alias("doc_id")))
+        .distinct()
+    )
+    sh = exploded_shingles(
+        docs.select(F.col(id_col).alias("doc_id"), text_col).join(
+            cand_docs, "doc_id"
+        ),
+        "doc_id",
+        text_col,
+        3,
+    )
 
     a = sh.alias("sa")
     b = sh.alias("sb")

@@ -25,11 +25,83 @@ Scale notes:
 
 from __future__ import annotations
 
+import atexit
+import contextlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# State-store configuration for one-shot drains (and the same provider a
+# production continuous job with large keyed state runs):
+# - RocksDB provider: the default HDFSBackedStateStoreProvider keeps
+#   EVERY state row on the JVM heap — a complete-mode session
+#   aggregation over the sf10 stress corpus (10 M events) ran the 8 g
+#   heap out executor-side (r9 stress). RocksDB holds state off-heap
+#   and spills to local disk. Results are provider-independent.
+# - Changelog checkpointing (r10): without it every micro-batch commit
+#   uploads a FULL RocksDB snapshot (zip of all SST files) per state
+#   partition into the checkpoint; with it the commit writes only the
+#   batch's changelog and snapshots happen in background maintenance.
+#   Purely a checkpoint-layout change — state contents and results are
+#   identical (it is the documented production setting for
+#   commit-latency-sensitive jobs).
+# - trackTotalNumberOfRows=false (r10): skips the extra get-per-put
+#   RocksDB does to maintain the numRowsTotal METRIC; documented
+#   perf knob, observability-only — no effect on results.
+_ROCKSDB_DRAIN_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb."
+    "changelogCheckpointing.enabled": "true",
+    "spark.sql.streaming.stateStore.rocksdb."
+    "trackTotalNumberOfRows": "false",
+}
+
+
+# Complete-mode drain sink dirs must outlive run_available_now (the
+# returned DataFrame reads them lazily), so they cannot be context-
+# managed per call — but leaking one per drain across a 289-query × N-run
+# bench session accumulates in the OS tmpdir (r9 verdict item 3).
+# Register them and sweep at interpreter exit, when no plan can still
+# read them.
+_SINK_DIRS: list[str] = []
+
+
+def _clean_sinks_at_exit() -> None:
+    import shutil
+
+    for d in _SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SINK_DIRS.clear()
+
+
+atexit.register(_clean_sinks_at_exit)
+
+
+@contextlib.contextmanager
+def rocksdb_drain_confs(spark: SparkSession, state_partitions: int | None):
+    """Scope the drain state-store confs (and the state partition
+    count) to one streaming query; every previous value is restored on
+    exit so batch queries and caller-set providers are untouched."""
+    saved: dict[str, str | None] = {}
+    confs = dict(_ROCKSDB_DRAIN_CONFS)
+    if state_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(state_partitions)
+    try:
+        for k, v in confs.items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -148,73 +220,47 @@ def run_available_now(
     cannot be changed later without a new checkpoint. ``None`` keeps
     the session setting."""
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_store = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    try:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        # RocksDB state store: the default HDFSBackedStateStoreProvider
-        # keeps EVERY state row on the JVM heap — a complete-mode
-        # session aggregation over the sf10 stress corpus (10 M events)
-        # ran the 8 g heap out executor-side (r9 stress). RocksDB holds
-        # state off-heap and spills to local disk, which is also the
-        # provider a production continuous job with large keyed state
-        # runs. Results are provider-independent; restored after the
-        # drain so batch queries and any caller-set provider are
-        # untouched.
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
-            if output_mode == "complete":
-                # Complete-mode results are corpus-shaped (e.g. one
-                # session row per burst — ~|events| rows), and the
-                # memory sink materializes EVERY batch's full result as
-                # driver-heap Rows: at the sf10 stress corpus that blew
-                # the shared local-JVM heap even with RocksDB state
-                # (r9 stress). foreachBatch + parquet overwrite is the
-                # scalable drain — each micro-batch's complete result
-                # is written by executor tasks straight to files, the
-                # last committed batch IS the final answer, and nothing
-                # result-sized ever lives on the driver. The sink dir
-                # deliberately outlives this call (the returned
-                # DataFrame reads it lazily); it sits in the OS tmpdir.
-                sink = tempfile.mkdtemp(prefix=f"sink_{name}_")
-                out = f"{sink}/data"
+    with rocksdb_drain_confs(spark, state_partitions), \
+            tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        if output_mode == "complete":
+            # Complete-mode results are corpus-shaped (e.g. one
+            # session row per burst — ~|events| rows), and the
+            # memory sink materializes EVERY batch's full result as
+            # driver-heap Rows: at the sf10 stress corpus that blew
+            # the shared local-JVM heap even with RocksDB state
+            # (r9 stress). foreachBatch + parquet overwrite is the
+            # scalable drain — each micro-batch's complete result
+            # is written by executor tasks straight to files, the
+            # last committed batch IS the final answer, and nothing
+            # result-sized ever lives on the driver. The sink dir
+            # deliberately outlives this call (the returned
+            # DataFrame reads it lazily); it sits in the OS tmpdir
+            # and is removed at JVM exit (see _clean_sinks_at_exit).
+            sink = tempfile.mkdtemp(prefix=f"sink_{name}_")
+            _SINK_DIRS.append(sink)
+            out = f"{sink}/data"
 
-                def _overwrite(batch_df: DataFrame, _bid: int) -> None:
-                    batch_df.write.mode("overwrite").parquet(out)
+            def _overwrite(batch_df: DataFrame, _bid: int) -> None:
+                batch_df.write.mode("overwrite").parquet(out)
 
-                q = (
-                    stream_df.writeStream.foreachBatch(_overwrite)
-                    .outputMode("complete")
-                    .option("checkpointLocation", ckpt)
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-                return spark.read.parquet(out)
             q = (
-                stream_df.writeStream.format("memory")
-                .queryName(name)
-                .outputMode(output_mode)
+                stream_df.writeStream.foreachBatch(_overwrite)
+                .outputMode("complete")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if prev_store is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_store
-            )
+            return spark.read.parquet(out)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

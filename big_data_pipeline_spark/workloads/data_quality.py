@@ -635,20 +635,40 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
         F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("p"),
     )
+    # BOTH per-(flag, value) count frames from ONE lineitem pass (r9
+    # verdict item 6: lineitem scans 3 → 2): GROUPING SETS ((flag, q),
+    # (flag, p)) computes the two marginals in a single scan + a single
+    # exchange of map-side-combined partials. grouping_id() — not value
+    # nullness — discriminates the sets. Each marginal's counts are
+    # identical to a standalone groupBy, so ranks (and the oracle hash)
+    # are unchanged. The checkpointed frame is |distinct values|-sized,
+    # the already-reduced side, cheap at any input size; the sharded
+    # prefix sum consumes its p-slice three times (boundary probe,
+    # local window, offsets) as cache reads.
+    marg = (
+        li.groupingSets(
+            [["l_returnflag", "q"], ["l_returnflag", "p"]],
+            "l_returnflag",
+            "q",
+            "p",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid"))
+        # lazy: the sharded prefix sum's approxQuantile boundary probe
+        # is the first action over this frame and is a full pass, so it
+        # materializes the lineage cut in the same job (r9 convention)
+        .localCheckpoint(eager=False)
+    )
+    # gid bit order follows (l_returnflag, q, p): aggregated-away p →
+    # gid 1 (the q marginal), aggregated-away q → gid 2 (the p marginal)
+    marg_cnts = {
+        "q": marg.filter(F.col("gid") == 1).select("l_returnflag", "q", "cnt"),
+        "p": marg.filter(F.col("gid") == 2).select("l_returnflag", "p", "cnt"),
+    }
 
     def ranks2(col: str) -> DataFrame:
-        # materialize the per-(flag, value) count frame once: the
-        # sharded prefix sum consumes it three times (approxQuantile
-        # boundary probe, local window, offsets aggregate) and each
-        # replay re-ran the full lineitem scan + groupBy (the
-        # before-plan scanned lineitem twice for this subtree alone).
-        # The frame is |distinct values|-sized — the already-reduced
-        # side — so the cut is cheap at any input size.
-        cnts = li.groupBy("l_returnflag", col).agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).localCheckpoint(eager=True)
         run = sharded_running_sum(
-            cnts, ["l_returnflag"], col, "cnt", "cum", tiebreak_cols=[]
+            marg_cnts[col], ["l_returnflag"], col, "cnt", "cum",
+            tiebreak_cols=[],
         )
         return run.select(
             "l_returnflag",
@@ -664,15 +684,12 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sharded path — its distinct count grows with the data.
         from pyspark.sql import Window
 
-        cnts = li.groupBy("l_returnflag", col).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
         w = (
             Window.partitionBy("l_returnflag")
             .orderBy(col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return cnts.select(
+        return marg_cnts[col].select(
             "l_returnflag",
             col,
             (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias(f"r_{col}"),
@@ -1196,11 +1213,22 @@ _CHECKSUM_COLS = (
 _HEX_DIGITS = "0123456789abcdef"
 
 
-def _row_hash48_expr(cols: tuple[str, ...], cast_type: str) -> str:
-    """48-bit integer from md5 of the '|'-joined casted row — identical
-    arithmetic text in both engines (only the cast type name differs)."""
+def _row_hash48_expr(
+    cols: tuple[str, ...], cast_type: str, spark_fold: bool = False
+) -> str:
+    """48-bit integer from md5 of the '|'-joined casted row.
+
+    ``spark_fold=True`` parses the 12 hex digits with ONE
+    ``conv(.., 16, 10)`` call instead of 12 instr/substr digit terms —
+    the same integer (conv is exact radix parsing, 48 bits < 2^63), at
+    a fraction of the per-row expression cost (r10: the fold dominated
+    the checksum scan CPU). DuckDB has no conv(), so the oracle keeps
+    the digit-fold text; the value equality is what the driver's
+    cell-exact hash check verifies."""
     joined = ", ".join(f"CAST({c} AS {cast_type})" for c in cols)
     h = f"md5(concat_ws('|', {joined}))"
+    if spark_fold:
+        return f"CAST(conv(substr({h}, 1, 12), 16, 10) AS BIGINT)"
     parts = []
     for i in range(12):
         # digit widened to BIGINT before the multiply: INT * INT would
@@ -1219,7 +1247,7 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = []
     for table, cols in _CHECKSUM_COLS:
-        v = _row_hash48_expr(cols, "STRING")
+        v = _row_hash48_expr(cols, "STRING", spark_fold=True)
         df = read_table(spark, sf_dir, table).select(
             F.expr(v).cast("decimal(38,0)").alias("v")
         )
@@ -1301,11 +1329,19 @@ def _boot_h_expr(j: int, cast_type: str) -> str:
     return f"md5(CAST(o_orderkey AS {cast_type}) || ':{j}')"
 
 
-def _boot_u_expr(b: int) -> str:
+def _boot_u_expr(b: int, spark_fold: bool = False) -> str:
     # one md5 yields 8 independent 16-bit uniforms (4 hex digits each);
     # two md5 columns cover all 16 replicas — 8x less hashing than one
     # md5 per replica, and 2^-16 quantization is far below any CDF gap.
+    # spark_fold: one conv(.., 16, 10) instead of 4 digit terms — the
+    # identical 16-bit integer, hence the identical double (see
+    # _row_hash48_expr); DuckDB keeps the digit-fold text.
     j, i = divmod(b, 8)
+    if spark_fold:
+        return (
+            f"(CAST(CAST(conv(substr(h{j}, {4 * i + 1}, 4), 16, 10)"
+            f" AS BIGINT) AS DOUBLE) / 65536e0)"
+        )
     parts = [
         f"CAST(instr('{_HEX_DIGITS}', substr(h{j}, {4 * i + k + 1}, 1)) - 1"
         f" AS BIGINT) * {16 ** (3 - k)}"
@@ -1347,7 +1383,10 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     us = hs.select(
         "xc",
-        *[F.expr(_boot_u_expr(b)).alias(f"u{b}") for b in range(_BOOT_B)],
+        *[
+            F.expr(_boot_u_expr(b, spark_fold=True)).alias(f"u{b}")
+            for b in range(_BOOT_B)
+        ],
     )
     ws = us.select(
         "xc",
