@@ -33,43 +33,63 @@ _CC_DRIVER_MAX_EDGES = 2_000_000
 
 
 def _cc_driver(pairs_df: DataFrame, id_type) -> DataFrame:
-    """Driver union-find over a DRIVER-SMALL (a, b) pair frame.
+    """Driver connected components over a DRIVER-SMALL (a, b) frame.
 
     Returns the identical (id, cluster_id = component minimum) frame
-    the distributed loops produce — path-halving union-find, then one
-    min per root. Deterministic: output sorted by id."""
+    the distributed loops produce. Deterministic: output sorted by id.
+
+    Vectorized (r10, verdict item 8): the old path collected up to
+    2 M pairs as driver-side Python Row objects and looped a pure-
+    Python union-find over them — measured 19.3 s right at the gate
+    boundary (2 M pairs), nearly all Row materialization + GIL loop
+    time. Now the pairs cross as ONE Arrow batch (``toPandas``; the
+    session enables Arrow) and the components solve as a vectorized
+    min-hook + full-pointer-compression loop (Shiloach-Vishkin shape):
+    each round scatter-mins every edge's smaller root onto its larger
+    root, then compresses every parent chain to its root
+    (parent <- parent[parent] to stability). Parents are monotone
+    non-increasing and the component-minimum node can never be
+    re-hooked (nothing is smaller), so the fixpoint labels every node
+    with its component minimum — the same contract as the union-find
+    this replaces (equality with the distributed loop stays pinned in
+    tests). Measured 2-11 rounds / <1.5 s on 2 M-edge chain, long-
+    cycle, and random multigraphs."""
+    import numpy as np
     from pyspark.sql import types as T
 
-    parent: dict = {}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for row in pairs_df.collect():
-        a, b = row[0], row[1]
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-    label: dict = {}
-    for v in parent:
-        r = find(v)
-        if r not in label or v < label[r]:
-            label[r] = v
+    pdf = pairs_df.toPandas()
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(ids), dtype=np.int64)
+    while True:
+        pu, pv = parent[u], parent[v]
+        old = parent.copy()
+        np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
+        while True:  # full compression: every chain down to its root
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if np.array_equal(parent, old):
+            break
+    label = parent
     schema = T.StructType(
         [
             T.StructField("id", id_type),
             T.StructField("cluster_id", id_type),
         ]
     )
-    rows = sorted((v, label[find(v)]) for v in parent)
-    return pairs_df.sparkSession.createDataFrame(rows, schema)
+    # ids is sorted (np.unique), so rows come out sorted by id, exactly
+    # as the old implementation's sorted() emitted them. Return through
+    # Arrow as well: a pandas frame converts as one batch (measured
+    # 6.2 s at the 2 M boundary as pickled Python tuples, ~0.5 s as
+    # Arrow).
+    import pandas as pd
+
+    out = pd.DataFrame({"id": ids, "cluster_id": ids[label]})
+    return pairs_df.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(

@@ -153,7 +153,13 @@ def entity_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b.hint("merge"), "bkey")
         .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        # Threshold-banded levenshtein (r10): levenshtein(a, b, 1)
+        # walks only the ±1 diagonal band (O(n) per pair, early-exit)
+        # and returns -1 when the distance exceeds 1 — so ">= 0" is
+        # exactly "levenshtein <= 1", the same predicate the full
+        # O(n^2) DP evaluated, at a fraction of the per-pair cost
+        # (record_linkage_score already verifies with the banded form).
+        .filter(F.expr("levenshtein(name_a, name_b, 1)") >= 0)
         .select("custkey_a", "custkey_b", "name_a", "name_b")
         .distinct()
     )
@@ -429,7 +435,18 @@ def record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a_p_type") == F.col("b_p_type"))
         & (F.col("a_p_brand") == F.col("b_p_brand"))
         & (F.col("k_size") == F.col("b_p_size"))
-        & (F.col("a_rep_key") < F.col("b_rep_key")),
+        & (F.col("a_rep_key") < F.col("b_rep_key"))
+        # Cheap length gate BEFORE the per-pair levenshtein DP (r10):
+        # edit distance >= |len(a) - len(b)|, so any pair the gate
+        # drops would have name_lev > _FS_LEV_MAX, hence name_ok = 0,
+        # hence score <= 2 < _FS_MATCH_MIN — it could never reach the
+        # output. Provably result-preserving, and as a join-condition
+        # residual it prunes candidates in the join stage itself, so
+        # the O(max*n) DP only runs on length-compatible names.
+        & (
+            F.abs(F.length("a_p_name") - F.length("b_p_name"))
+            <= F.lit(_FS_LEV_MAX)
+        ),
     )
     name_lev = F.expr(f"levenshtein(a_p_name, b_p_name, {_FS_LEV_MAX})")
     name_ok = ((name_lev >= 0) & (name_lev <= _FS_LEV_MAX)).cast("int")
