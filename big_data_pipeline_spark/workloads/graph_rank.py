@@ -53,6 +53,152 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- driver-solved graph loops (r10) -----------------------------------------
+# The BFS/Bellman-Ford/peel loops below iterate a KEY-BOUNDED aggregated
+# graph (|edges| <= |nations|^2 at any corpus size) through cluster jobs
+# — the same scheduling-dominated shape `operators/graph._pagerank_driver`
+# and `dedup/clusters._cc_driver` already solve with one bounded collect
+# + a numpy loop. Each solver below replicates its distributed loop's
+# EXACT synchronous round structure (same round caps, same early-exit
+# conditions), so the emitted row set is identical even when the round
+# budget stops short of convergence. The distributed loops stay in place
+# for corpus-scale graphs (gate: count-first, `0` disables the driver
+# path; equivalence pinned in tests/test_graph_driver.py).
+
+_GRAPH_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _edges_if_driver_small(und: DataFrame, max_edges: int):
+    """Count-first gate; the count also materializes the frame's lazy
+    checkpoint in-job (round 1's probe paid that job before). Returns
+    a pandas frame of the edges, or None to take the distributed loop."""
+    if not max_edges or und.count() > max_edges:
+        return None
+    return und.toPandas()
+
+
+def _bfs_hops_driver(pdf, source, max_hops: int) -> list[tuple]:
+    """Frontier BFS over a symmetric (a, b) edge array — one numpy
+    scatter per hop level; identical (node, hop) rows to the
+    distributed frontier loop (hop = first-reach level, <= max_hops)."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    src_pos = int(np.searchsorted(ids, source))
+    if src_pos >= n or ids[src_pos] != source:
+        return [(source, 0)]  # source absent: visited = {source}
+    hop = np.full(n, -1, dtype=np.int64)
+    hop[src_pos] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[src_pos] = True
+    for h in range(1, max_hops + 1):
+        nxt = np.zeros(n, dtype=bool)
+        nxt[v[frontier[u]]] = True
+        nxt &= hop == -1
+        if not nxt.any():
+            break
+        hop[nxt] = h
+        frontier = nxt
+    reached = np.flatnonzero(hop >= 0)
+    return list(zip(ids[reached].tolist(), hop[reached].tolist()))
+
+
+def _sssp_driver(pdf, source, max_rounds: int) -> list[tuple]:
+    """Synchronous Bellman-Ford rounds over (a, b, w) edges with the
+    SAME bounded-round + no-improvement early exit as the distributed
+    loop (integer costs, so ties and partial convergence agree)."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    w = pdf.iloc[:, 2].to_numpy().astype(np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    src_pos = int(np.searchsorted(ids, source))
+    if src_pos >= n or ids[src_pos] != source:
+        return [(source, 0)]
+    inf = np.iinfo(np.int64).max // 2
+    dist = np.full(n, inf, dtype=np.int64)
+    dist[src_pos] = 0
+    for _ in range(max_rounds):
+        reached = dist[u] < inf
+        new = dist.copy()
+        np.minimum.at(new, v[reached], dist[u[reached]] + w[reached])
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    got = np.flatnonzero(dist < inf)
+    return list(zip(ids[got].tolist(), dist[got].tolist()))
+
+
+def _kcore_driver(pdf, k: int, rounds: int) -> list[tuple]:
+    """Degree-peel rounds over the symmetric directed (u, v) edge
+    array; same round cap and fixpoint break as kcore_peel's loop."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    alive = np.ones(len(u), dtype=bool)
+    n_edges = len(u)
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = np.bincount(u[alive], minlength=n)
+        keep = alive & (deg[u] >= k) & (deg[v] >= k)
+        n_next = int(keep.sum())
+        alive = keep
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return list(zip(ids[u[alive]].tolist(), ids[v[alive]].tolist()))
+
+
+# dense all-sources BFS: n^2 bools + an n^2 matmul per hop; nation-like
+# aggregated graphs are tiny, corpus-node-scale graphs take the
+# distributed keyed frontier
+_CLOSENESS_DRIVER_MAX_NODES = 2_048
+
+
+def _closeness_driver(pdf, max_hops: int) -> list[tuple] | None:
+    """All-sources frontier BFS: every source advances one hop per
+    round exactly like the keyed distributed frontier — returns the
+    (source, node, hop) first-reach rows, or None when the node count
+    exceeds the dense-matrix bound."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    if n > _CLOSENESS_DRIVER_MAX_NODES:
+        return None
+    adj = np.zeros((n, n), dtype=np.float32)
+    adj[u, v] = 1.0
+    hop = np.full((n, n), -1, dtype=np.int64)  # [source, node]
+    np.fill_diagonal(hop, 0)
+    frontier = np.eye(n, dtype=np.float32)
+    for h in range(1, max_hops + 1):
+        nxt = (frontier @ adj) > 0
+        nxt &= hop == -1
+        if not nxt.any():
+            break
+        hop[nxt] = h
+        frontier = nxt.astype(np.float32)
+    si, ni = np.nonzero(hop >= 0)
+    return list(
+        zip(ids[si].tolist(), ids[ni].tolist(), hop[si, ni].tolist())
+    )
+
+
 def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = trade_edges(spark, sf_dir)
     ranks = pagerank(edges, damping=0.85, max_iter=10, weight="revenue")
@@ -79,7 +225,9 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = trade_edges(spark, sf_dir)
+    # key-bounded frame consumed by the avg scalar AND the threshold
+    # probe below — one corpus pass instead of a replay per consumer
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     # exact decimal avg: a raw double AVG is partial-agg-order sensitive
     # and the threshold compare must be deterministic on both engines
     avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
@@ -179,7 +327,12 @@ _KCORE_K = 3
 _KCORE_ROUNDS = 30  # >= max peel depth for a <=25-node nation graph
 
 
-def kcore_peel(und: DataFrame, k: int, rounds: int = _KCORE_ROUNDS) -> DataFrame:
+def kcore_peel(
+    und: DataFrame,
+    k: int,
+    rounds: int = _KCORE_ROUNDS,
+    driver_max_edges: int | None = None,
+) -> DataFrame:
     """Peel an undirected (a, b) edge list to its k-core; returns the
     surviving symmetric edges (u, v). Exposed for direct testing on
     crafted graphs."""
@@ -192,6 +345,11 @@ def kcore_peel(und: DataFrame, k: int, rounds: int = _KCORE_ROUNDS) -> DataFrame
         .localCheckpoint(eager=False)
     )
     n_edges = sym.count()
+    if driver_max_edges is None:
+        driver_max_edges = _GRAPH_DRIVER_MAX_EDGES
+    if driver_max_edges and n_edges <= driver_max_edges:
+        rows = _kcore_driver(sym.toPandas(), k, rounds)
+        return und.sparkSession.createDataFrame(rows, sym.schema)
     for _ in range(rounds):
         if n_edges == 0:
             break
@@ -214,7 +372,12 @@ def kcore_peel(und: DataFrame, k: int, rounds: int = _KCORE_ROUNDS) -> DataFrame
 
 
 def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = trade_edges(spark, sf_dir)
+    # the aggregated edge frame is key-bounded (<= |nations|^2 rows) and
+    # feeds BOTH the exact-avg threshold scalar and the probe side of the
+    # threshold filter — without the cut the 5-way corpus join + groupBy
+    # is planned once per consumer (4 lineitem scans in the und build
+    # plan; runtime exchange reuse rescued most but not all of it, r10)
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
     und = (
         edges.crossJoin(F.broadcast(avg_rev))
@@ -376,6 +539,9 @@ def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
         .agg(exact_sum("l_extendedprice * (1 - l_discount)", "revenue"))
+        # key-bounded frame consumed by the avg scalar AND the threshold
+        # probe below — one corpus pass instead of a replay per consumer
+        .localCheckpoint(eager=False)
     )
     avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
     und = (
@@ -485,7 +651,12 @@ _BFS_MAX_HOPS = 6
 
 
 def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = trade_edges(spark, sf_dir)
+    # the aggregated edge frame is key-bounded (<= |nations|^2 rows) and
+    # feeds BOTH the exact-avg threshold scalar and the probe side of the
+    # threshold filter — without the cut the 5-way corpus join + groupBy
+    # is planned once per consumer (4 lineitem scans in the und build
+    # plan; runtime exchange reuse rescued most but not all of it, r10)
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
     strong = (
         edges.crossJoin(F.broadcast(avg_rev))
@@ -507,6 +678,12 @@ def bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    pdf = _edges_if_driver_small(und, _GRAPH_DRIVER_MAX_EDGES)
+    if pdf is not None:
+        return spark.createDataFrame(
+            _bfs_hops_driver(pdf, _BFS_SOURCE, _BFS_MAX_HOPS),
+            "nation string, hop int",
+        )
     # a 1-row local relation: no lineage to cut, checkpoint buys nothing
     frontier = spark.createDataFrame(
         [(_BFS_SOURCE, 0)], "nation string, hop int"
@@ -576,7 +753,12 @@ _SSSP_MAX_ROUNDS = 6
 
 
 def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = trade_edges(spark, sf_dir)
+    # the aggregated edge frame is key-bounded (<= |nations|^2 rows) and
+    # feeds BOTH the exact-avg threshold scalar and the probe side of the
+    # threshold filter — without the cut the 5-way corpus join + groupBy
+    # is planned once per consumer (4 lineitem scans in the und build
+    # plan; runtime exchange reuse rescued most but not all of it, r10)
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
     strong = (
         edges.crossJoin(F.broadcast(avg_rev))
@@ -605,6 +787,12 @@ def sssp_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one probe job per round)
         .localCheckpoint(eager=False)
     )
+    pdf = _edges_if_driver_small(und, _GRAPH_DRIVER_MAX_EDGES)
+    if pdf is not None:
+        return spark.createDataFrame(
+            _sssp_driver(pdf, _BFS_SOURCE, _SSSP_MAX_ROUNDS),
+            "nation string, cost long",
+        )
     # a 1-row local relation: no lineage to cut, checkpoint buys nothing
     dist = spark.createDataFrame(
         [(_BFS_SOURCE, 0)], "nation string, cost long"
@@ -689,7 +877,12 @@ FROM walk GROUP BY n
 
 
 def closeness_trade_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = trade_edges(spark, sf_dir)
+    # the aggregated edge frame is key-bounded (<= |nations|^2 rows) and
+    # feeds BOTH the exact-avg threshold scalar and the probe side of the
+    # threshold filter — without the cut the 5-way corpus join + groupBy
+    # is planned once per consumer (4 lineitem scans in the und build
+    # plan; runtime exchange reuse rescued most but not all of it, r10)
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     avg_rev = edges.agg(exact_avg("revenue", "avg_rev"))
     strong = (
         edges.crossJoin(F.broadcast(avg_rev))
@@ -710,6 +903,16 @@ def closeness_trade_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    rows = None
+    pdf = _edges_if_driver_small(und, _GRAPH_DRIVER_MAX_EDGES)
+    if pdf is not None:
+        # may still decline (node count above the dense-matrix bound)
+        rows = _closeness_driver(pdf, _BFS_MAX_HOPS)
+    if rows is not None:
+        visited = spark.createDataFrame(
+            rows, "source string, nation string, hop int"
+        )
+        return _closeness_agg(visited)
     nodes = und.select(F.col("a").alias("nation")).distinct()
     frontier = nodes.select(
         F.col("nation").alias("source"), "nation", F.lit(0).alias("hop")
@@ -732,6 +935,10 @@ def closeness_trade_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
+    return _closeness_agg(visited)
+
+
+def _closeness_agg(visited: DataFrame) -> DataFrame:
     return visited.groupBy(F.col("source").alias("nation")).agg(
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reachable"),
         F.sum("hop").cast("bigint").alias("total_dist"),
@@ -800,7 +1007,13 @@ HAVING SUM(hop) > 0
 def degree_assortativity_trade(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    edges = trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    edges = (
+        trade_edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        # key-bounded frame consumed by the avg scalar AND the threshold
+        # probe below — one corpus pass instead of a replay per consumer
+        .localCheckpoint(eager=False)
+    )
     # the STRONG-trade graph (relative threshold, same rule as the
     # triangle/k-core ops): the raw nation graph saturates to a
     # complete graph as data grows, where every degree is equal and
