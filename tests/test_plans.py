@@ -1173,3 +1173,39 @@ def test_registry_plan_audit_no_new_cartesians_bnlj_or_global_windows(
         f"_GLOBAL_WINDOW_OK only if the window input is model-sized): "
         f"{new_gwin}"
     )
+
+
+# --- r10 optimization-shape pins ---------------------------------------------
+
+
+def test_minhash_serving_plan_has_no_band_join(spark, sf_dir):
+    """r10: the LSH candidate pair list is materialized once at build
+    time, so the served plan must not replay the band self-join (and
+    the exact-verify shingle explode runs on candidate docs only)."""
+    plan = _plan(spark, sf_dir, "minhash_lsh_dedup")
+    assert "band" not in plan
+
+
+def test_spearman_single_lineitem_scan(spark, sf_dir):
+    """r10: both ranked columns' per-(flag,value) marginals come from
+    ONE grouping-sets pass (materialized at build); the served plan
+    scans lineitem exactly once (the totals/moments pass)."""
+    plan = _plan(spark, sf_dir, "spearman_rank_corr")
+    # each physical scan appears twice in formatted output (tree node +
+    # detail block)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_record_linkage_length_gate_reaches_join(spark, sf_dir):
+    """r10: the provably-safe |len(a)-len(b)| <= lev_max gate must sit
+    in the blocking join condition so the levenshtein DP only runs on
+    length-compatible names."""
+    plan = _plan(spark, sf_dir, "record_linkage_score")
+    assert "length(a_p_name" in plan
+
+
+def test_entity_blocking_uses_banded_levenshtein(spark, sf_dir):
+    """r10: the <=1 verify must be the threshold-banded levenshtein
+    (O(n) diagonal band), not the full O(n^2) DP."""
+    plan = _plan(spark, sf_dir, "entity_blocking_pairs")
+    assert "levenshtein(name_a" in plan and "Some(1)" in plan
