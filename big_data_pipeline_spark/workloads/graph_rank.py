@@ -167,6 +167,32 @@ def _kcore_driver(pdf, k: int, rounds: int) -> list[tuple]:
 _CLOSENESS_DRIVER_MAX_NODES = 2_048
 
 
+def _lpa_driver(pdf, iters: int, enc: int) -> list[tuple]:
+    """Deterministic min-encoded label propagation over the symmetric
+    directed (src, dst) edge array — the EXACT integer update of the
+    distributed loop: per round every node takes, over its incoming
+    labels, min((enc - count) * enc + label) % enc (most-frequent label,
+    smallest on ties). Labels are always < enc, so (dst, label) pairs
+    pack injectively into one int64 key for the count pass."""
+    import numpy as np
+
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a):]
+    n = len(ids)
+    lab = ids.astype(np.int64).copy()  # initial label = node id
+    sentinel = np.iinfo(np.int64).max
+    for _ in range(iters):
+        key = v * enc + lab[u]
+        uk, cnt = np.unique(key, return_counts=True)
+        encoded = (enc - cnt) * enc + (uk % enc)
+        best = np.full(n, sentinel, dtype=np.int64)
+        np.minimum.at(best, uk // enc, encoded)
+        lab = best % enc
+    return list(zip(ids.tolist(), [int(x) for x in lab.tolist()]))
+
+
 def _closeness_driver(pdf, max_hops: int) -> list[tuple] | None:
     """All-sources frontier BFS: every source advances one hop per
     round exactly like the keyed distributed frontier — returns the
@@ -556,25 +582,41 @@ def lpa_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = (
         und.select(F.col("x").alias("src"), F.col("y").alias("dst"))
         .unionAll(und.select(F.col("y").alias("src"), F.col("x").alias("dst")))
-        .localCheckpoint(eager=True)  # consumed every round: cut the 4-join lineage
+        # consumed every round: cut the 4-join lineage. Lazy — the gate
+        # count below materializes it in the same job (r9 convention)
+        .localCheckpoint(eager=False)
     )
-    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
-    enc = F.lit(_LPA_ENC)
-    for _ in range(_LPA_ITERS):
-        labels = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("nid"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy(F.col("nid").alias("id"))
-            .agg(
-                (F.min((enc - F.col("cnt")) * enc + F.col("label")) % enc)
-                .cast("int")
-                .alias("label")
-            )
-            .localCheckpoint(eager=True)
+    pdf = _edges_if_driver_small(sym, _GRAPH_DRIVER_MAX_EDGES)
+    if pdf is not None:
+        from pyspark.sql import types as T
+
+        labels = spark.createDataFrame(
+            _lpa_driver(pdf, _LPA_ITERS, _LPA_ENC),
+            T.StructType(
+                [
+                    T.StructField("id", sym.schema["src"].dataType),
+                    T.StructField("label", T.IntegerType()),
+                ]
+            ),
         )
+    else:
+        labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+        enc = F.lit(_LPA_ENC)
+        for _ in range(_LPA_ITERS):
+            labels = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy(F.col("dst").alias("nid"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy(F.col("nid").alias("id"))
+                .agg(
+                    (F.min((enc - F.col("cnt")) * enc + F.col("label")) % enc)
+                    .cast("int")
+                    .alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     names = nation.select(
         F.col("n_nationkey").alias("id"), F.col("n_name").alias("nation")

@@ -21,7 +21,12 @@ def _rows(df):
 
 @pytest.mark.parametrize(
     "name",
-    ["bfs_trade_hops", "sssp_trade_cost", "closeness_trade_centrality"],
+    [
+        "bfs_trade_hops",
+        "sssp_trade_cost",
+        "closeness_trade_centrality",
+        "lpa_trade_communities",
+    ],
 )
 def test_graph_query_driver_equals_distributed(
     spark, sf_dir, name, monkeypatch
