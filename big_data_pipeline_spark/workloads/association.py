@@ -136,12 +136,14 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ratings_raw = (
         read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
         .join(
             read_table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_custkey"
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        .repartition(F.col("o_custkey"))
         .groupBy("o_custkey", "l_partkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(38,6)"))

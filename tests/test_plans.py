@@ -1209,3 +1209,15 @@ def test_entity_blocking_uses_banded_levenshtein(spark, sf_dir):
     (O(n) diagonal band), not the full O(n^2) DP."""
     plan = _plan(spark, sf_dir, "entity_blocking_pairs")
     assert "levenshtein(name_a" in plan and "Some(1)" in plan
+
+
+def test_item_item_single_customer_exchange(spark, sf_dir):
+    """r10: one REPARTITION_BY_COL hash(o_custkey) exchange serves the
+    rating aggregate, the per-customer cap window AND the self-join on
+    u — the planner must not add a (o_custkey, l_partkey) pair exchange
+    back for the groupBy."""
+    import re
+
+    plan = _plan(spark, sf_dir, "item_item_cosine_topk")
+    assert "REPARTITION_BY_COL" in plan
+    assert not re.search(r"hashpartitioning\(o_custkey#\d+L?, l_partkey", plan)
