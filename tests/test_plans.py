@@ -1221,3 +1221,17 @@ def test_item_item_single_customer_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "item_item_cosine_topk")
     assert "REPARTITION_BY_COL" in plan
     assert not re.search(r"hashpartitioning\(o_custkey#\d+L?, l_partkey", plan)
+
+
+def test_fk_audit_multi_edge_child_scanned_once(spark, sf_dir):
+    """r10: a child table with several FK edges (lineitem: 3) is scanned
+    once with every parent attached to the same pass — the plan must
+    carry the fused projection (fk_0..fk_2) instead of one scan per
+    edge."""
+    plan = _plan(spark, sf_dir, "fk_integrity_audit")
+    assert "fk_2" in plan
+    # 5 child scans (lineitem, orders, customer, supplier, nation) +
+    # 5 parent scans (orders, part, supplier, customer, nation ×ReusedX,
+    # region) — formatted output doubles each (tree + detail); the old
+    # per-edge shape carried 14 physical scans
+    assert plan.count("Scan parquet") <= 28
