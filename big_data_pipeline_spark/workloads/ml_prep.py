@@ -67,15 +67,27 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(tokenize("text")).alias("token")
     )
-    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
-    totals = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = tok.agg(
+    # r10: the corpus tokenize+explode fed FIVE plan branches (lang
+    # counts, lang totals, vocab, the grid's distinct tokens, and the
+    # scoring join) — five full corpus passes. Pre-aggregate the token
+    # stream to (doc, lang, token, cnt) ONCE, checkpoint it lazily, and
+    # derive every model frame from it; per-doc scores become
+    # sum(lp * cnt), an exact integer identity with the occurrence-level
+    # sum (guide §2.3/§2.4).
+    dtok = (
+        tok.groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    counts = dtok.groupBy("lang", "token").agg(F.sum("cnt").alias("c"))
+    totals = dtok.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = dtok.agg(
         F.count_distinct("token").alias("v")
     )  # 1-row model scalar
     langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
 
     grid = (
-        tok.select("token")
+        dtok.select("token")
         .distinct()
         .crossJoin(F.broadcast(langs))
         .join(F.broadcast(totals.withColumnRenamed("lang", "cand_lang")),
@@ -118,9 +130,9 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     scored = (
-        tok.join(grid, "token")
+        dtok.join(grid, "token")
         .groupBy("doc_id", F.col("lang").alias("actual_lang"), "cand_lang")
-        .agg(F.sum("lp").alias("lsum"))
+        .agg(F.sum(F.col("lp") * F.col("cnt")).alias("lsum"))
         .join(F.broadcast(priors), "cand_lang")
         .withColumn("score", F.col("lsum") + F.col("prior"))
     )

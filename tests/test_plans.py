@@ -1235,3 +1235,11 @@ def test_fk_audit_multi_edge_child_scanned_once(spark, sf_dir):
     # region) — formatted output doubles each (tree + detail); the old
     # per-edge shape carried 14 physical scans
     assert plan.count("Scan parquet") <= 28
+
+
+def test_nb_confusion_single_token_pass(spark, sf_dir):
+    """r10: the corpus tokenize+explode fed five plan branches; the
+    served plan must read the checkpointed (doc, lang, token, cnt)
+    frame instead — zero Generate (explode) nodes replayed."""
+    plan = _plan(spark, sf_dir, "nb_lang_confusion")
+    assert "Generate" not in plan
